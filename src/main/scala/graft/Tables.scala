@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated synthetic tables (TESTDATA.md).
+  *
+  * All tables are plain single-file Parquet; `events.ts` is written as
+  * parquet TIMESTAMP(NANOS) which Spark cannot read natively — we read it
+  * as a long (`spark.sql.legacy.parquet.nanosAsLong`) and floor-divide to
+  * microseconds, matching DuckDB's own ns→µs truncation, so the DuckDB
+  * oracle and Spark agree bit-for-bit on timestamp values.
+  */
+object Tables {
+
+  /** Plain parquet table at `dir/name.parquet`. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `events` with `ts` normalized to TimestampType (µs, UTC).
+    *
+    * `ts div 1000` is integer division on the raw nanosecond long —
+    * floating-point division would lose precision above 2^53 ns.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Register every table as a temp view (ad-hoc SQL surface; SURVEY §3.3). */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    events(spark, dir).createOrReplaceTempView("events")
+  }
+}

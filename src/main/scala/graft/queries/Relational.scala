@@ -1,0 +1,410 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** One correctness-gated query: a Spark DataFrame program plus (optionally)
+  * the equivalent ANSI SQL the DuckDB oracle runs on the same tables.
+  *
+  * Determinism rules used throughout (so the driver's hash compare is
+  * stable across engines):
+  *  - every double aggregate goes through DECIMAL(18,2) so the sum is
+  *    exact, then casts back to DOUBLE (identical bits in both engines);
+  *  - averages are computed as exact-sum / count in DOUBLE (one division,
+  *    same operands → same result);
+  *  - every query ends in a total ORDER BY;
+  *  - ranks/counts are cast to fixed-width types (INT/BIGINT) because
+  *    DuckDB widens differently than Spark.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Relational operator exemplars from SURVEY.md §2 (P*, J*, A*, W*, O*, F*)
+  * expressed Spark-first on the driver's synthetic tables.
+  *
+  * Each query cites the reference operator(s) it re-expresses.
+  */
+object Relational {
+
+  /** Exact decimal sum of a 2-dp double column, surfaced as DOUBLE. */
+  private def decSum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  val all: Seq[Q] = Seq(
+
+    // A2/F5/P3 — TPC-H Q1-shaped pricing summary (observation daily
+    // summary shape: crates/oracle/src/db/weather_data.rs:172-212).
+    Q("q1_pricing_summary",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .where(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            decSum(col("l_quantity")).as("sum_qty"),
+            decSum(col("l_extendedprice")).as("sum_base_price"),
+            sum((col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+              .cast("double").as("sum_disc_price"),
+            (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+              count(lit(1)).cast("double")).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    // A1 — the flagship two-level daily rollup (weather_data.rs:92-146):
+    // level 1 dedups/collapses per (key, fine-grain ts), level 2 re-aggregates
+    // per day. Here: events per (user, hour) → per (user, day).
+    Q("q2_daily_rollup",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val l1 = ev
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(min("ts").as("min_ts"), max("ts").as("max_ts"),
+            min("value").as("min_v"), max("value").as("max_v"),
+            count(lit(1)).as("cnt"))
+        l1.groupBy(col("user_id"), to_date(col("hour")).as("date"))
+          .agg(min("min_ts").as("first_ts"), max("max_ts").as("last_ts"),
+            min("min_v").as("min_value"), max("max_v").as("max_value"),
+            sum("cnt").cast("long").as("n_events"))
+          .orderBy("user_id", "date")
+      },
+      Some("""WITH l1 AS (
+          SELECT user_id, date_trunc('hour', ts) AS hour,
+                 MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+                 MIN(value) AS min_v, MAX(value) AS max_v, COUNT(*) AS cnt
+          FROM events GROUP BY user_id, date_trunc('hour', ts))
+        SELECT user_id, CAST(hour AS DATE) AS date,
+               MIN(min_ts) AS first_ts, MAX(max_ts) AS last_ts,
+               MIN(min_v) AS min_value, MAX(max_v) AS max_value,
+               CAST(SUM(cnt) AS BIGINT) AS n_events
+        FROM l1 GROUP BY user_id, CAST(hour AS DATE)
+        ORDER BY user_id, date""")),
+
+    // A3 — DISTINCT projection (stations dedup, weather_data.rs:224-259).
+    Q("q3_distinct",
+      (s, d) => Tables.events(s, d)
+        .select("user_id", "event_type").distinct()
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+        ORDER BY user_id, event_type""")),
+
+    // P1/P2 — dynamic IN-list + range predicate + projection
+    // (weather_data.rs:107-116).
+    Q("q4_inlist_project",
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_returnflag").isin("A", "R") &&
+          col("l_quantity").between(10, 40))
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber").limit(500),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        FROM lineitem WHERE l_returnflag IN ('A','R') AND l_quantity BETWEEN 10 AND 40
+        ORDER BY l_orderkey, l_linenumber LIMIT 500""")),
+
+    // P3/F1 — time-range predicates with DATE_TRUNC (weather_data.rs:117-131).
+    Q("q5_time_range",
+      (s, d) => Tables.events(s, d)
+        .where(date_trunc("day", col("ts")) >= lit("2024-01-03").cast("timestamp") &&
+          col("ts") < lit("2024-01-10").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, ts, user_id, event_type, value
+        FROM events
+        WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-03 00:00:00'
+          AND ts < TIMESTAMP '2024-01-10 00:00:00'
+        ORDER BY event_id""")),
+
+    // P4/P6/F3 — null-guard filter + COALESCE (download_observations.rs:242-250,
+    // event_data.rs:615).
+    Q("q6_null_guard",
+      (s, d) => {
+        val big = when(col("value") >= 100, col("value"))
+        Tables.events(s, d)
+          .withColumn("big_value", big)
+          .where(col("big_value").isNotNull)
+          .select(col("event_id"), col("big_value"),
+            coalesce(when(col("event_type") === "error", col("value")), lit(0.0))
+              .as("error_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+          CASE WHEN value >= 100 THEN value END AS big_value,
+          COALESCE(CASE WHEN event_type = 'error' THEN value END, 0.0) AS error_value
+        FROM events WHERE (CASE WHEN value >= 100 THEN value END) IS NOT NULL
+        ORDER BY event_id""")),
+
+    // J1 — 3-way inner join on keys (event_data.rs:450-472), customer dim
+    // broadcast.
+    Q("q7_threeway_join",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_items"), decSum(col("l_extendedprice")).as("revenue"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_items,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // J2 — inner join + group by (event_data.rs:479-487).
+    Q("q8_join_groupby",
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_customers"), decSum(col("c_acctbal")).as("total_acctbal"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, COUNT(*) AS n_customers,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // J4/A4 — left join on aggregate subquery + COALESCE(cnt,0)
+    // (event_data.rs:603-624).
+    Q("q9_left_join_agg",
+      (s, d) => {
+        val counts = Tables.orders(s, d)
+          .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+        Tables.customer(s, d)
+          .join(counts, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"), col("c_name"),
+            coalesce(col("cnt"), lit(0L)).cast("long").as("total_orders"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, CAST(COALESCE(cnt, 0) AS BIGINT) AS total_orders
+        FROM customer LEFT JOIN
+          (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) oc
+          ON c_custkey = oc.o_custkey
+        ORDER BY c_custkey""")),
+
+    // J5 — UPDATE ... FROM (VALUES ...) score write-back shape
+    // (event_data.rs:405-448), expressed as the equivalent join+select.
+    Q("q10_update_join",
+      (s, d) => {
+        val scores = s.createDataFrame(Seq(
+          ("BUILDING", 10), ("AUTOMOBILE", 20), ("MACHINERY", 30)
+        )).toDF("seg", "bonus")
+        Tables.customer(s, d)
+          .join(broadcast(scores), col("c_mktsegment") === col("seg"), "left")
+          .select(col("c_custkey"),
+            coalesce(col("bonus"), lit(0)).cast("int").as("bonus"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, CAST(COALESCE(bonus, 0) AS INT) AS bonus
+        FROM customer LEFT JOIN
+          (VALUES ('BUILDING', 10), ('AUTOMOBILE', 20), ('MACHINERY', 30)) scores(seg, bonus)
+          ON c_mktsegment = seg
+        ORDER BY c_custkey""")),
+
+    // J6 — per-key list assembly (Rust HashMap<entry, Vec<choice>>,
+    // event_data.rs:520-537) → collect_list, sorted for determinism.
+    Q("q11_collect_list",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines,
+          COUNT(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // J8/F7 — equi-join on rounded numeric buckets (coordinate 2-dp match,
+    // download_forecast.rs:831-863). DECIMAL round: both engines round
+    // half-away-from-zero on exact decimals.
+    Q("q12_bucket_join",
+      (s, d) => {
+        val sup = Tables.supplier(s, d)
+          .select(col("s_suppkey"),
+            round(col("s_acctbal").cast("decimal(18,2)"), -1).cast("double").as("bucket"))
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"),
+            round(col("c_acctbal").cast("decimal(18,2)"), -1).cast("double").as("bucket"))
+        sup.join(cust, "bucket")
+          .select("s_suppkey", "c_custkey", "bucket")
+          .orderBy("s_suppkey", "c_custkey")
+      },
+      Some("""SELECT s_suppkey, c_custkey,
+          CAST(ROUND(CAST(s_acctbal AS DECIMAL(18,2)), -1) AS DOUBLE) AS bucket
+        FROM supplier JOIN customer
+          ON ROUND(CAST(s_acctbal AS DECIMAL(18,2)), -1) = ROUND(CAST(c_acctbal AS DECIMAL(18,2)), -1)
+        ORDER BY s_suppkey, c_custkey""")),
+
+    // W1/J9 — forward-fill: carry the last non-null observation forward per
+    // key (download_forecast.rs:431-571).
+    Q("q13_forward_fill",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("filled_error",
+            last(when(col("event_type") === "error", col("value")), ignoreNulls = true).over(w))
+          .select("event_id", "user_id", "ts", "filled_error")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, ts,
+          last_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_error
+        FROM events ORDER BY event_id""")),
+
+    // W2 — interval-index assignment (time-layout containment,
+    // download_forecast.rs:573-589) done the scalable way: equi-join on the
+    // derived day bucket with the range predicate as residual.
+    Q("q14_range_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val ranges = ev.select(to_date(col("ts")).as("d")).distinct()
+          .select(col("d"), col("d").cast("timestamp").as("range_start"),
+            (col("d").cast("timestamp") + expr("INTERVAL 1 DAY")).as("range_end"))
+        ev.join(broadcast(ranges),
+            to_date(col("ts")) === col("d") &&
+              col("ts") >= col("range_start") && col("ts") < col("range_end"))
+          .select(col("event_id"), col("d").as("slot_date"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ranges AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS d,
+            CAST(CAST(ts AS DATE) AS TIMESTAMP) AS range_start,
+            CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY AS range_end
+          FROM events)
+        SELECT event_id, d AS slot_date
+        FROM events JOIN ranges ON CAST(ts AS DATE) = d
+          AND ts >= range_start AND ts < range_end
+        ORDER BY event_id""")),
+
+    // W3/A7 — top-K per group via row_number over desc score
+    // (oracle.rs:597-617).
+    Q("q15_topk_rank",
+      (s, d) => {
+        val agg = Tables.events(s, d)
+          .groupBy("event_type", "user_id")
+          .agg(decSum(col("value")).as("total"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("total").desc, col("user_id"))
+        agg.withColumn("rnk", row_number().over(w).cast("int"))
+          .where(col("rnk") <= 3)
+          .orderBy("event_type", "rnk")
+      },
+      Some("""SELECT event_type, user_id, total, CAST(rnk AS INT) AS rnk FROM (
+          SELECT event_type, user_id, total,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY total DESC, user_id) AS rnk
+          FROM (SELECT event_type, user_id,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+                FROM events GROUP BY event_type, user_id))
+        WHERE rnk <= 3 ORDER BY event_type, rnk""")),
+
+    // O1/O3 — multi-key sort + limit (ui/main.js:52).
+    Q("q16_sort_limit",
+      (s, d) => Tables.events(s, d)
+        .select("event_id", "user_id", "ts", "event_type")
+        .orderBy(col("user_id"), col("ts").desc, col("event_id"))
+        .limit(200),
+      Some("""SELECT event_id, user_id, ts, event_type FROM events
+        ORDER BY user_id, ts DESC, event_id LIMIT 200""")),
+
+    // O4/S10 — UNION ALL of heterogeneous scans then re-aggregate
+    // (multi-file read_parquet scan shape).
+    Q("q17_union_agg",
+      (s, d) => {
+        val a = Tables.lineitem(s, d).where(col("l_returnflag") === "A")
+          .select(col("l_orderkey").as("k"), col("l_extendedprice").as("v"))
+        val b = Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+        a.unionByName(b)
+          .groupBy("k")
+          .agg(count(lit(1)).as("n"), decSum(col("v")).as("sv"))
+          .orderBy("k")
+      },
+      Some("""WITH u AS (
+          SELECT l_orderkey AS k, l_extendedprice AS v FROM lineitem WHERE l_returnflag = 'A'
+          UNION ALL
+          SELECT o_orderkey AS k, o_totalprice AS v FROM orders)
+        SELECT k, COUNT(*) AS n, CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        FROM u GROUP BY k ORDER BY k""")),
+
+    // F1/F2/F6/F7/F9 — scalar function pack: date_trunc, casts, RFC-3339
+    // formatting, decimal rounding, string ops (weather_data.rs:94-128;
+    // mod.rs:211-227).
+    Q("q18_scalar_funcs",
+      (s, d) => Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          to_date(date_trunc("day", col("o_orderdate"))).as("order_day"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("rfc3339"),
+          year(col("o_orderdate")).cast("int").as("order_year"),
+          round(col("o_totalprice").cast("decimal(18,2)"), 1).cast("double").as("rounded_price"),
+          upper(col("o_orderpriority")).as("prio_upper"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_prio"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or_open"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+          CAST(date_trunc('day', o_orderdate) AS DATE) AS order_day,
+          strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS rfc3339,
+          CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+          CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS rounded_price,
+          UPPER(o_orderpriority) AS prio_upper,
+          o_orderstatus || '-' || o_orderpriority AS status_prio,
+          COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open
+        FROM orders ORDER BY o_orderkey""")),
+
+    // A6 — CASE-based scoring + deterministic tiebreak
+    // (oracle.rs:445-588: Par=20, Over/Under=10, score*10000+tiebreak).
+    Q("q19_case_scoring",
+      (s, d) => {
+        val points = when(col("event_type") === "purchase", 20)
+          .when(col("event_type") === "click", 10).otherwise(0)
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(sum(points).cast("long").as("points"))
+          .select(col("user_id"), col("points"),
+            (col("points") * 10000 + (lit(9999) - pmod(col("user_id"), lit(10000))))
+              .cast("long").as("score"))
+          .orderBy(col("score").desc, col("user_id"))
+      },
+      Some("""SELECT user_id, points,
+          CAST(points * 10000 + (9999 - user_id % 10000) AS BIGINT) AS score
+        FROM (SELECT user_id,
+                CAST(SUM(CASE event_type WHEN 'purchase' THEN 20 WHEN 'click' THEN 10 ELSE 0 END) AS BIGINT) AS points
+              FROM events GROUP BY user_id)
+        ORDER BY score DESC, user_id""")),
+
+    // Streaming-shaped sessionization: lag + gap > 30 min starts a session
+    // (hourly snapshot cadence analog, daemon/src/main.rs:39-50).
+    Q("q20_session_gap",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+          .groupBy("user_id")
+          .agg(sum(col("new_session")).cast("long").as("sessions"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS sessions,
+          COUNT(*) AS n_events
+        FROM (SELECT user_id,
+                CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events)
+        GROUP BY user_id ORDER BY user_id"""))
+  )
+}
