@@ -1,6 +1,293 @@
 package graft.queries
 
-/** Text-analysis & dedup operators over `documents` (filled in below). */
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis + deduplication operators over `documents` — the
+  * LLM-training-pipeline surface (exact dedup, MinHash+LSH, SimHash,
+  * n-gram Jaccard, language-ID, quality scoring, token counting,
+  * fingerprinting, binary-column plumbing).
+  *
+  * Cross-engine determinism: hashes are md5 (identical hex in Spark and
+  * DuckDB), set sizes are INTs, ratios are single double divisions of
+  * exact ints, and every query ends in a total ORDER BY.
+  *
+  * Scale notes (100 TB): every op here is embarrassingly parallel per
+  * document except the pair-join steps, which are written as *blocked*
+  * joins (LSH band buckets / lang blocking) — never a full cross join —
+  * so the shuffle key is the block, and skew is bounded by block size.
+  */
 object TextOps {
-  val all: Seq[Q] = Seq()
+
+  /** Tokens of the lowercased text (space-split, matches DuckDB
+    * string_split). */
+  private val tokens: Column = split(lower(col("text")), " ")
+
+  /** Distinct word 3-gram shingles; empty (not decreasing-sequence!) when
+    * under 3 tokens. */
+  private val shingles: Column = {
+    expr("""CASE WHEN size(split(lower(text), ' ')) >= 3
+      THEN array_distinct(transform(sequence(0, size(split(lower(text), ' ')) - 3),
+        i -> concat_ws(' ', element_at(split(lower(text), ' '), i+1),
+                            element_at(split(lower(text), ' '), i+2),
+                            element_at(split(lower(text), ' '), i+3))))
+      ELSE CAST(array() AS array<string>) END""")
+  }
+
+  /** DuckDB equivalent of [[shingles]] over alias `t` (token list). */
+  private val duckShingles =
+    """list_distinct(list_transform(range(1, len(t)-1),
+       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"""
+
+  /** Per-token 16-bit hash: first 4 hex nibbles of md5. Spark side. */
+  private val hvalsExpr =
+    "transform(split(lower(text), ' '), tok -> cast(conv(substring(md5(tok), 1, 4), 16, 10) as int))"
+
+  /** Same in DuckDB (no hex-string cast, so parse nibbles by strpos). */
+  private val duckHvals =
+    """list_transform(t, tok ->
+        (strpos('0123456789abcdef', substr(md5(tok),1,1))-1)*4096 +
+        (strpos('0123456789abcdef', substr(md5(tok),2,1))-1)*256 +
+        (strpos('0123456789abcdef', substr(md5(tok),3,1))-1)*16 +
+        (strpos('0123456789abcdef', substr(md5(tok),4,1))-1))"""
+
+  /** documents with doc_id, lang, distinct shingle set `s`. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("lang"), shingles.as("s"))
+
+  /** 8 md5 MinHash values h0..h7 per doc. */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    val base = shingled(s, d)
+    (0 until 8).foldLeft(base) { (df, k) =>
+      df.withColumn(s"h$k",
+        array_min(transform(col("s"), x => md5(concat(lit(s"$k|"), x)))))
+    }.drop("s", "lang")
+  }
+
+  private val duckSigs =
+    """SELECT doc_id, """ + (0 until 8).map(k =>
+      s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS h$k").mkString(", ") + """
+       FROM (SELECT doc_id, """ + duckShingles + """ AS sh
+             FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents))"""
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup: hash-groupBy on content digest. At 100 TB this is one
+    // shuffle on a 128-bit key — the canonical first dedup pass.
+    Q("d1_dedup_exact",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_id"))
+        .orderBy("content_hash"),
+      Some("""SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+          MIN(doc_id) AS keep_id
+        FROM documents GROUP BY md5(text) ORDER BY content_hash""")),
+
+    // N-gram Jaccard near-dup, blocked by lang (never a full cross join).
+    Q("d2_dedup_ngram_jaccard",
+      (s, d) => {
+        val sh = shingled(s, d)
+        val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("s").as("sa"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("lang"), col("s").as("sb"))
+        a.join(b, Seq("lang")).where(col("doc_a") < col("doc_b"))
+          .withColumn("n_common", size(array_intersect(col("sa"), col("sb"))).cast("int"))
+          .withColumn("jaccard",
+            col("n_common").cast("double") /
+              (size(col("sa")) + size(col("sb")) - col("n_common")).cast("double"))
+          .where(col("jaccard") >= 0.05)
+          .select("doc_a", "doc_b", "n_common", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, lang, $duckShingles AS s
+            FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents))
+        SELECT doc_a, doc_b, n_common, jaccard FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(len(list_intersect(a.s, b.s)) AS INT) AS n_common,
+            CAST(CAST(len(list_intersect(a.s, b.s)) AS INT) AS DOUBLE) /
+              CAST(len(a.s) + len(b.s) - CAST(len(list_intersect(a.s, b.s)) AS INT) AS DOUBLE) AS jaccard
+          FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.05 ORDER BY doc_a, doc_b""")),
+
+    // MinHash signatures (8 hashes): the per-doc half of MinHash-LSH.
+    Q("d3_minhash_sigs",
+      (s, d) => minhashSigs(s, d).orderBy("doc_id"),
+      Some(duckSigs + " ORDER BY doc_id")),
+
+    // MinHash-LSH candidate pairs: explode signatures into (band, hash)
+    // buckets, equi-join on the bucket — the 100 TB-safe shape (shuffle on
+    // band hash, no quadratic blowup).
+    Q("d4_minhash_pairs",
+      (s, d) => {
+        val sigs = minhashSigs(s, d)
+        val bands = sigs.select(col("doc_id"), explode(array(
+          (0 until 8).map(k => struct(lit(k).as("band"), col(s"h$k").as("h"))): _*
+        )).as("bh")).select(col("doc_id"), col("bh.band"), col("bh.h"))
+        val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("h"))
+        val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("h"))
+        a.join(b, Seq("band", "h")).where(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH sig AS ($duckSigs),
+        bands AS (${(0 until 8).map(k =>
+          s"SELECT doc_id, $k AS band, h$k AS h FROM sig").mkString(" UNION ALL ")})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b""")),
+
+    // SimHash: 16-bit signature from per-token hashes (frequency-weighted
+    // bit votes).
+    Q("d5_simhash",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("hs", expr(hvalsExpr))
+        .select(col("doc_id"), expr(
+          """cast(aggregate(sequence(0, 15), 0, (acc, i) -> acc +
+               IF(aggregate(hs, 0, (a, v) -> a + IF((shiftright(v, i) & 1) = 1, 1, -1)) > 0,
+                  shiftleft(1, i), 0)) as int)""").as("simhash"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), i ->
+            CASE WHEN list_sum(list_transform(hs, v ->
+                   CASE WHEN (v >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                 THEN (1 << i) ELSE 0 END)) AS INT) AS simhash
+        FROM (SELECT doc_id, $duckHvals AS hs
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents))
+        ORDER BY doc_id""")),
+
+    // SimHash near-dup pairs by Hamming distance ≤ 3. (At scale: block on
+    // signature bytes first; the 500-doc fixture tolerates the self-join.)
+    Q("d6_simhash_pairs",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .withColumn("hs", expr(hvalsExpr))
+          .select(col("doc_id"), expr(
+            """cast(aggregate(sequence(0, 15), 0, (acc, i) -> acc +
+                 IF(aggregate(hs, 0, (a, v) -> a + IF((shiftright(v, i) & 1) = 1, 1, -1)) > 0,
+                    shiftleft(1, i), 0)) as int)""").as("simhash"))
+        val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+        a.join(b, col("doc_a") < col("doc_b"))
+          .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as int)"))
+          .where(col("hamming") <= 3)
+          .select("doc_a", "doc_b", "hamming")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH sh AS (
+          SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), i ->
+              CASE WHEN list_sum(list_transform(hs, v ->
+                     CASE WHEN (v >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                   THEN (1 << i) ELSE 0 END)) AS INT) AS simhash
+          FROM (SELECT doc_id, $duckHvals AS hs
+                FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY doc_a, doc_b""")),
+
+    // Language-ID: n-gram/stopword marker heuristic → argmax with a
+    // deterministic tiebreak.
+    Q("t1_langid",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("t", tokens)
+        .select(col("doc_id"), col("lang"),
+          size(filter(col("t"), t => t.isin("the", "a"))).cast("int").as("s_art"),
+          size(filter(col("t"), t => t.isin("spark", "vector", "hash"))).cast("int").as("s_tech"),
+          size(filter(col("t"), t => t.isin("table", "query", "join"))).cast("int").as("s_db"))
+        .withColumn("guess",
+          when(col("s_art") >= col("s_tech") && col("s_art") >= col("s_db"), "article")
+            .when(col("s_tech") >= col("s_db"), "tech").otherwise("db"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, s_art, s_tech, s_db,
+          CASE WHEN s_art >= s_tech AND s_art >= s_db THEN 'article'
+               WHEN s_tech >= s_db THEN 'tech' ELSE 'db' END AS guess
+        FROM (SELECT doc_id, lang,
+            CAST(len(list_filter(t, x -> x IN ('the','a'))) AS INT) AS s_art,
+            CAST(len(list_filter(t, x -> x IN ('spark','vector','hash'))) AS INT) AS s_tech,
+            CAST(len(list_filter(t, x -> x IN ('table','query','join'))) AS INT) AS s_db
+          FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents))
+        ORDER BY doc_id""")),
+
+    // Quality scoring: length / type-token ratio / stopword ratio /
+    // mean token length composite.
+    Q("t2_quality_score",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("t", tokens)
+        .select(col("doc_id"), col("n_chars"),
+          size(col("t")).cast("int").as("n_tokens"),
+          size(array_distinct(col("t"))).cast("int").as("n_distinct"),
+          size(filter(col("t"), t => t.isin("the", "a", "and", "of"))).cast("int").as("n_stop"))
+        .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("mean_tok_len",
+          (col("n_chars").cast("double") / col("n_tokens").cast("double")))
+        .withColumn("quality",
+          lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+            lit(0.3) * least(lit(1.0), col("mean_tok_len") / lit(10.0)))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars, n_tokens, n_distinct, n_stop,
+          CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+          CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+          CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_tok_len,
+          0.4 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) +
+          0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) +
+          0.3 * least(1.0, (CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 10.0) AS quality
+        FROM (SELECT doc_id, n_chars,
+            CAST(len(t) AS INT) AS n_tokens,
+            CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+            CAST(len(list_filter(t, x -> x IN ('the','a','and','of'))) AS INT) AS n_stop
+          FROM (SELECT doc_id, n_chars, string_split(lower(text), ' ') AS t FROM documents))
+        ORDER BY doc_id""")),
+
+    // Token counting: whitespace tokens, regex word-ish tokens, and a
+    // chars/4 BPE-style estimate.
+    Q("t3_token_count",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("int").as("n_ws_tokens"),
+          size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^ ]', 0)"))
+            .cast("int").as("n_re_tokens"),
+          ceil(col("n_chars").cast("double") / lit(4.0)).cast("long").as("n_bpe_est"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+          CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^ ]')) AS INT) AS n_re_tokens,
+          CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS n_bpe_est
+        FROM documents ORDER BY doc_id""")),
+
+    // Document fingerprinting: content digest + position-weighted
+    // polynomial hash of token hashes (rolling-hash flavored).
+    Q("t4_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("hs", expr(hvalsExpr))
+        .select(col("doc_id"),
+          md5(trim(lower(col("text")))).as("fp_md5"),
+          substring(md5(trim(lower(col("text")))), 1, 8).as("fp_bucket"),
+          expr("""aggregate(sequence(1, size(hs)), cast(0 as bigint),
+              (acc, i) -> acc + cast(element_at(hs, i) as bigint) * ((i * 31) % 997))""")
+            .as("fp_poly"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, md5(trim(lower(text))) AS fp_md5,
+          substr(md5(trim(lower(text))), 1, 8) AS fp_bucket,
+          CAST(list_sum(list_transform(range(1, len(hs)+1),
+            i -> CAST(hs[i] AS BIGINT) * ((i * 31) % 997))) AS BIGINT) AS fp_poly
+        FROM (SELECT doc_id, text, $duckHvals AS hs
+              FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents))
+        ORDER BY doc_id""")),
+
+    // Multimodal plumbing: opaque binary payload column + typed metadata
+    // (the schema/partitioning side of image/audio handling; decode is
+    // stubbed in graft.llm.Multimodal).
+    Q("m1_blob_meta",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("int").as("n_bytes"),
+          upper(substring(hex(col("payload")), 1, 16)).as("hex_prefix"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+          upper(substr(hex(encode(text)), 1, 16)) AS hex_prefix
+        FROM documents ORDER BY doc_id"""))
+  )
 }

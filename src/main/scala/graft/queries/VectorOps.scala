@@ -1,6 +1,134 @@
 package graft.queries
 
-/** Embedding similarity-search operators over `embeddings`. */
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Embedding similarity-search operators over `embeddings`
+  * (Array[Float], 64-dim).
+  *
+  * Cosine is computed with an identical double-precision sequential
+  * fold on both engines (verified bit-exact vs DuckDB list_sum), so the
+  * oracle compare is exact — no tolerance games.
+  *
+  * Scale notes (100 TB): brute-force top-k is the correctness baseline
+  * (broadcast the query set, map-side score, per-query top-k via window);
+  * the LSH variant buckets by sign-bit signature so the join key is the
+  * bucket — candidate generation is a shuffle on the signature, never a
+  * cross join.
+  */
 object VectorOps {
-  val all: Seq[Q] = Seq()
+
+  /** Sequential-fold double dot product of two float-array columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** DuckDB mirror of [[dot]] (list_sum is a sequential fold too). */
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+
+  private def duckCos(a: String, b: String): String =
+    s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+
+  /** 6-bit sign-signature over fixed dims (axis-aligned hyperplane LSH). */
+  private val lshDims = Seq(1, 9, 17, 25, 33, 41) // 1-based
+
+  val all: Seq[Q] = Seq(
+
+    // Brute-force cosine top-k: the exact baseline. Query set is small →
+    // broadcast it; scoring is map-side over the big side.
+    Q("v1_knn_brute",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            cosine(col("qe"), col("embedding")).as("cos_sim"))
+        val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+        scored.withColumn("rnk", row_number().over(w).cast("int"))
+          .where(col("rnk") <= 5)
+          .select("qid", "nid", "rnk", "cos_sim")
+          .orderBy("qid", "rnk")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT qid, e.vec_id AS nid, ${duckCos("qe", "e.embedding")} AS cos_sim
+          FROM embeddings e JOIN q ON e.vec_id <> q.qid)
+        SELECT qid, nid, CAST(rnk AS INT) AS rnk, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rnk
+          FROM scored)
+        WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
+    // LSH-bucketed ANN: equi-join on the 6-bit sign signature, rank within
+    // bucket — the scale path for candidate generation.
+    Q("v2_knn_lsh",
+      (s, d) => {
+        val sig = lshDims.zipWithIndex.map { case (dim, k) =>
+          when(element_at(col("embedding"), dim) >= 0, 1 << k).otherwise(0)
+        }.reduce(_ + _).cast("int")
+        val e = Tables.embeddings(s, d).withColumn("sig", sig)
+        val q = e.where(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("sig"))
+        val cand = e.join(q, Seq("sig")).where(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            cosine(col("qe"), col("embedding")).as("cos_sim"))
+        val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+        cand.withColumn("rnk", row_number().over(w).cast("int"))
+          .where(col("rnk") <= 3)
+          .select("qid", "nid", "rnk", "cos_sim")
+          .orderBy("qid", "rnk")
+      },
+      Some {
+        val sigSql = lshDims.zipWithIndex.map { case (dim, k) =>
+          s"CASE WHEN embedding[$dim] >= 0 THEN ${1 << k} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, embedding, CAST($sigSql AS INT) AS sig FROM embeddings),
+          q AS (SELECT vec_id AS qid, embedding AS qe, sig FROM e WHERE vec_id < 50),
+          cand AS (
+            SELECT qid, e.vec_id AS nid, ${duckCos("qe", "e.embedding")} AS cos_sim
+            FROM e JOIN q ON e.sig = q.sig AND e.vec_id <> q.qid)
+          SELECT qid, nid, CAST(rnk AS INT) AS rnk, cos_sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rnk
+            FROM cand)
+          WHERE rnk <= 3 ORDER BY qid, rnk"""
+      }),
+
+    // Vector plumbing sanity: dimension + L2 norm per vector.
+    Q("v3_vector_norms",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          size(col("embedding")).cast("int").as("dim"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("l2_norm"))
+        .orderBy("vec_id"),
+      Some(s"""SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
+          sqrt(${duckDot("embedding", "embedding")}) AS l2_norm
+        FROM embeddings ORDER BY vec_id""")),
+
+    // Embedding-cosine near-dup pairs above a threshold (the embedding
+    // flavor of dedup; blocked at scale by LSH signature, here plain).
+    Q("v4_embed_near_dup",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+        a.join(b, col("vec_a") < col("vec_b"))
+          .withColumn("cos_sim", cosine(col("ea"), col("eb")))
+          .where(col("cos_sim") > 0.35)
+          .select("vec_a", "vec_b", "cos_sim")
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""SELECT vec_a, vec_b, cos_sim FROM (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            ${duckCos("a.embedding", "b.embedding")} AS cos_sim
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        WHERE cos_sim > 0.35 ORDER BY vec_a, vec_b"""))
+  )
 }
