@@ -1,0 +1,163 @@
+package graft.ingest
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.{Forecast, Units}
+
+/** Spark-first re-expression of the reference's DWML flatten — the
+  * trickiest semantics in the system ("THIS IS WHERE THE FLATTENING OF
+  * THE DATA OCCURS", download_forecast.rs:315).
+  *
+  * Reference algorithm (download_forecast.rs:316-589):
+  *  1. per location, build a 3-hour slot grid over [now, now + 1 week]
+  *     (:792-829);
+  *  2. per (slot, metric): interval index = (# of layout range starts ≤
+  *     slot begin) − 1, i.e. assignment by *last start at-or-before*,
+  *     ends ignored (:573-589);
+  *  3. value = reading.values[index] if it parses, else the last value
+  *     seen while walking slots in time order (single accumulator,
+  *     :431-571) — i.e. per-metric forward fill.
+  *
+  * Spark mapping: slot grid = `explode(sequence(...))` (W-grid, no
+  * driver loop); interval assignment = equi-join on layout_key with a
+  * `start ≤ begin` predicate + max(idx) aggregation (W2); forward fill =
+  * `last(col, ignoreNulls = true)` over an unbounded-preceding window
+  * per (location, metric) (W1). No UDFs, no custom Catalyst work —
+  * everything stays in whole-stage codegen.
+  *
+  * Scale: slots are data-parallel per location; layouts per document are
+  * tiny (≤ ~60 ranges) → broadcast; the only shuffle is the final window
+  * partitioned by location_key.
+  */
+object DwmlFlatten {
+
+  private val longMetrics =
+    Seq("max_temp", "min_temp", "rh_max", "rh_min", "pop12", "wind_speed", "wind_dir")
+
+  /** Flatten one decoded DWML document into the 3-h Forecast grid. */
+  def flatten(spark: SparkSession, doc: DwmlDoc, now: Timestamp): Dataset[Forecast] = {
+    import spark.implicits._
+
+    val locations = spark.createDataset(doc.locations)
+    val layouts = spark.createDataset(doc.layouts)
+    val readings = spark.createDataset(doc.readings)
+
+    // 1. 3-hour slot grid per location: [now, now+1w] inclusive.
+    val slots = locations.select(col("locationKey"))
+      .withColumn("begin_time",
+        explode(sequence(
+          lit(now), lit(new Timestamp(now.getTime + 7L * 24 * 3600 * 1000)),
+          expr("INTERVAL 3 HOURS"))))
+      .withColumn("end_time", col("begin_time") + expr("INTERVAL 3 HOURS"))
+
+    // 2. interval index per (slot, reading): last layout start ≤ begin.
+    val slotReadings = slots
+      .join(readings, Seq("locationKey"))
+      .join(broadcast(layouts),
+        readings("layoutKey") === layouts("layoutKey") &&
+          col("rangeStart") <= col("begin_time"),
+        "left")
+      .groupBy(col("locationKey"), col("begin_time"), col("end_time"),
+        col("metric"), col("units"), col("values"))
+      .agg(max(col("idx")).as("interval_idx"))
+
+    // 3. raw value at the index (null when no interval or unparseable),
+    //    then per-(location, metric) forward fill in slot order.
+    // try_cast = the reference's `value.parse::<i64>().ok()` (null on
+    // malformed, e.g. the empty strings NDFD emits at layout tails).
+    val valued = slotReadings
+      .withColumn("raw", element_at(col("values"), col("interval_idx") + 1))
+      .withColumn("val_long",
+        when(col("metric").isin(longMetrics: _*), expr("try_cast(raw AS BIGINT)")))
+      .withColumn("val_double",
+        when(col("metric") === "precip", expr("try_cast(raw AS DOUBLE)")))
+
+    val w = Window.partitionBy("locationKey", "metric")
+      .orderBy("begin_time")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valued
+      .withColumn("fill_long", last(col("val_long"), ignoreNulls = true).over(w))
+      .withColumn("fill_double", last(col("val_double"), ignoreNulls = true).over(w))
+
+    // 4. pivot metrics to columns.
+    def metricCol(m: String) = max(when(col("metric") === m,
+      if (m == "precip") col("fill_double") else col("fill_long"))).as(m)
+    def unitCol(m: String, default: String, name: String) =
+      coalesce(max(when(col("metric") === m, col("units"))), lit(default)).as(name)
+
+    val pivoted = filled
+      .groupBy("locationKey", "begin_time", "end_time")
+      .agg(
+        metricCol("max_temp"), metricCol("min_temp"), metricCol("rh_max"),
+        metricCol("rh_min"), metricCol("precip"), metricCol("pop12"),
+        metricCol("wind_speed"), metricCol("wind_dir"),
+        unitCol("max_temp", Units.Fahrenheit, "temperature_unit_code"),
+        unitCol("wind_speed", Units.Knots, "wind_speed_unit_code"),
+        unitCol("wind_dir", Units.DegreesTrue, "wind_direction_unit_code"),
+        unitCol("rh_max", Units.Percent, "relative_humidity_unit_code"),
+        unitCol("precip", Units.Inches, "liquid_precipitation_unit_code"),
+        unitCol("pop12", Units.Percent,
+          "twelve_hour_probability_of_precipitation_unit_code"))
+
+    // Locations with no readings at all still get their (empty) grid —
+    // join back to slots to preserve them, like the reference's
+    // pre-seeded per-location vectors.
+    val grid = slots.join(pivoted, Seq("locationKey", "begin_time", "end_time"), "left")
+
+    // 5. station ids + fixed columns; drop locations without a station id
+    //    (download_forecast.rs:404-412).
+    grid
+      .join(broadcast(locations), Seq("locationKey"))
+      .where(col("stationId").isNotNull)
+      .select(
+        col("stationId").as("station_id"),
+        lit("").as("station_name"),
+        col("latitude"),
+        col("longitude"),
+        lit(doc.generatedAt).as("generated_at"),
+        col("begin_time"),
+        col("end_time"),
+        col("max_temp"),
+        col("min_temp"),
+        coalesce(col("temperature_unit_code"), lit(Units.Fahrenheit)).as("temperature_unit_code"),
+        col("wind_speed"),
+        coalesce(col("wind_speed_unit_code"), lit(Units.Knots)).as("wind_speed_unit_code"),
+        col("wind_dir").as("wind_direction"),
+        coalesce(col("wind_direction_unit_code"), lit(Units.DegreesTrue)).as("wind_direction_unit_code"),
+        col("rh_max").as("relative_humidity_max"),
+        col("rh_min").as("relative_humidity_min"),
+        coalesce(col("relative_humidity_unit_code"), lit(Units.Percent)).as("relative_humidity_unit_code"),
+        col("precip").as("liquid_precipitation_amt"),
+        coalesce(col("liquid_precipitation_unit_code"), lit(Units.Inches)).as("liquid_precipitation_unit_code"),
+        col("pop12").as("twelve_hour_probability_of_precipitation"),
+        coalesce(col("twelve_hour_probability_of_precipitation_unit_code"), lit(Units.Percent))
+          .as("twelve_hour_probability_of_precipitation_unit_code"))
+      .as[Forecast]
+  }
+
+  /** Station-name enrichment via the 2-dp coordinate equi-match (J8,
+    * download_forecast.rs:831-863): DWML locations carry no station ids
+    * in the wild; they are matched to the station index by exact
+    * 2-decimal string equality of (lat, lon). */
+  def matchStations(forecasts: DataFrame, stations: DataFrame): DataFrame = {
+    val st = stations.select(
+      col("station_id").as("st_id"),
+      col("station_name").as("st_name"),
+      format_number(col("latitude"), 2).as("st_lat"),
+      format_number(col("longitude"), 2).as("st_lon"))
+    forecasts
+      .join(broadcast(st),
+        forecasts("latitude") === col("st_lat") &&
+          forecasts("longitude") === col("st_lon"),
+        "left")
+      .withColumn("station_id",
+        when(col("station_id") === "" || col("station_id").isNull, col("st_id"))
+          .otherwise(col("station_id")))
+      .withColumn("station_name", coalesce(col("st_name"), col("station_name")))
+      .drop("st_id", "st_name", "st_lat", "st_lon")
+  }
+}

@@ -1,0 +1,113 @@
+package graft.oracle
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Entry scoring + ranking (SURVEY §2.4 A6/A7, §2.5 W3) — the reference's
+  * per-entry Rust loops (crates/oracle/src/oracle.rs:445-617) re-expressed
+  * as one declarative plan: join choices ⋈ forecasts ⋈ observations on
+  * station, score with when/otherwise column arithmetic, sum per entry,
+  * add the UUIDv7-millis tiebreak, rank with a window.
+  *
+  * Semantics pinned by the golden ETL test (etl_workflow.rs:284-324):
+  *  - Par = 20 points, Over/Under = 10 (oracle.rs:465-466);
+  *  - observed temps are f64 and compared after `f64::round` —
+  *    half-away-from-zero — against the i64 forecast (oracle.rs:496-528);
+  *    Spark's `round()` (BigDecimal HALF_UP) matches that exactly;
+  *  - wind speeds compare as integers, no rounding (oracle.rs:530-552);
+  *  - total = base*10000 + (9999 − uuidv7_millis % 10000) (oracle.rs:553-575);
+  *  - missing forecast or observation for a station ⇒ that location
+  *    contributes nothing (oracle.rs:478-491) — inner joins.
+  */
+object Scoring {
+
+  /** Round half-away-from-zero to long — Rust `f64::round() as i64`. */
+  private def rustRound(c: org.apache.spark.sql.Column) =
+    round(c, 0).cast("long")
+
+  /** Score one direction choice ('over'/'par'/'under'/null) of a
+    * forecast long vs an observed (already-rounded) long. */
+  private def points(
+      choice: org.apache.spark.sql.Column,
+      forecast: org.apache.spark.sql.Column,
+      observed: org.apache.spark.sql.Column) =
+    when(choice === "over" && forecast < observed, 10L)
+      .when(choice === "par" && forecast === observed, 20L)
+      .when(choice === "under" && forecast > observed, 10L)
+      .otherwise(0L)
+
+  /** Compute total scores per entry.
+    *
+    * @param choices  (entry_id, station, temp_low, temp_high, wind_speed)
+    *                 — choice columns are 'over'/'par'/'under' or null
+    * @param forecasts    A1 output: (station_id, temp_low, temp_high, wind_speed) longs
+    * @param observations A2 output: (station_id, temp_low, temp_high, wind_speed)
+    *                     — temps double, wind long
+    * @return (entry_id, base_score, score)
+    */
+  def scoreEntries(
+      choices: DataFrame,
+      forecasts: DataFrame,
+      observations: DataFrame): DataFrame = {
+
+    val f = forecasts.select(
+      col("station_id").as("station"),
+      col("temp_low").as("f_low"),
+      col("temp_high").as("f_high"),
+      col("wind_speed").as("f_wind"))
+    val o = observations.select(
+      col("station_id").as("station"),
+      rustRound(col("temp_low")).as("o_low"),
+      rustRound(col("temp_high")).as("o_high"),
+      col("wind_speed").cast("long").as("o_wind"))
+
+    choices
+      .join(broadcast(f), Seq("station"))
+      .join(broadcast(o), Seq("station"))
+      .withColumn("pts",
+        points(col("temp_low"), col("f_low"), col("o_low")) +
+          points(col("temp_high"), col("f_high"), col("o_high")) +
+          points(col("wind_speed"), col("f_wind"), col("o_wind")))
+      .groupBy("entry_id")
+      .agg(sum("pts").as("base_score"))
+      .withColumn("score",
+        col("base_score") * 10000L +
+          (lit(9999L) - pmod(expr(Uuid7.millisSqlExpr("entry_id")), lit(10000L))))
+  }
+
+  /** Entries that placed nothing still need a score row (base 0): left
+    * join the full entry list in. */
+  def scoreAllEntries(
+      entryIds: DataFrame, // (entry_id)
+      choices: DataFrame,
+      forecasts: DataFrame,
+      observations: DataFrame): DataFrame = {
+    val scored = scoreEntries(choices, forecasts, observations)
+    entryIds
+      .join(scored.drop("score"), Seq("entry_id"), "left")
+      .na.fill(0L, Seq("base_score"))
+      .withColumn("score",
+        col("base_score") * 10000L +
+          (lit(9999L) - pmod(expr(Uuid7.millisSqlExpr("entry_id")), lit(10000L))))
+  }
+
+  /** A7/W3 — top-K entries by score desc, returned with both the rank and
+    * the entry's index in the stable id-sorted order (the reference's
+    * winner encoding, oracle.rs:597-617). */
+  def winners(scores: DataFrame, k: Int = 3): DataFrame = {
+    val byId = Window.orderBy("entry_id")
+    val byScore = Window.orderBy(col("score").desc, col("entry_id"))
+    scores
+      .withColumn("outcome_index", (row_number().over(byId) - 1).cast("long"))
+      .withColumn("rank", row_number().over(byScore))
+      .where(col("rank") <= k)
+      .orderBy("rank")
+      .select("rank", "entry_id", "score", "outcome_index")
+  }
+
+  /** The reference's winner byte encoding: big-endian u64 per index
+    * (oracle.rs:693-698). Driver-side, feeds the signing hook. */
+  def winningBytes(indices: Seq[Long]): Array[Byte] =
+    indices.flatMap(i => java.nio.ByteBuffer.allocate(8).putLong(i).array()).toArray
+}

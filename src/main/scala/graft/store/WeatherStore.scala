@@ -1,0 +1,91 @@
+package graft.store
+
+import java.sql.Timestamp
+import java.time.{Instant, LocalDate, ZoneOffset}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Date/kind-partitioned Parquet snapshot store — the Spark-native
+  * replacement for the reference's hand-rolled date-directory file layout
+  * and filename scanning (crates/oracle/src/file_access.rs:84-145;
+  * crates/daemon/src/main.rs:84-98).
+  *
+  * Layout: `root/kind={forecasts|observations}/date=YYYY-MM-DD/` parquet
+  * files, with an explicit `snapshot_ts` column replacing the reference's
+  * filename-embedded RFC-3339 timestamp. Benefits at scale:
+  *  - Catalyst partition pruning replaces the hand-rolled directory walk
+  *    (file_access.rs:119-145) — `.where($"date".between(...))` prunes
+  *    at planning time, no driver-side listing logic;
+  *  - `snapshot_ts` min/max parquet statistics replace the filename
+  *    timestamp filter (file_access.rs:47-79) with row-group skipping;
+  *  - `mergeSchema` replaces `union_by_name = true`
+  *    (weather_data.rs:101-104) for schema drift across snapshots.
+  */
+final class WeatherStore(spark: SparkSession, root: String) {
+
+  import WeatherStore._
+
+  /** Append one snapshot. `snapshotTs` identifies the ingest run (the
+    * reference encodes it in the filename). */
+  def write(df: DataFrame, kind: String, snapshotTs: Timestamp): Unit =
+    df.withColumn("snapshot_ts", lit(snapshotTs))
+      .withColumn("date", to_date(lit(snapshotTs)))
+      .withColumn("kind", lit(kind))
+      .repartition(1) // one snapshot = one small immutable file, like the reference
+      .write
+      .mode(SaveMode.Append)
+      .partitionBy("kind", "date")
+      .parquet(root)
+
+  /** Pruned scan of one kind over [start, end]. Forecast reads pad the
+    * start back one day (weather_data.rs:78-85) so snapshots generated
+    * the previous day still contribute rows; both also filter on the
+    * snapshot timestamp like the reference's filename check.
+    *
+    * Returns None when nothing exists (the reference's early-exit on an
+    * empty file list, weather_data.rs:87-89). */
+  def read(kind: String, start: Timestamp, end: Timestamp): Option[DataFrame] = {
+    val padDays = if (kind == Kinds.Forecasts) 1 else 0
+    val startDate = toUtcDate(start).minusDays(padDays)
+    val endDate = toUtcDate(end)
+    if (!exists(kind)) None
+    else {
+      // Scan only the kind's subtree: forecasts and observations have
+      // different schemas (merging across kinds is both wrong and a
+      // listing cost at scale); date pruning happens inside it.
+      val df = spark.read
+        .option("mergeSchema", "true")
+        .option("basePath", root)
+        .parquet(s"$root/kind=$kind")
+        .where(col("date").between(
+          lit(java.sql.Date.valueOf(startDate)), lit(java.sql.Date.valueOf(endDate))) &&
+          col("snapshot_ts").between(
+            lit(Timestamp.from(startDate.atStartOfDay(ZoneOffset.UTC).toInstant)),
+            lit(end)))
+      Some(df)
+    }
+  }
+
+  /** Whole-kind scan (ad-hoc SQL surface). */
+  def readAll(kind: String): Option[DataFrame] =
+    if (!exists(kind)) None
+    else Some(spark.read.option("mergeSchema", "true")
+      .option("basePath", root).parquet(s"$root/kind=$kind"))
+
+  private def exists(kind: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/kind=$kind")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(s => !s.getPath.getName.startsWith("_"))
+  }
+}
+
+object WeatherStore {
+  object Kinds {
+    val Forecasts = "forecasts"
+    val Observations = "observations"
+  }
+
+  def toUtcDate(ts: Timestamp): LocalDate =
+    Instant.ofEpochMilli(ts.getTime).atZone(ZoneOffset.UTC).toLocalDate
+}

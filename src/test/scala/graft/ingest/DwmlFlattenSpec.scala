@@ -1,0 +1,113 @@
+package graft.ingest
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** DWML flatten semantics (download_forecast.rs:315-589): exact 3-h grid,
+  * interval-index assignment by last-start-≤-begin, per-metric forward
+  * fill, unparseable values carried.
+  */
+class DwmlFlattenSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private val now = Timestamp.from(Instant.parse("2024-08-12T00:00:00Z"))
+  private def ts(s: String) = Timestamp.from(Instant.parse(s))
+
+  private val loc = DwmlLocation("point1", "44.56", "-95.12", Some("KXYZ"))
+
+  /** One 24-h max-temp layout over two days + a 3-h wind layout. */
+  private def doc = DwmlDoc(
+    generatedAt = now,
+    locations = Seq(loc),
+    layouts = Seq(
+      DwmlLayoutEntry("k-p24h-n2-1", 0, ts("2024-08-12T00:00:00Z")),
+      DwmlLayoutEntry("k-p24h-n2-1", 1, ts("2024-08-13T00:00:00Z")),
+      DwmlLayoutEntry("k-p3h-n4-2", 0, ts("2024-08-12T00:00:00Z")),
+      DwmlLayoutEntry("k-p3h-n4-2", 1, ts("2024-08-12T03:00:00Z")),
+      DwmlLayoutEntry("k-p3h-n4-2", 2, ts("2024-08-12T06:00:00Z")),
+      DwmlLayoutEntry("k-p3h-n4-2", 3, ts("2024-08-12T09:00:00Z"))),
+    readings = Seq(
+      DwmlReading("point1", "max_temp", "fahrenheit", "k-p24h-n2-1", Seq("91", "88")),
+      // index 2 is unparseable -> forward-filled from index 1
+      DwmlReading("point1", "wind_speed", "knots", "k-p3h-n4-2", Seq("7", "12", "", "9"))))
+
+  private lazy val rows = DwmlFlatten.flatten(spark, doc, now)
+    .collect().sortBy(_.begin_time.getTime)
+
+  test("grid is exactly 3-h spaced over [now, now + 1 week] inclusive") {
+    assert(rows.length == 57) // 56 slots + the inclusive endpoint
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.begin_time.getTime - a.begin_time.getTime == 3L * 3600 * 1000)
+    }
+    assert(rows.head.begin_time == now)
+    rows.foreach(r => assert(r.end_time.getTime - r.begin_time.getTime == 3L * 3600 * 1000))
+    assert(rows.forall(_.station_id == "KXYZ"))
+  }
+
+  test("24-h layout value repeats across all its slots, then carries forward") {
+    val day1 = rows.filter(r => r.begin_time.getTime < ts("2024-08-13T00:00:00Z").getTime)
+    assert(day1.forall(_.max_temp.contains(91L)))
+    val day2 = rows.filter(r => r.begin_time.getTime >= ts("2024-08-13T00:00:00Z").getTime &&
+      r.begin_time.getTime < ts("2024-08-14T00:00:00Z").getTime)
+    assert(day2.forall(_.max_temp.contains(88L)))
+    // beyond the last range: carried forward (the reference's prev accumulator)
+    val tail = rows.filter(r => r.begin_time.getTime >= ts("2024-08-14T00:00:00Z").getTime)
+    assert(tail.forall(_.max_temp.contains(88L)))
+  }
+
+  test("unparseable value is carried from the previous slot") {
+    def windAt(s: String) = rows.find(_.begin_time == ts(s)).get.wind_speed
+    assert(windAt("2024-08-12T00:00:00Z").contains(7L))
+    assert(windAt("2024-08-12T03:00:00Z").contains(12L))
+    assert(windAt("2024-08-12T06:00:00Z").contains(12L)) // "" -> carried
+    assert(windAt("2024-08-12T09:00:00Z").contains(9L))
+    assert(windAt("2024-08-12T12:00:00Z").contains(9L)) // past layout -> carried
+  }
+
+  test("metrics never read are null throughout") {
+    assert(rows.forall(_.min_temp.isEmpty))
+    assert(rows.forall(_.liquid_precipitation_amt.isEmpty))
+    // unit codes still present (defaults)
+    assert(rows.forall(_.temperature_unit_code == "fahrenheit"))
+    assert(rows.forall(_.wind_speed_unit_code == "knots"))
+  }
+
+  test("locations without station ids are dropped") {
+    val doc2 = doc.copy(locations = Seq(loc, DwmlLocation("point2", "1.00", "2.00", None)))
+    val ids = DwmlFlatten.flatten(spark, doc2, now).collect().map(_.station_id).distinct
+    assert(ids.toSeq == Seq("KXYZ"))
+  }
+
+  test("XML end-to-end: parse + flatten") {
+    val xml =
+      s"""<dwml><head><product><creation-date>2024-08-12T00:00:00Z</creation-date></product></head>
+         |<data>
+         |<location><location-key>point1</location-key>
+         |  <point latitude="44.56" longitude="-95.12"/>
+         |  <station-id>KXYZ</station-id></location>
+         |<time-layout time-coordinate="local">
+         |  <layout-key>k-p24h-n1-1</layout-key>
+         |  <start-valid-time>2024-08-12T00:00:00-00:00</start-valid-time>
+         |  <end-valid-time>2024-08-13T00:00:00-00:00</end-valid-time>
+         |</time-layout>
+         |<parameters applicable-location="point1">
+         |  <temperature type="maximum" units="Fahrenheit" time-layout="k-p24h-n1-1">
+         |    <value>77</value>
+         |  </temperature>
+         |</parameters>
+         |</data></dwml>""".stripMargin
+    val parsed = Dwml.parse(xml, now)
+    assert(parsed.generatedAt == now)
+    assert(parsed.locations == Seq(loc))
+    assert(parsed.layouts == Seq(DwmlLayoutEntry("k-p24h-n1-1", 0, ts("2024-08-12T00:00:00Z"))))
+    assert(parsed.readings.head.values == Seq("77"))
+    val out = DwmlFlatten.flatten(spark, parsed, now).collect()
+    assert(out.forall(_.max_temp.contains(77L)))
+    assert(out.forall(_.temperature_unit_code == "fahrenheit"))
+  }
+}

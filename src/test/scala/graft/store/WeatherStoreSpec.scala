@@ -1,0 +1,77 @@
+package graft.store
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.store.WeatherStore.Kinds
+
+class WeatherStoreSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.from(Instant.parse(s))
+
+  private def newStore() = {
+    val dir = Files.createTempDirectory("graft-store").toString
+    (new WeatherStore(spark, dir), dir)
+  }
+
+  test("read of an empty store is None (early-exit guard)") {
+    val (store, _) = newStore()
+    assert(store.read(Kinds.Forecasts, ts("2024-08-12T00:00:00Z"), ts("2024-08-13T00:00:00Z")).isEmpty)
+  }
+
+  test("date pruning keeps in-range snapshots, forecasts pad start −1 day") {
+    val (store, _) = newStore()
+    def snap(day: String, v: Long) =
+      Seq(("KXYZ", v)).toDF("station_id", "value")
+        .withColumn("begin_time", org.apache.spark.sql.functions.lit(ts(s"${day}T06:00:00Z")))
+    store.write(snap("2024-08-10", 1), Kinds.Forecasts, ts("2024-08-10T01:00:00Z"))
+    store.write(snap("2024-08-11", 2), Kinds.Forecasts, ts("2024-08-11T01:00:00Z"))
+    store.write(snap("2024-08-12", 3), Kinds.Forecasts, ts("2024-08-12T01:00:00Z"))
+    store.write(snap("2024-08-12", 4), Kinds.Observations, ts("2024-08-12T02:00:00Z"))
+
+    // start=08-12: forecast pad pulls in the 08-11 snapshot but not 08-10
+    val f = store.read(Kinds.Forecasts, ts("2024-08-12T00:00:00Z"), ts("2024-08-12T23:00:00Z")).get
+    assert(f.select("value").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+
+    // observations: no pad
+    val o = store.read(Kinds.Observations, ts("2024-08-12T00:00:00Z"), ts("2024-08-12T23:00:00Z")).get
+    assert(o.select("value").collect().map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
+  test("partition pruning shows in the physical plan") {
+    val (store, _) = newStore()
+    store.write(Seq(("A", 1L)).toDF("station_id", "value"), Kinds.Forecasts, ts("2024-08-10T01:00:00Z"))
+    store.write(Seq(("B", 2L)).toDF("station_id", "value"), Kinds.Forecasts, ts("2024-08-12T01:00:00Z"))
+    val df = store.read(Kinds.Forecasts, ts("2024-08-12T00:00:00Z"), ts("2024-08-12T23:00:00Z")).get
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    // only one date partition survives pruning
+    assert(df.select("value").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("schema drift across snapshots is union-merged (union_by_name analog)") {
+    val (store, _) = newStore()
+    store.write(Seq(("A", 1L)).toDF("station_id", "value"), Kinds.Observations, ts("2024-08-12T01:00:00Z"))
+    store.write(Seq(("B", 2L, 9.9)).toDF("station_id", "value", "extra"), Kinds.Observations, ts("2024-08-12T02:00:00Z"))
+    val df = store.read(Kinds.Observations, ts("2024-08-12T00:00:00Z"), ts("2024-08-12T23:00:00Z")).get
+    assert(df.columns.contains("extra"))
+    val rows = df.select("station_id", "extra").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(rows("A").isEmpty && rows("B").contains(9.9))
+  }
+
+  test("snapshot_ts upper bound excludes snapshots written after `end`") {
+    val (store, _) = newStore()
+    store.write(Seq(("A", 1L)).toDF("station_id", "value"), Kinds.Observations, ts("2024-08-12T01:00:00Z"))
+    store.write(Seq(("B", 2L)).toDF("station_id", "value"), Kinds.Observations, ts("2024-08-12T22:00:00Z"))
+    val df = store.read(Kinds.Observations, ts("2024-08-12T00:00:00Z"), ts("2024-08-12T12:00:00Z")).get
+    assert(df.select("value").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+}
