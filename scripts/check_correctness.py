@@ -7,7 +7,7 @@ columns by name, and compare row counts, schemas, and values.
 
 Usage: python3 scripts/check_correctness.py [sfdir] [outdir]
 """
-import json, math, sys
+import json, math, os, sys, time
 import duckdb
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -21,6 +21,14 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+# Guard against comparing stale outputs from an earlier run: oracle_sql.json
+# is written last by Verify, so every result dir must be at least as new.
+_mtime = os.path.getmtime(f"{outdir}/oracle_sql.json")
+for _name in oracle:
+    d = f"{outdir}/{_name}"
+    if not os.path.isdir(d) or os.path.getmtime(d) < _mtime - 3600:
+        print(f"WARN {_name}: result dir missing or stale — rerun graft.Verify")
 
 def norm(v):
     if isinstance(v, float):

@@ -115,6 +115,25 @@ object WeatherDemo {
     val bytes = Scoring.winningBytes(w.map(_.getAs[Long]("outcome_index")).toSeq)
     events.updateAttestation(eventId, bytes)
     println("active events after signing: " + events.activeEvents().count())
+
+    // 5. streaming: snapshot landing dir → dedup ingest (AvailableNow)
+    val landing = s"$root/landing"; val streamed = s"$root/streamed"
+    forecasts.toDF().coalesce(1).write.parquet(s"$landing/snap1")
+    forecasts.toDF().coalesce(1).write.parquet(s"$landing/snap2") // duplicate snapshot
+    val q = graft.streaming.SnapshotStream.dedupedIngest(
+      spark, s"$landing/*", forecasts.toDF().schema,
+      Seq("station_id", "begin_time"), "begin_time", "1 day",
+      streamed, s"$root/ckpt")
+    q.awaitTermination()
+    val streamedCount = spark.read.parquet(streamed).count()
+    println(s"streamed dedup: ${forecasts.count() * 2} raw -> $streamedCount unique")
+
+    // 6. multimodal: binary payload column + stubbed partition-local decode
+    val media = graft.llm.Multimodal.mediaFromDocuments(spark,
+      Seq((1L, "payload one"), (2L, "payload two")).toDF("doc_id", "text"))
+    val feats = graft.llm.Multimodal.extractFeatures(media).collect()
+    println("media features: " + feats.map(f => s"${f.doc_id}:${f.media_type}:${f.n_bytes}B").mkString(", "))
+
     println("DEMO OK")
     spark.stop()
   }

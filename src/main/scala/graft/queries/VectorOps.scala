@@ -27,8 +27,14 @@ object VectorOps {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Fused single-pass cosine (graft.functions.CosineSimilarity, codegen).
+    * Bit-identical to `dot(a,b)/(√dot(a,a)·√dot(b,b))` — proven by
+    * CosineSimilaritySpec — so the DuckDB oracle SQL stays the fold form. */
+  private def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** DuckDB mirror of [[dot]] (list_sum is a sequential fold too). */
   private def duckDot(a: String, b: String): String =

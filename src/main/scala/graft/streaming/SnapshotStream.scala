@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming ingestion (SURVEY §2.8): the reference is
+  * micro-batch by construction — an hourly tick loop produces immutable
+  * snapshot parquet files (crates/daemon/src/main.rs:39-50), re-ingested
+  * idempotently with duplicates collapsed downstream (oracle.rs:314-389,
+  * weather_data.rs level-1 GROUP BY).
+  *
+  * Spark mapping: a parquet file-source stream over the landing
+  * directory, exactly-once via checkpointing, duplicates dropped in-flight
+  * with `dropDuplicates` state keyed on (station_id, event time) bounded
+  * by a watermark, `Trigger.AvailableNow` for the scheduled-batch cadence.
+  *
+  * Scale notes: file-source streams list incrementally (maxFilesPerTrigger
+  * bounds a micro-batch); dedup state is per-key in the state store and
+  * evicted past the watermark, so state size is bounded by (stations ×
+  * watermark horizon), not history length.
+  */
+object SnapshotStream {
+
+  /** Deduplicating snapshot ingest: landing dir → partitioned store dir.
+    * Returns the started query (AvailableNow: drains what exists, stops). */
+  def dedupedIngest(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      keys: Seq[String],
+      eventTimeCol: String,
+      watermark: String,
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 100): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicates(keys)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Tumbling 1-day windowed rollup — the streaming twin of the A1 daily
+    * aggregation (`DATE_TRUNC('day', ...)` ≡ `window(ts, "1 day")`).
+    * Works on both batch and streaming DataFrames. */
+  def dailyRollup(df: DataFrame, eventTimeCol: String): DataFrame =
+    df.groupBy(col("station_id"), window(col(eventTimeCol), "1 day").as("day"))
+      .agg(
+        min("min_temp").as("temp_low"),
+        max("max_temp").as("temp_high"),
+        max("wind_speed").as("wind_speed"))
+      .select(col("station_id"), col("day.start").as("day_start"),
+        col("temp_low"), col("temp_high"), col("wind_speed"))
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SnapshotStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.from(Instant.parse(s))
+
+  test("file-source micro-batch ingest dedups across snapshot files and restarts") {
+    val base = Files.createTempDirectory("graft-stream").toString
+    val landing = s"$base/landing"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+
+    def row(st: String, t: String, v: Long) = (st, ts(t), v)
+    val schema = Seq(row("A", "2024-08-12T00:00:00Z", 1L))
+      .toDF("station_id", "begin_time", "wind_speed").schema
+
+    // snapshot 1 + snapshot 2 overlap on (A, 00:00)
+    Seq(row("A", "2024-08-12T00:00:00Z", 5L), row("A", "2024-08-12T03:00:00Z", 6L))
+      .toDF("station_id", "begin_time", "wind_speed")
+      .coalesce(1).write.parquet(s"$landing/snap1")
+    Seq(row("A", "2024-08-12T00:00:00Z", 5L), row("B", "2024-08-12T00:00:00Z", 7L))
+      .toDF("station_id", "begin_time", "wind_speed")
+      .coalesce(1).write.parquet(s"$landing/snap2")
+
+    val q1 = SnapshotStream.dedupedIngest(spark, s"$landing/*", schema,
+      Seq("station_id", "begin_time"), "begin_time", "1 day", out, ckpt)
+    q1.awaitTermination()
+
+    val got1 = spark.read.parquet(out)
+      .select("station_id", "begin_time", "wind_speed").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(got1 == Set(
+      ("A", ts("2024-08-12T00:00:00Z"), 5L),
+      ("A", ts("2024-08-12T03:00:00Z"), 6L),
+      ("B", ts("2024-08-12T00:00:00Z"), 7L)))
+
+    // snapshot 3 arrives later: one already-seen key, one new — restart
+    // drains only the new file, state dedups across runs via checkpoint
+    Seq(row("A", "2024-08-12T03:00:00Z", 6L), row("C", "2024-08-12T06:00:00Z", 8L))
+      .toDF("station_id", "begin_time", "wind_speed")
+      .coalesce(1).write.parquet(s"$landing/snap3")
+
+    val q2 = SnapshotStream.dedupedIngest(spark, s"$landing/*", schema,
+      Seq("station_id", "begin_time"), "begin_time", "1 day", out, ckpt)
+    q2.awaitTermination()
+
+    val got2 = spark.read.parquet(out).count()
+    assert(got2 == 4) // only C was new
+  }
+
+  test("dailyRollup matches the batch A1 shape on the same data") {
+    val df = Seq(
+      ("A", ts("2024-08-12T00:00:00Z"), Some(10L), Some(30L), Some(5L)),
+      ("A", ts("2024-08-12T21:00:00Z"), Some(12L), Some(28L), Some(9L)),
+      ("A", ts("2024-08-13T00:00:00Z"), Some(8L), Some(25L), Some(4L))
+    ).toDF("station_id", "begin_time", "min_temp", "max_temp", "wind_speed")
+    val out = SnapshotStream.dailyRollup(df, "begin_time")
+      .orderBy("day_start").collect()
+    assert(out.length == 2)
+    assert(out.head.getAs[Long]("temp_low") == 10L)
+    assert(out.head.getAs[Long]("temp_high") == 30L)
+    assert(out.head.getAs[Long]("wind_speed") == 9L)
+  }
+}
