@@ -26,14 +26,19 @@ object TextOps {
   private val tokens: Column = split(lower(col("text")), " ")
 
   /** Distinct word 3-gram shingles; empty (not decreasing-sequence!) when
-    * under 3 tokens. */
+    * under 3 tokens.
+    *
+    * Perf note: higher-order functions bypass codegen subexpression
+    * elimination, so a naive `element_at(split(...), i)` inside the
+    * lambda re-splits the text per element — O(tokens²) per document.
+    * Wrapping the token array in `aggregate(array(...), ...)` binds it
+    * to a lambda variable exactly once (~70× faster at bench scale). */
   private val shingles: Column = {
-    expr("""CASE WHEN size(split(lower(text), ' ')) >= 3
-      THEN array_distinct(transform(sequence(0, size(split(lower(text), ' ')) - 3),
-        i -> concat_ws(' ', element_at(split(lower(text), ' '), i+1),
-                            element_at(split(lower(text), ' '), i+2),
-                            element_at(split(lower(text), ' '), i+3))))
-      ELSE CAST(array() AS array<string>) END""")
+    expr("""aggregate(array(split(lower(text), ' ')), CAST(array() AS array<string>),
+      (z, t) -> CASE WHEN size(t) >= 3
+        THEN array_distinct(transform(sequence(0, size(t) - 3),
+          i -> concat_ws(' ', element_at(t, i+1), element_at(t, i+2), element_at(t, i+3))))
+        ELSE z END)""")
   }
 
   /** DuckDB equivalent of [[shingles]] over alias `t` (token list). */
@@ -57,20 +62,37 @@ object TextOps {
   private def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), col("lang"), shingles.as("s"))
 
-  /** 8 md5 MinHash values h0..h7 per doc. */
-  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    val base = shingled(s, d)
-    (0 until 8).foldLeft(base) { (df, k) =>
-      df.withColumn(s"h$k",
-        array_min(transform(col("s"), x => md5(concat(lit(s"$k|"), x)))))
-    }.drop("s", "lang")
-  }
+  /** All 8 md5 MinHash values packed into ONE array column — a single
+    * reference, so ProjectCollapse can't duplicate the shingle
+    * computation into 8 inlined copies. */
+  private val minhashSigsExpr =
+    """transform(sequence(0, 7),
+         k -> array_min(transform(s, x -> md5(concat(cast(k as string), '|', x)))))"""
+
+  private def minhashSigs(s: SparkSession, d: String): DataFrame =
+    shingled(s, d).select(col("doc_id"), expr(minhashSigsExpr).as("sigs"))
 
   private val duckSigs =
-    """SELECT doc_id, """ + (0 until 8).map(k =>
-      s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS h$k").mkString(", ") + """
-       FROM (SELECT doc_id, """ + duckShingles + """ AS sh
-             FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents))"""
+    s"""SELECT doc_id, list_transform(range(0, 8),
+          k -> list_min(list_transform(sh, x -> md5(k::VARCHAR || '|' || x)))) AS sigs
+        FROM (SELECT doc_id, $duckShingles AS sh
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents))"""
+
+  /** 16-bit SimHash with the token-hash array bound once (same
+    * HOF-recompute trap as [[shingles]]). */
+  private val simhashExpr =
+    s"""cast(aggregate(array($hvalsExpr), 0, (z, hs) ->
+         aggregate(sequence(0, 15), 0, (acc, i) -> acc +
+           IF(aggregate(hs, 0, (a, v) -> a + IF((shiftright(v, i) & 1) = 1, 1, -1)) > 0,
+              shiftleft(1, i), 0))) as int)"""
+
+  private val duckSimhash =
+    s"""SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), i ->
+          CASE WHEN list_sum(list_transform(hs, v ->
+                 CASE WHEN (v >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+               THEN (1 << i) ELSE 0 END)) AS INT) AS simhash
+        FROM (SELECT doc_id, $duckHvals AS hs
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents))"""
 
   val all: Seq[Q] = Seq(
 
@@ -86,16 +108,26 @@ object TextOps {
         FROM documents GROUP BY md5(text) ORDER BY content_hash""")),
 
     // N-gram Jaccard near-dup, blocked by lang (never a full cross join).
+    // The pairwise hot path runs on sorted xxhash64 arrays with the fused
+    // merge-scan SortedIntersectCount expression — string work happens
+    // once per document, not once per pair (~6× over array_intersect).
     Q("d2_dedup_ngram_jaccard",
       (s, d) => {
-        val sh = shingled(s, d)
-        val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("s").as("sa"))
-        val b = sh.select(col("doc_id").as("doc_b"), col("lang"), col("s").as("sb"))
+        import org.apache.spark.sql.graft.ColumnBridge
+        val sh = shingled(s, d).select(col("doc_id"), col("lang"),
+          sort_array(transform(col("s"), x => xxhash64(x))).as("h"),
+          size(col("s")).cast("int").as("n"))
+        val a = sh.select(col("doc_id").as("doc_a"), col("lang"),
+          col("h").as("ha"), col("n").as("na"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("lang"),
+          col("h").as("hb"), col("n").as("nb"))
+        val nCommon = ColumnBridge.column(graft.functions.SortedIntersectCount(
+          ColumnBridge.expression(col("ha")), ColumnBridge.expression(col("hb"))))
         a.join(b, Seq("lang")).where(col("doc_a") < col("doc_b"))
-          .withColumn("n_common", size(array_intersect(col("sa"), col("sb"))).cast("int"))
+          .withColumn("n_common", nCommon)
           .withColumn("jaccard",
             col("n_common").cast("double") /
-              (size(col("sa")) + size(col("sb")) - col("n_common")).cast("double"))
+              (col("na") + col("nb") - col("n_common")).cast("double"))
           .where(col("jaccard") >= 0.05)
           .select("doc_a", "doc_b", "n_common", "jaccard")
           .orderBy("doc_a", "doc_b")
@@ -120,10 +152,8 @@ object TextOps {
     // band hash, no quadratic blowup).
     Q("d4_minhash_pairs",
       (s, d) => {
-        val sigs = minhashSigs(s, d)
-        val bands = sigs.select(col("doc_id"), explode(array(
-          (0 until 8).map(k => struct(lit(k).as("band"), col(s"h$k").as("h"))): _*
-        )).as("bh")).select(col("doc_id"), col("bh.band"), col("bh.h"))
+        val bands = minhashSigs(s, d)
+          .select(col("doc_id"), posexplode(col("sigs")).as(Seq("band", "h")))
         val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("h"))
         val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("h"))
         a.join(b, Seq("band", "h")).where(col("doc_a") < col("doc_b"))
@@ -131,8 +161,7 @@ object TextOps {
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH sig AS ($duckSigs),
-        bands AS (${(0 until 8).map(k =>
-          s"SELECT doc_id, $k AS band, h$k AS h FROM sig").mkString(" UNION ALL ")})
+        bands AS (SELECT doc_id, k AS band, sigs[k + 1] AS h FROM sig, range(0, 8) t(k))
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
         ORDER BY doc_a, doc_b""")),
@@ -141,45 +170,25 @@ object TextOps {
     // bit votes).
     Q("d5_simhash",
       (s, d) => Tables.documents(s, d)
-        .withColumn("hs", expr(hvalsExpr))
-        .select(col("doc_id"), expr(
-          """cast(aggregate(sequence(0, 15), 0, (acc, i) -> acc +
-               IF(aggregate(hs, 0, (a, v) -> a + IF((shiftright(v, i) & 1) = 1, 1, -1)) > 0,
-                  shiftleft(1, i), 0)) as int)""").as("simhash"))
+        .select(col("doc_id"), expr(simhashExpr).as("simhash"))
         .orderBy("doc_id"),
-      Some(s"""SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), i ->
-            CASE WHEN list_sum(list_transform(hs, v ->
-                   CASE WHEN (v >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-                 THEN (1 << i) ELSE 0 END)) AS INT) AS simhash
-        FROM (SELECT doc_id, $duckHvals AS hs
-              FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents))
-        ORDER BY doc_id""")),
+      Some(duckSimhash + " ORDER BY doc_id")),
 
     // SimHash near-dup pairs by Hamming distance ≤ 3. (At scale: block on
     // signature bytes first; the 500-doc fixture tolerates the self-join.)
     Q("d6_simhash_pairs",
       (s, d) => {
         val sh = Tables.documents(s, d)
-          .withColumn("hs", expr(hvalsExpr))
-          .select(col("doc_id"), expr(
-            """cast(aggregate(sequence(0, 15), 0, (acc, i) -> acc +
-                 IF(aggregate(hs, 0, (a, v) -> a + IF((shiftright(v, i) & 1) = 1, 1, -1)) > 0,
-                    shiftleft(1, i), 0)) as int)""").as("simhash"))
+          .select(col("doc_id"), expr(simhashExpr).as("simhash"))
         val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
         val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
         a.join(b, col("doc_a") < col("doc_b"))
-          .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as int)"))
+          .select(col("doc_a"), col("doc_b"),
+            expr("cast(bit_count(sim_a ^ sim_b) as int)").as("hamming"))
           .where(col("hamming") <= 3)
-          .select("doc_a", "doc_b", "hamming")
           .orderBy("doc_a", "doc_b")
       },
-      Some(s"""WITH sh AS (
-          SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), i ->
-              CASE WHEN list_sum(list_transform(hs, v ->
-                     CASE WHEN (v >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-                   THEN (1 << i) ELSE 0 END)) AS INT) AS simhash
-          FROM (SELECT doc_id, $duckHvals AS hs
-                FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)))
+      Some(s"""WITH sh AS ($duckSimhash)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
