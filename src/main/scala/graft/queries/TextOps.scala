@@ -64,13 +64,15 @@ object TextOps {
 
   /** All 8 md5 MinHash values packed into ONE array column — a single
     * reference, so ProjectCollapse can't duplicate the shingle
-    * computation into 8 inlined copies. */
-  private val minhashSigsExpr =
-    """transform(sequence(0, 7),
-         k -> array_min(transform(s, x -> md5(concat(cast(k as string), '|', x)))))"""
-
-  private def minhashSigs(s: SparkSession, d: String): DataFrame =
-    shingled(s, d).select(col("doc_id"), expr(minhashSigsExpr).as("sigs"))
+    * computation into 8 inlined copies. Computed by the hand-tuned
+    * [[graft.functions.MinHashSigs]] kernel (same md5 semantics as the
+    * oracle SQL, ~6× faster than the expression-tree form). */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    shingled(s, d).select(col("doc_id"),
+      ColumnBridge.column(graft.functions.MinHashSigs(
+        ColumnBridge.expression(col("s")))).as("sigs"))
+  }
 
   private val duckSigs =
     s"""SELECT doc_id, list_transform(range(0, 8),
@@ -78,13 +80,13 @@ object TextOps {
         FROM (SELECT doc_id, $duckShingles AS sh
               FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents))"""
 
-  /** 16-bit SimHash with the token-hash array bound once (same
-    * HOF-recompute trap as [[shingles]]). */
-  private val simhashExpr =
-    s"""cast(aggregate(array($hvalsExpr), 0, (z, hs) ->
-         aggregate(sequence(0, 15), 0, (acc, i) -> acc +
-           IF(aggregate(hs, 0, (a, v) -> a + IF((shiftright(v, i) & 1) = 1, 1, -1)) > 0,
-              shiftleft(1, i), 0))) as int)"""
+  /** 16-bit SimHash via the hand-tuned [[graft.functions.SimHash16]]
+    * kernel (same md5 semantics as the oracle SQL). */
+  private def simhashCol: Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.SimHash16(
+      ColumnBridge.expression(split(lower(col("text")), " "))))
+  }
 
   private val duckSimhash =
     s"""SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), i ->
@@ -170,7 +172,7 @@ object TextOps {
     // bit votes).
     Q("d5_simhash",
       (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+        .select(col("doc_id"), simhashCol.as("simhash"))
         .orderBy("doc_id"),
       Some(duckSimhash + " ORDER BY doc_id")),
 
@@ -179,7 +181,7 @@ object TextOps {
     Q("d6_simhash_pairs",
       (s, d) => {
         val sh = Tables.documents(s, d)
-          .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+          .select(col("doc_id"), simhashCol.as("simhash"))
         val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
         val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
         a.join(b, col("doc_a") < col("doc_b"))
