@@ -116,16 +116,24 @@ object TextOps {
     Q("d2_dedup_ngram_jaccard",
       (s, d) => {
         import org.apache.spark.sql.graft.ColumnBridge
+        // cache: the prepped per-doc arrays feed BOTH join sides, and
+        // Catalyst otherwise inlines the shingle pipeline into every
+        // consumer (null-check filter, hash col, size col) — measured 4×
+        // recompute per side without it.
         val sh = shingled(s, d).select(col("doc_id"), col("lang"),
           sort_array(transform(col("s"), x => xxhash64(x))).as("h"),
-          size(col("s")).cast("int").as("n"))
+          size(col("s")).cast("int").as("n")).cache()
         val a = sh.select(col("doc_id").as("doc_a"), col("lang"),
           col("h").as("ha"), col("n").as("na"))
         val b = sh.select(col("doc_id").as("doc_b"), col("lang"),
           col("h").as("hb"), col("n").as("nb"))
         val nCommon = ColumnBridge.column(graft.functions.SortedIntersectCount(
           ColumnBridge.expression(col("ha")), ColumnBridge.expression(col("hb"))))
-        a.join(b, Seq("lang")).where(col("doc_a") < col("doc_b"))
+        // broadcast: the blocking key (lang) has only ~5 values, so a
+        // shuffle join would cap parallelism at 5 skewed tasks; with a
+        // broadcast build side the 32-partition stream side drives the
+        // pair enumeration instead.
+        a.join(broadcast(b), Seq("lang")).where(col("doc_a") < col("doc_b"))
           .withColumn("n_common", nCommon)
           .withColumn("jaccard",
             col("n_common").cast("double") /
@@ -156,6 +164,7 @@ object TextOps {
       (s, d) => {
         val bands = minhashSigs(s, d)
           .select(col("doc_id"), posexplode(col("sigs")).as(Seq("band", "h")))
+          .cache() // feeds both sides of the bucket self-join
         val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("h"))
         val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("h"))
         a.join(b, Seq("band", "h")).where(col("doc_a") < col("doc_b"))
@@ -181,7 +190,7 @@ object TextOps {
     Q("d6_simhash_pairs",
       (s, d) => {
         val sh = Tables.documents(s, d)
-          .select(col("doc_id"), simhashCol.as("simhash"))
+          .select(col("doc_id"), simhashCol.as("simhash")).cache()
         val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
         val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
         a.join(b, col("doc_a") < col("doc_b"))
