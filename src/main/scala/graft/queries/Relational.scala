@@ -405,6 +405,19 @@ object Relational {
                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
                      THEN 1 ELSE 0 END AS new_session
               FROM events)
-        GROUP BY user_id ORDER BY user_id"""))
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // §3.3 — the ad-hoc SQL surface: user-typed SQL over registered temp
+    // views, run through the parser-backed SELECT-only guard
+    // (ui/main.js:112-141; the reference's guard was a TODO).
+    Q("q21_adhoc_sql",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        graft.sql.AdHoc.run(s,
+          """SELECT event_id, user_id, ts, event_type FROM events
+            |ORDER BY user_id, ts DESC, event_id LIMIT 200""".stripMargin)
+      },
+      Some("""SELECT event_id, user_id, ts, event_type FROM events
+        ORDER BY user_id, ts DESC, event_id LIMIT 200"""))
   )
 }

@@ -220,6 +220,111 @@ object WeatherGate {
           FROM scores)
         SELECT CAST(rnk AS INT) AS rank, entry_id, score, outcome_index FROM (
           SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, entry_id) AS rnk FROM indexed)
-        WHERE rnk <= 3 ORDER BY rank"""))
+        WHERE rnk <= 3 ORDER BY rank""")),
+
+    // S4 — station index XML decode with the US/state allow-list filter
+    // (coordinates.rs:133-161): CYYZ dropped (country), XNOST dropped
+    // (no state), XBAD dropped (state not in the 51-code list).
+    Q("w6_stations_decode",
+      (s, d) => {
+        import s.implicits._
+        val xml =
+          """<response><data>
+            |<Station><station_id>KMSP</station_id><latitude>44.88</latitude>
+            |  <longitude>-93.22</longitude><elevation_m>256.0</elevation_m>
+            |  <site>Minneapolis</site><country>US</country><state>MN</state></Station>
+            |<Station><station_id>PANC</station_id><latitude>61.17</latitude>
+            |  <longitude>-149.99</longitude><elevation_m>40.0</elevation_m>
+            |  <site>Anchorage</site><country>US</country><state>AK</state></Station>
+            |<Station><station_id>CYYZ</station_id><latitude>43.68</latitude>
+            |  <longitude>-79.63</longitude><site>Toronto</site>
+            |  <country>CA</country><state>ON</state></Station>
+            |<Station><station_id>XNOST</station_id><latitude>1.0</latitude>
+            |  <longitude>1.0</longitude><site>NoState</site><country>US</country></Station>
+            |<Station><station_id>XBAD</station_id><latitude>2.0</latitude>
+            |  <longitude>2.0</longitude><site>BadState</site>
+            |  <country>US</country><state>ZZ</state></Station>
+            |</data></response>""".stripMargin
+        graft.ingest.XmlSources.parseStations(xml)
+          .map(st => (st.station_id, st.station_name, st.latitude, st.longitude,
+            st.elevation_m.getOrElse(-1.0), st.state.getOrElse("")))
+          .toDF("station_id", "station_name", "latitude", "longitude", "elevation_m", "state")
+          .orderBy("station_id")
+      },
+      Some("""SELECT * FROM (VALUES
+          ('KMSP', 'Minneapolis', CAST(44.88 AS DOUBLE), CAST(-93.22 AS DOUBLE), CAST(256.0 AS DOUBLE), 'MN'),
+          ('PANC', 'Anchorage', CAST(61.17 AS DOUBLE), CAST(-149.99 AS DOUBLE), CAST(40.0 AS DOUBLE), 'AK')
+        ) t(station_id, station_name, latitude, longitude, elevation_m, state)
+        ORDER BY station_id""")),
+
+    // S5/P4 — METAR decode with the drop-if-missing-key-fields rule
+    // (download_observations.rs:242-250).
+    Q("w7_metar_decode",
+      (s, d) => {
+        import s.implicits._
+        val xml =
+          """<response><data>
+            |<METAR><station_id>KMSP</station_id>
+            |  <observation_time>2024-08-12T10:00:00Z</observation_time>
+            |  <latitude>44.88</latitude><longitude>-93.22</longitude>
+            |  <temp_c>21.5</temp_c><dewpoint_c>12.0</dewpoint_c>
+            |  <wind_dir_degrees>180</wind_dir_degrees><wind_speed_kt>8</wind_speed_kt></METAR>
+            |<METAR><station_id>KNOTMP</station_id>
+            |  <observation_time>2024-08-12T10:00:00Z</observation_time>
+            |  <latitude>40.0</latitude><longitude>-90.0</longitude></METAR>
+            |<METAR><station_id>KPART</station_id>
+            |  <observation_time>2024-08-12T11:00:00Z</observation_time>
+            |  <latitude>45.00</latitude><longitude>-92.50</longitude>
+            |  <temp_c>18.0</temp_c></METAR>
+            |</data></response>""".stripMargin
+        graft.ingest.XmlSources.parseMetars(xml)
+          .map(o => (o.station_id, o.generated_at, o.temperature_value.get,
+            o.temperature_unit_code, o.wind_speed.getOrElse(-1L),
+            o.dewpoint_value.getOrElse(-1.0)))
+          .toDF("station_id", "generated_at", "temp_c", "temp_unit", "wind_kt", "dewpoint_c")
+          .orderBy("station_id")
+      },
+      Some("""SELECT * FROM (VALUES
+          ('KMSP', TIMESTAMP '2024-08-12 10:00:00', CAST(21.5 AS DOUBLE), 'celcius', CAST(8 AS BIGINT), CAST(12.0 AS DOUBLE)),
+          ('KPART', TIMESTAMP '2024-08-12 11:00:00', CAST(18.0 AS DOUBLE), 'celcius', CAST(-1 AS BIGINT), CAST(-1.0 AS DOUBLE))
+        ) t(station_id, generated_at, temp_c, temp_unit, wind_kt, dewpoint_c)
+        ORDER BY station_id""")),
+
+    // J8/F7 — the 2-dp coordinate equi-match joining DWML locations to
+    // the station index (download_forecast.rs:831-863).
+    Q("w8_coord_match",
+      (s, d) => {
+        import s.implicits._
+        val forecasts = Seq(
+          ("", "", "44.56", "-95.12"), ("", "", "61.17", "-149.99"), ("", "", "9.99", "9.99")
+        ).toDF("station_id", "station_name", "latitude", "longitude")
+        val stations = Seq(
+          ("KXYZ", "Xyzville", 44.56, -95.12), ("PANC", "Anchorage", 61.17, -149.99)
+        ).toDF("station_id", "station_name", "latitude", "longitude")
+        graft.ingest.DwmlFlatten.matchStations(forecasts, stations)
+          .select(col("latitude"), col("longitude"),
+            coalesce(nullif(col("station_id"), lit("")), lit("<none>")).as("station_id"),
+            coalesce(nullif(col("station_name"), lit("")), lit("<none>")).as("station_name"))
+          .orderBy("latitude")
+      },
+      Some("""SELECT * FROM (VALUES
+          ('44.56', '-95.12', 'KXYZ', 'Xyzville'),
+          ('61.17', '-149.99', 'PANC', 'Anchorage'),
+          ('9.99', '9.99', '<none>', '<none>')
+        ) t(latitude, longitude, station_id, station_name)
+        ORDER BY latitude""")),
+
+    // §2.8 — the streaming daily rollup (tumbling 1-day window), run in
+    // batch mode over the same slot fixture as w2: window(ts, '1 day')
+    // ≡ DATE_TRUNC('day', ...).
+    Q("w9_streaming_rollup",
+      (s, d) => graft.streaming.SnapshotStream
+        .dailyRollup(forecastSlots(s), "begin_time")
+        .orderBy("station_id", "day_start"),
+      Some(s"""SELECT station_id, date_trunc('day', begin_time)::TIMESTAMP AS day_start,
+          CAST(MIN(min_temp) AS BIGINT) AS temp_low, CAST(MAX(max_temp) AS BIGINT) AS temp_high,
+          CAST(MAX(wind_speed) AS BIGINT) AS wind_speed
+        FROM $forecastSlotsSql GROUP BY station_id, date_trunc('day', begin_time)
+        ORDER BY station_id, day_start"""))
   )
 }
