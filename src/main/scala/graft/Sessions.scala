@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place that builds a correctly-configured local session.
+  *
+  * Everything the engine needs baked into the session lives here — not in
+  * table loaders or query code — so no read path mutates global session
+  * state:
+  *  - `spark.sql.shuffle.partitions` sized to the core count (local mode;
+  *    a real cluster would size it to ~2-3× total cores);
+  *  - UTC session timezone (all reference timestamps are UTC RFC-3339);
+  *  - AQE on (runtime coalescing + skew-join splitting at scale);
+  *  - `spark.sql.legacy.parquet.nanosAsLong` — the driver writes
+  *    `events.ts` as parquet TIMESTAMP(NANOS) which Spark can't read
+  *    natively; [[Tables.events]] reads the raw long and floor-divides to
+  *    micros, matching DuckDB's ns→µs truncation bit-for-bit.
+  */
+object Sessions {
+
+  def local(cores: String, appName: String = "graft"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

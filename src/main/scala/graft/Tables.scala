@@ -31,9 +31,15 @@ object Tables {
     *
     * `ts div 1000` is integer division on the raw nanosecond long —
     * floating-point division would lose precision above 2^53 ns.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session
+    * (set at construction by [[Sessions.local]]; never mutated here — a
+    * loader must not side-effect global session state).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet is TIMESTAMP(NANOS): build the session with " +
+        "graft.Sessions.local (sets spark.sql.legacy.parquet.nanosAsLong=true)")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -94,7 +94,12 @@ object Scoring {
 
   /** A7/W3 — top-K entries by score desc, returned with both the rank and
     * the entry's index in the stable id-sorted order (the reference's
-    * winner encoding, oracle.rs:597-617). */
+    * winner encoding, oracle.rs:597-617).
+    *
+    * Single-event form: the unpartitioned windows are bounded by design —
+    * the reference caps entries per event at 25 (oracle.rs:194-204). For
+    * scoring many events in one job use [[winnersByEvent]], whose windows
+    * partition on event_id so no data moves to one task. */
   def winners(scores: DataFrame, k: Int = 3): DataFrame = {
     val byId = Window.orderBy("entry_id")
     val byScore = Window.orderBy(col("score").desc, col("entry_id"))
@@ -104,6 +109,21 @@ object Scoring {
       .where(col("rank") <= k)
       .orderBy("rank")
       .select("rank", "entry_id", "score", "outcome_index")
+  }
+
+  /** Bulk form of [[winners]]: ranks within each event. Both windows are
+    * partitioned by event_id, so the shuffle key is the event — scoring a
+    * million events is one hash exchange, never a single-task sort. */
+  def winnersByEvent(scores: DataFrame, k: Int = 3): DataFrame = {
+    val byId = Window.partitionBy("event_id").orderBy("entry_id")
+    val byScore = Window.partitionBy("event_id")
+      .orderBy(col("score").desc, col("entry_id"))
+    scores
+      .withColumn("outcome_index", (row_number().over(byId) - 1).cast("long"))
+      .withColumn("rank", row_number().over(byScore))
+      .where(col("rank") <= k)
+      .orderBy("event_id", "rank")
+      .select("event_id", "rank", "entry_id", "score", "outcome_index")
   }
 
   /** The reference's winner byte encoding: big-endian u64 per index

@@ -211,14 +211,20 @@ object Relational {
         ORDER BY c_custkey""")),
 
     // J6 — per-key list assembly (Rust HashMap<entry, Vec<choice>>,
-    // event_data.rs:520-537) → collect_list, sorted for determinism.
+    // event_data.rs:520-537) → collect_list, sorted for determinism and
+    // surfaced as a comma-joined string (the driver's pandas compare
+    // can't sort array columns).
     Q("q11_collect_list",
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_orderkey")
-        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"),
+        .agg(
+          array_join(
+            transform(sort_array(collect_list(col("l_linenumber"))),
+              x => x.cast("string")), ",").as("lines"),
           count(lit(1)).as("n_lines"))
         .orderBy("l_orderkey"),
-      Some("""SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines,
+      Some("""SELECT l_orderkey,
+          array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
           COUNT(*) AS n_lines
         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
 

@@ -109,31 +109,41 @@ object TextOps {
           MIN(doc_id) AS keep_id
         FROM documents GROUP BY md5(text) ORDER BY content_hash""")),
 
-    // N-gram Jaccard near-dup, blocked by lang (never a full cross join).
-    // The pairwise hot path runs on sorted xxhash64 arrays with the fused
-    // merge-scan SortedIntersectCount expression — string work happens
-    // once per document, not once per pair (~6× over array_intersect).
+    // N-gram Jaccard near-dup, the production MinHash-LSH pipeline shape:
+    // candidate pairs come from (band, minhash) bucket equi-joins (exactly
+    // d4's shuffle-keyed join — quadratic only within a bucket), then
+    // exact Jaccard verifies ONLY the candidates via the fused merge-scan
+    // SortedIntersectCount on sorted xxhash64 arrays — string work happens
+    // once per document, not once per pair. Nothing broadcasts or
+    // cross-joins the corpus (plan-asserted in PlanShapeSpec), so the
+    // shape survives 100 TB; the trade is LSH recall (a pair must share
+    // ≥1 of 8 minhashes to be seen), which the oracle mirrors.
     Q("d2_dedup_ngram_jaccard",
       (s, d) => {
         import org.apache.spark.sql.graft.ColumnBridge
-        // cache: the prepped per-doc arrays feed BOTH join sides, and
-        // Catalyst otherwise inlines the shingle pipeline into every
-        // consumer (null-check filter, hash col, size col) — measured 4×
-        // recompute per side without it.
-        val sh = shingled(s, d).select(col("doc_id"), col("lang"),
+        // cache: one pass computes shingles → (sorted hash array, size,
+        // minhash sigs) per doc; it feeds both candidate-join sides and
+        // both verify-join sides. Catalyst would otherwise inline the
+        // shingle pipeline into every consumer (~4× recompute).
+        val docs = shingled(s, d).select(col("doc_id"),
           sort_array(transform(col("s"), x => xxhash64(x))).as("h"),
-          size(col("s")).cast("int").as("n")).cache()
-        val a = sh.select(col("doc_id").as("doc_a"), col("lang"),
-          col("h").as("ha"), col("n").as("na"))
-        val b = sh.select(col("doc_id").as("doc_b"), col("lang"),
-          col("h").as("hb"), col("n").as("nb"))
+          size(col("s")).cast("int").as("n"),
+          ColumnBridge.column(graft.functions.MinHashSigs(
+            ColumnBridge.expression(col("s")))).as("sigs")).cache()
+        val bands = docs.select(col("doc_id"),
+          posexplode(col("sigs")).as(Seq("band", "mh")))
+        val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("mh"))
+          .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("mh")),
+            Seq("band", "mh"))
+          .where(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
         val nCommon = ColumnBridge.column(graft.functions.SortedIntersectCount(
           ColumnBridge.expression(col("ha")), ColumnBridge.expression(col("hb"))))
-        // broadcast: the blocking key (lang) has only ~5 values, so a
-        // shuffle join would cap parallelism at 5 skewed tasks; with a
-        // broadcast build side the 32-partition stream side drives the
-        // pair enumeration instead.
-        a.join(broadcast(b), Seq("lang")).where(col("doc_a") < col("doc_b"))
+        cand
+          .join(docs.select(col("doc_id").as("doc_a"),
+            col("h").as("ha"), col("n").as("na")), Seq("doc_a"))
+          .join(docs.select(col("doc_id").as("doc_b"),
+            col("h").as("hb"), col("n").as("nb")), Seq("doc_b"))
           .withColumn("n_common", nCommon)
           .withColumn("jaccard",
             col("n_common").cast("double") /
@@ -142,20 +152,35 @@ object TextOps {
           .select("doc_a", "doc_b", "n_common", "jaccard")
           .orderBy("doc_a", "doc_b")
       },
-      Some(s"""WITH sh AS (SELECT doc_id, lang, $duckShingles AS s
-            FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents))
+      Some(s"""WITH sig AS ($duckSigs),
+          bands AS (SELECT doc_id, k AS band, sigs[k + 1] AS mh FROM sig, range(0, 8) t(k)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+          sh AS (SELECT doc_id, $duckShingles AS s
+                 FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents))
         SELECT doc_a, doc_b, n_common, jaccard FROM (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          SELECT doc_a, doc_b,
             CAST(len(list_intersect(a.s, b.s)) AS INT) AS n_common,
             CAST(CAST(len(list_intersect(a.s, b.s)) AS INT) AS DOUBLE) /
               CAST(len(a.s) + len(b.s) - CAST(len(list_intersect(a.s, b.s)) AS INT) AS DOUBLE) AS jaccard
-          FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+          FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+                    JOIN sh b ON cand.doc_b = b.doc_id)
         WHERE jaccard >= 0.05 ORDER BY doc_a, doc_b""")),
 
     // MinHash signatures (8 hashes): the per-doc half of MinHash-LSH.
+    // Surfaced as a comma-joined string (the driver's pandas compare can't
+    // sort array columns); nulls (empty shingle sets) map to "-" so both
+    // engines agree on the join.
     Q("d3_minhash_sigs",
-      (s, d) => minhashSigs(s, d).orderBy("doc_id"),
-      Some(duckSigs + " ORDER BY doc_id")),
+      (s, d) => minhashSigs(s, d)
+        .select(col("doc_id"),
+          concat_ws(",", transform(col("sigs"), x => coalesce(x, lit("-"))))
+            .as("sig_csv"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+          array_to_string(list_transform(sigs, x -> coalesce(x, '-')), ',') AS sig_csv
+        FROM ($duckSigs) ORDER BY doc_id""")),
 
     // MinHash-LSH candidate pairs: explode signatures into (band, hash)
     // buckets, equi-join on the bucket — the 100 TB-safe shape (shuffle on
@@ -185,18 +210,28 @@ object TextOps {
         .orderBy("doc_id"),
       Some(duckSimhash + " ORDER BY doc_id")),
 
-    // SimHash near-dup pairs by Hamming distance ≤ 3. (At scale: block on
-    // signature bytes first; the 500-doc fixture tolerates the self-join.)
+    // SimHash near-dup pairs by Hamming distance ≤ 3, via pigeonhole
+    // banding: ≤3 differing bits can touch at most 3 of the 4 nibbles, so
+    // every qualifying pair shares ≥1 (band, nibble) — an equi-join on the
+    // nibble bucket finds ALL of them (identical answer to the cross
+    // join), but the shuffle key is the bucket: 100 TB-safe, no
+    // BroadcastNestedLoopJoin (plan-asserted in PlanShapeSpec).
     Q("d6_simhash_pairs",
       (s, d) => {
         val sh = Tables.documents(s, d)
           .select(col("doc_id"), simhashCol.as("simhash")).cache()
-        val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-        val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-        a.join(b, col("doc_a") < col("doc_b"))
+        val bands = sh.select(col("doc_id"), col("simhash"),
+          posexplode(expr("transform(sequence(0, 3), i -> shiftright(simhash, i * 4) & 15)"))
+            .as(Seq("band", "nib")))
+        val a = bands.select(col("doc_id").as("doc_a"),
+          col("simhash").as("sim_a"), col("band"), col("nib"))
+        val b = bands.select(col("doc_id").as("doc_b"),
+          col("simhash").as("sim_b"), col("band"), col("nib"))
+        a.join(b, Seq("band", "nib")).where(col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"),
             expr("cast(bit_count(sim_a ^ sim_b) as int)").as("hamming"))
           .where(col("hamming") <= 3)
+          .distinct()
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH sh AS ($duckSimhash)

@@ -118,23 +118,45 @@ object VectorOps {
           sqrt(${duckDot("embedding", "embedding")}) AS l2_norm
         FROM embeddings ORDER BY vec_id""")),
 
-    // Embedding-cosine near-dup pairs above a threshold (the embedding
-    // flavor of dedup; blocked at scale by LSH signature, here plain).
+    // Embedding-cosine near-dup pairs above a threshold — banded sign-LSH
+    // candidate generation (4 bands × 6 hyperplanes over dims 1..24): a
+    // candidate pair must collide in ≥1 band, so the pair join is an
+    // equi-join on (band, sig) — shuffle-keyed, never a cross join
+    // (plan-asserted in PlanShapeSpec) — and exact cosine verifies the
+    // candidates. The oracle mirrors the banding, so the compare is exact;
+    // the trade vs the brute-force form is LSH recall, the standard
+    // near-dup contract at corpus scale.
     Q("v4_embed_near_dup",
       (s, d) => {
-        val e = Tables.embeddings(s, d)
-        val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-        a.join(b, col("vec_a") < col("vec_b"))
-          .withColumn("cos_sim", cosine(col("ea"), col("eb")))
+        def bandSig(k: Int): Column = (0 until 6).map { j =>
+          when(element_at(col("embedding"), k * 6 + j + 1) >= 0, 1 << j).otherwise(0)
+        }.reduce(_ + _).cast("int")
+        val bands = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            posexplode(array((0 until 4).map(bandSig): _*)).as(Seq("band", "sig")))
+        val a = bands.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+          col("band"), col("sig"))
+        val b = bands.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+          col("band"), col("sig"))
+        a.join(b, Seq("band", "sig")).where(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos_sim"))
           .where(col("cos_sim") > 0.35)
-          .select("vec_a", "vec_b", "cos_sim")
+          .distinct()
           .orderBy("vec_a", "vec_b")
       },
-      Some(s"""SELECT vec_a, vec_b, cos_sim FROM (
-          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-            ${duckCos("a.embedding", "b.embedding")} AS cos_sim
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-        WHERE cos_sim > 0.35 ORDER BY vec_a, vec_b"""))
+      Some {
+        val sigSql = (0 until 6).map { j =>
+          s"CASE WHEN embedding[k*6 + ${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH bl AS (
+            SELECT vec_id, embedding, k AS band, CAST($sigSql AS INT) AS sig
+            FROM embeddings, range(0, 4) t(k))
+          SELECT DISTINCT vec_a, vec_b, cos_sim FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              ${duckCos("a.embedding", "b.embedding")} AS cos_sim
+            FROM bl a JOIN bl b
+              ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+          WHERE cos_sim > 0.35 ORDER BY vec_a, vec_b"""
+      })
   )
 }

@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Physical-plan regression gate: locks in the scale claims the code
+  * documents (SCALING.md) so a refactor can't silently reintroduce a
+  * cartesian pair join or lose scan pushdown.
+  *
+  *  - Every pair-join / self-join query must shuffle on a blocking key:
+  *    no BroadcastNestedLoopJoin, no CartesianProduct anywhere in its
+  *    executed plan.
+  *  - Scans with selective predicates must reach parquet as PushedFilters.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  /** Queries whose core is a pair/self join — the 100 TB danger zone. */
+  private val pairJoinQueries = Seq(
+    "d2_dedup_ngram_jaccard", "d4_minhash_pairs", "d6_simhash_pairs",
+    "v2_knn_lsh", "v4_embed_near_dup", "q12_bucket_join", "q14_range_join")
+
+  for (name <- pairJoinQueries)
+    test(s"$name: no cartesian / nested-loop join in the physical plan") {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plan contains BroadcastNestedLoopJoin:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plan contains CartesianProduct:\n$plan")
+    }
+
+  test("q4_inlist_project: IN-list + range predicates push to the parquet scan") {
+    val plan = SparkEntry.queries("q4_inlist_project")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("In(l_returnflag"), s"IN-list not pushed:\n$plan")
+  }
+
+  test("q5_time_range: timestamp range predicate pushes to the parquet scan") {
+    val plan = SparkEntry.queries("q5_time_range")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // date_trunc('day', ts) >= … is not pushable, but the raw ts < … bound is.
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("LessThan(ts"), s"ts upper bound not pushed:\n$plan")
+  }
+
+  test("q1_pricing_summary: scan reads only the referenced columns") {
+    val plan = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("l_comment"), s"column pruning lost l_comment:\n$plan")
+  }
+}
