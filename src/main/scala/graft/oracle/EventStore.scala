@@ -61,6 +61,65 @@ final case class EventWeatherRow(
     weather_id: String,
     created_at: Timestamp)
 
+/** Listing filter (db/mod.rs:167-181): optional id IN-list and a row
+  * limit that DEFAULTS to 100 — the reference guards the list endpoint
+  * against unbounded scans; `EventFilter(limit = None)` opts out. */
+final case class EventFilter(
+    limit: Option[Int] = Some(100),
+    eventIds: Option[Seq[String]] = None)
+
+/** The event-store read shapes, factored over plain DataFrames so the
+  * correctness gate can drive them on fixtures while [[EventStore]]
+  * serves them on its tables. */
+object EventQueries {
+
+  /** Filtered event summaries (get_filtered_event_summarys,
+    * event_data.rs:599-655): events ⋈ left entry-counts, optional IN-list,
+    * default LIMIT 100. Ordered by id before the limit — the reference
+    * limits an unordered scan, which is nondeterministic; a stable order
+    * costs one bounded TopK (never a full sort at scale thanks to the
+    * limit pushdown) and makes pagination meaningful. */
+  def filteredSummaries(events: DataFrame, entries: DataFrame,
+      filter: EventFilter = EventFilter()): DataFrame = {
+    val counts = entries.groupBy(col("event_id")).agg(count(lit(1)).as("cnt"))
+    val base = events
+      .join(counts, events("id") === counts("event_id"), "left")
+      .select(events("id"), col("signing_date"), col("observation_date"),
+        col("locations"), col("total_allowed_entries"),
+        coalesce(col("cnt"), lit(0L)).cast("long").as("total_entries"),
+        col("number_of_places_win"), col("number_of_values_per_entry"),
+        col("attestation_signature"), col("nonce"))
+    val withIds = filter.eventIds.fold(base)(ids => base.where(col("id").isin(ids: _*)))
+    val ordered = withIds.orderBy("id")
+    filter.limit.fold(ordered)(ordered.limit)
+  }
+
+  /** Events awaiting a signature (get_events_to_sign,
+    * event_data.rs:740-789): attestation IS NULL AND id IN list, with the
+    * nonce/announcement bytes the signer needs. */
+  def eventsToSign(events: DataFrame, eventIds: Seq[String]): DataFrame =
+    events
+      .where(col("attestation_signature").isNull && col("id").isin(eventIds: _*))
+      .select(col("id"), col("signing_date"), col("observation_date"),
+        col("number_of_places_win"), col("number_of_values_per_entry"),
+        col("attestation_signature"), col("nonce"), col("event_announcement"))
+      .orderBy("id")
+
+  /** F15 — the signing payload as a JSON document per event
+    * (the reference serde-serializes nonce/announcement,
+    * event_data.rs:237-238): bytes surface as base64, timestamps as
+    * RFC-3339. */
+  def signEventsJson(events: DataFrame, eventIds: Seq[String]): DataFrame =
+    eventsToSign(events, eventIds).select(col("id"),
+      to_json(struct(
+        col("id"),
+        date_format(col("signing_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("signing_date"),
+        date_format(col("observation_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("observation_date"),
+        col("number_of_places_win"), col("number_of_values_per_entry"),
+        base64(col("nonce")).as("nonce"),
+        base64(col("event_announcement")).as("event_announcement"))).as("sign_event"))
+}
+
 /** Parquet-backed relational event store (SURVEY §2.1 S13) with
   * MERGE-style updates done as read-join-swap (J5). Single-writer by
   * design, like the reference's lock-retried DuckDB file; the API is
@@ -101,6 +160,43 @@ final class EventStore(spark: SparkSession, root: String) {
     append("weather", rows.toDS().toDF())
     append("events_weather", links.toDS().toDF())
   }
+
+  /** F10 + F9 — insert entries whose choices have no ids yet and whose
+    * audit timestamps may be unset: choice ids come from the store's
+    * sequence analog (`max(id) + monotonically_increasing_id() + 1` —
+    * unique and increasing like the reference's DuckDB sequence,
+    * event_db_migrations.rs:44-80; gaps allowed, exactly as sequences
+    * allow), and null created_at/updated_at default to the write time
+    * (the reference's `DEFAULT now()`). */
+  def insertEntriesAutoIds(rows: Seq[EntryRow],
+      rowChoices: Seq[(String, String, Option[String], Option[String], Option[String])]): Unit = {
+    require(rowChoices.forall { case (_, _, tl, th, ws) =>
+      Seq(tl, th, ws).flatten.forall(choiceValues.contains) },
+      s"choice values must be one of $choiceValues")
+    val base = choices.toDF().agg(coalesce(max(col("id")), lit(0L))).as[Long].head()
+    val withIds = rowChoices
+      .toDF("entry_id", "station", "temp_low", "temp_high", "wind_speed")
+      .withColumn("id", monotonically_increasing_id() + lit(base + 1))
+      .select("id", "entry_id", "station", "temp_low", "temp_high", "wind_speed")
+    val stamped = rows.toDS().toDF()
+      .withColumn("created_at", coalesce(col("created_at"), current_timestamp()))
+      .withColumn("updated_at", coalesce(col("updated_at"), current_timestamp()))
+    append("events_entries", stamped)
+    append("expected_observations", withIds)
+  }
+
+  /** Listing surface over the store's tables — see [[EventQueries]]. */
+  def listEvents(filter: EventFilter = EventFilter()): DataFrame =
+    EventQueries.filteredSummaries(events.toDF(), entries.toDF(), filter)
+
+  def eventsByIds(ids: Seq[String]): DataFrame =
+    listEvents(EventFilter(limit = None, eventIds = Some(ids)))
+
+  def eventsToSign(ids: Seq[String]): DataFrame =
+    EventQueries.eventsToSign(events.toDF(), ids)
+
+  def signEventsJson(ids: Seq[String]): DataFrame =
+    EventQueries.signEventsJson(events.toDF(), ids)
 
   private def append(table: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(path(table))

@@ -325,6 +325,59 @@ object WeatherGate {
           CAST(MIN(min_temp) AS BIGINT) AS temp_low, CAST(MAX(max_temp) AS BIGINT) AS temp_high,
           CAST(MAX(wind_speed) AS BIGINT) AS wind_speed
         FROM $forecastSlotsSql GROUP BY station_id, date_trunc('day', begin_time)
-        ORDER BY station_id, day_start"""))
+        ORDER BY station_id, day_start""")),
+
+    // §2.2 event listing surface — filtered summaries: events ⋈ left
+    // entry-counts with COALESCE(cnt,0), ordered, LIMIT'd
+    // (get_filtered_event_summarys, event_data.rs:599-655). Exercises
+    // graft.oracle.EventQueries.filteredSummaries on a pinned fixture.
+    Q("w10_event_list",
+      (s, d) => {
+        import s.implicits._
+        val events = Seq(
+          ("ev-001", ts("2024-08-14T00:00:00Z"), ts("2024-08-15T00:00:00Z"),
+            "PFNO,KSAW", 25, 3, 6, Option.empty[String], "nonce-1"),
+          ("ev-002", ts("2024-08-16T00:00:00Z"), ts("2024-08-17T00:00:00Z"),
+            "KWMC", 10, 1, 3, Some("sig-2"), "nonce-2"),
+          ("ev-003", ts("2024-08-18T00:00:00Z"), ts("2024-08-19T00:00:00Z"),
+            "PAPG,PFNO,KSAW", 25, 3, 6, Option.empty[String], "nonce-3"),
+          ("ev-004", ts("2024-08-20T00:00:00Z"), ts("2024-08-21T00:00:00Z"),
+            "KSAW", 5, 1, 3, Option.empty[String], "nonce-4")
+        ).toDF("id", "signing_date", "observation_date", "locations",
+          "total_allowed_entries", "number_of_places_win",
+          "number_of_values_per_entry", "attestation_signature", "nonce")
+        val entries = Seq(
+          ("en-1", "ev-001"), ("en-2", "ev-001"), ("en-3", "ev-001"),
+          ("en-4", "ev-002"), ("en-5", "ev-004")
+        ).toDF("id", "event_id")
+        graft.oracle.EventQueries.filteredSummaries(events, entries,
+          graft.oracle.EventFilter(limit = Some(3)))
+          // null-free projection for the cross-engine compare (a mixed
+          // NULL/string column breaks the driver's pandas sort)
+          .withColumn("attestation_signature",
+            coalesce(col("attestation_signature"), lit("<unsigned>")))
+      },
+      Some("""WITH counts AS (
+          SELECT event_id, COUNT(*) AS cnt
+          FROM (VALUES ('en-1','ev-001'), ('en-2','ev-001'), ('en-3','ev-001'),
+                       ('en-4','ev-002'), ('en-5','ev-004')) en(id, event_id)
+          GROUP BY event_id)
+        SELECT e.id, signing_date, observation_date, locations,
+          total_allowed_entries, CAST(COALESCE(cnt, 0) AS BIGINT) AS total_entries,
+          number_of_places_win, number_of_values_per_entry,
+          COALESCE(attestation_signature, '<unsigned>') AS attestation_signature, nonce
+        FROM (VALUES
+          ('ev-001', TIMESTAMP '2024-08-14 00:00:00', TIMESTAMP '2024-08-15 00:00:00',
+           'PFNO,KSAW', 25, 3, 6, NULL, 'nonce-1'),
+          ('ev-002', TIMESTAMP '2024-08-16 00:00:00', TIMESTAMP '2024-08-17 00:00:00',
+           'KWMC', 10, 1, 3, 'sig-2', 'nonce-2'),
+          ('ev-003', TIMESTAMP '2024-08-18 00:00:00', TIMESTAMP '2024-08-19 00:00:00',
+           'PAPG,PFNO,KSAW', 25, 3, 6, NULL, 'nonce-3'),
+          ('ev-004', TIMESTAMP '2024-08-20 00:00:00', TIMESTAMP '2024-08-21 00:00:00',
+           'KSAW', 5, 1, 3, NULL, 'nonce-4')
+        ) e(id, signing_date, observation_date, locations, total_allowed_entries,
+            number_of_places_win, number_of_values_per_entry, attestation_signature, nonce)
+        LEFT JOIN counts c ON e.id = c.event_id
+        ORDER BY e.id LIMIT 3"""))
   )
 }

@@ -73,6 +73,60 @@ class EventStoreSpec extends AnyFunSuite {
     assert(sig.exists(_.sameElements(Array[Byte](9, 9))))
   }
 
+  test("listEvents: left-join counts, stable order, default limit 100") {
+    val store = newStore()
+    val ids = (1 to 110).map(i => f"ev-$i%03d")
+    store.insertEvents(ids.map(mkEvent))
+    val n1 = Uuid7.generate()
+    store.insertEntries(Seq(EntryRow(n1, "ev-002", 0L, t0, t0)), Nil)
+
+    val listed = store.listEvents().collect()
+    assert(listed.length == 100) // default EventFilter caps the listing
+    assert(listed.map(_.getAs[String]("id")).toSeq == ids.sorted.take(100))
+    val byId = listed.map(r => r.getAs[String]("id") -> r.getAs[Long]("total_entries")).toMap
+    assert(byId("ev-002") == 1L && byId("ev-001") == 0L)
+
+    val some = store.eventsByIds(Seq("ev-105", "ev-002")).collect()
+    assert(some.map(_.getAs[String]("id")).toSeq == Seq("ev-002", "ev-105"))
+  }
+
+  test("eventsToSign: unsigned events among the requested ids, with nonce bytes") {
+    val store = newStore()
+    store.insertEvents(Seq(mkEvent("ev-a"), mkEvent("ev-b"), mkEvent("ev-c")))
+    store.updateAttestation("ev-b", Array[Byte](7))
+    val toSign = store.eventsToSign(Seq("ev-a", "ev-b")).collect()
+    assert(toSign.map(_.getAs[String]("id")).toSeq == Seq("ev-a")) // ev-b signed, ev-c unrequested
+    assert(toSign.head.getAs[Array[Byte]]("nonce").sameElements(Array[Byte](1, 2)))
+
+    val json = store.signEventsJson(Seq("ev-a")).collect().head.getAs[String]("sign_event")
+    assert(json.contains("\"nonce\":\"" +
+      java.util.Base64.getEncoder.encodeToString(Array[Byte](1, 2)) + "\""))
+    assert(json.contains("\"signing_date\":\"2024-08-11T00:00:00Z\""))
+  }
+
+  test("insertEntriesAutoIds: sequence-style choice ids and now() defaults") {
+    val store = newStore()
+    store.insertEvents(Seq(mkEvent("ev-a")))
+    val n0 = Uuid7.generate()
+    store.insertEntries(Seq(EntryRow(n0, "ev-a", 0L, t0, t0)),
+      Seq(ChoiceRow(41L, n0, "PFNO", Some("par"), None, None)))
+
+    val n1 = Uuid7.generate(); val n2 = Uuid7.generate()
+    store.insertEntriesAutoIds(
+      Seq(EntryRow(n1, "ev-a", 0L, null, null), EntryRow(n2, "ev-a", 0L, t0, t0)),
+      Seq((n1, "PFNO", Some("over"), None, None),
+        (n1, "KSAW", None, Some("under"), None),
+        (n2, "KWMC", Some("par"), None, Some("par"))))
+
+    val cs = store.choices.collect()
+    val autoIds = cs.filter(_.id != 41L).map(_.id)
+    assert(autoIds.length == 3 && autoIds.distinct.length == 3)
+    assert(autoIds.forall(_ > 41L)) // strictly after the existing max, like a sequence
+    val stamped = store.entries.collect()
+    assert(stamped.forall(e => e.created_at != null && e.updated_at != null))
+    assert(stamped.find(_.id == n2).get.created_at == t0) // explicit values kept
+  }
+
   test("eventWeatherRows 3-way join and entriesWithChoices collection") {
     val store = newStore()
     val e = Uuid7.generate()
