@@ -107,6 +107,64 @@ object VectorOps {
           WHERE rnk <= 3 ORDER BY qid, rnk"""
       }),
 
+    // IVF ANN — the other scale path next to sign-LSH (v2): partition the
+    // corpus into inverted lists by nearest centroid (build = one
+    // broadcast-join + per-vector argmax, a narrow map at any scale),
+    // then search only the nprobe=2 closest lists per query (an equi-join
+    // on the cell id — shuffle keyed by cell, never a scan of the corpus).
+    // Centroids here are the first 16 vectors, pinned for determinism;
+    // production would k-means them — the operator shape (assign /
+    // probe / rank) is identical and that is what this query gates.
+    Q("v5_knn_ivf",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cents = e.where(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+        // all (vector, centroid) cosines: 16 rows broadcast, map-side score
+        val scored = e.join(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("cent_id"),
+            cosine(col("embedding"), col("ce")).as("ccos"))
+          .cache() // feeds both the assignment and the probe selection
+        val byCent = Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cent_id"))
+        val assigned = scored.withColumn("rn", row_number().over(byCent))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+        val probes = scored.where(col("vec_id") < 50)
+          .withColumn("rn", row_number().over(byCent)).where(col("rn") <= 2)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("cent_id").as("cell"))
+        val cand = probes.join(assigned, Seq("cell"))
+          .where(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            cosine(col("qe"), col("embedding")).as("cos_sim"))
+        val byQ = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+        cand.withColumn("rnk", row_number().over(byQ).cast("int"))
+          .where(col("rnk") <= 3)
+          .select("qid", "nid", "rnk", "cos_sim")
+          .orderBy("qid", "rnk")
+      },
+      Some(s"""WITH cents AS (
+            SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+          scored AS (
+            SELECT e.vec_id, e.embedding, cent_id, ${duckCos("e.embedding", "ce")} AS ccos
+            FROM embeddings e CROSS JOIN cents),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY ccos DESC, cent_id) AS rn FROM scored),
+          assigned AS (
+            SELECT vec_id, embedding, cent_id AS cell FROM ranked WHERE rn = 1),
+          probes AS (
+            SELECT vec_id AS qid, embedding AS qe, cent_id AS cell
+            FROM ranked WHERE vec_id < 50 AND rn <= 2),
+          cand AS (
+            SELECT qid, a.vec_id AS nid, ${duckCos("qe", "a.embedding")} AS cos_sim
+            FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.qid)
+        SELECT qid, nid, CAST(rnk AS INT) AS rnk, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rnk
+          FROM cand)
+        WHERE rnk <= 3 ORDER BY qid, rnk""")),
+
     // Vector plumbing sanity: dimension + L2 norm per vector.
     Q("v3_vector_norms",
       (s, d) => Tables.embeddings(s, d)
