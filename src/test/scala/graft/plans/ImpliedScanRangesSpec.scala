@@ -64,6 +64,32 @@ class ImpliedScanRangesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("seeded fuzz: random nanos × random thresholds × every op lose no rows") {
+    val rnd = new scala.util.Random(42)
+    val fuzzRaws = Seq.fill(300) {
+      // mix magnitudes so div boundaries at every scale get hit
+      val mag = Seq(1L, 1000L, 1000000L, 3600L * 1000000000L)(rnd.nextInt(4))
+      rnd.nextLong() % (mag * 1000)
+    }
+    val fdf = fuzzRaws.toDF("raw")
+      .withColumn("ts", timestamp_micros(expr("raw div 1000"))).cache()
+    val thresholds = Seq.fill(4)(rnd.nextLong() % 4000000L)
+    for (t <- thresholds) {
+      val lit0 = timestamp_micros(lit(t))
+      val cases = Seq[(String, org.apache.spark.sql.Column, Long => Boolean)](
+        ("lt", col("ts") < lit0, _ / 1000L < t),
+        ("le", col("ts") <= lit0, _ / 1000L <= t),
+        ("gt", col("ts") > lit0, _ / 1000L > t),
+        ("ge", col("ts") >= lit0, _ / 1000L >= t),
+        ("eq", col("ts") === lit0, _ / 1000L == t))
+      for ((tag, cond, p) <- cases) {
+        val got = fdf.where(cond).select("raw").as[Long].collect().sorted.toSeq
+        assert(got == fuzzRaws.filter(p).sorted, s"t=$t case=$tag")
+      }
+    }
+    fdf.unpersist()
+  }
+
   test("the implied bound reaches the parquet PushedFilters") {
     val dir = java.nio.file.Files.createTempDirectory("isr").toString
     raws.toDF("raw").write.mode("overwrite").parquet(dir)
