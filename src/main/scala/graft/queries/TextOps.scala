@@ -227,11 +227,21 @@ object TextOps {
           col("simhash").as("sim_a"), col("band"), col("nib"))
         val b = bands.select(col("doc_id").as("doc_b"),
           col("simhash").as("sim_b"), col("band"), col("nib"))
+        // A pair collides in up to 4 bands; instead of dedup-by-shuffle
+        // (distinct over the whole candidate set), emit it only from its
+        // FIRST matching band — decidable per-row from sim_a ^ sim_b, so
+        // dedup costs a codegen predicate instead of an exchange.
+        val firstBand = expr("""CASE
+          WHEN (xr & 15) = 0 THEN 0
+          WHEN (shiftright(xr, 4) & 15) = 0 THEN 1
+          WHEN (shiftright(xr, 8) & 15) = 0 THEN 2
+          ELSE 3 END""")
         a.join(b, Seq("band", "nib")).where(col("doc_a") < col("doc_b"))
+          .withColumn("xr", expr("sim_a ^ sim_b"))
+          .where(col("band") === firstBand)
           .select(col("doc_a"), col("doc_b"),
-            expr("cast(bit_count(sim_a ^ sim_b) as int)").as("hamming"))
+            expr("cast(bit_count(xr) as int)").as("hamming"))
           .where(col("hamming") <= 3)
-          .distinct()
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH sh AS ($duckSimhash)

@@ -78,6 +78,23 @@ final class WeatherStore(spark: SparkSession, root: String) {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p).exists(s => !s.getPath.getName.startsWith("_"))
   }
+
+  /** S9 — land an externally-produced parquet file (the reference's upload
+    * endpoint, routes/files/upload.rs:22-91, minus the HTTP shell): the
+    * name must be exactly one normal path component ending in `.parquet`
+    * (path-traversal guard, upload.rs:71-91), and the bytes land under the
+    * kind/date partition dir where the next scan picks them up. */
+  def landFile(fileName: String, bytes: Array[Byte], kind: String,
+      snapshotTs: Timestamp): Unit = {
+    require(WeatherStore.uploadNameIsValid(fileName),
+      s"invalid upload name: $fileName (need a single .parquet path component)")
+    val dir = new org.apache.hadoop.fs.Path(
+      s"$root/kind=$kind/date=${WeatherStore.toUtcDate(snapshotTs)}")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, fileName), false)
+    try out.write(bytes) finally out.close()
+  }
 }
 
 object WeatherStore {
@@ -88,4 +105,14 @@ object WeatherStore {
 
   def toUtcDate(ts: Timestamp): LocalDate =
     Instant.ofEpochMilli(ts.getTime).atZone(ZoneOffset.UTC).toLocalDate
+
+  /** Exactly one normal path component, `.parquet` extension — rejects
+    * traversal (`../x.parquet`), absolute paths, nesting, and non-parquet
+    * names (upload.rs:71-91). */
+  def uploadNameIsValid(name: String): Boolean = {
+    val p = java.nio.file.Paths.get(name)
+    name.nonEmpty && !name.startsWith("/") && p.getNameCount == 1 &&
+      !name.contains("..") && name.endsWith(".parquet") &&
+      name != ".parquet"
+  }
 }

@@ -21,6 +21,31 @@ class WeatherStoreSpec extends AnyFunSuite {
     (new WeatherStore(spark, dir), dir)
   }
 
+  test("landFile validates names and lands bytes where the next scan reads them") {
+    val (store, _) = newStore()
+    // traversal / shape / extension rejections (upload.rs path_is_valid)
+    for (bad <- Seq("../evil.parquet", "/abs.parquet", "a/b.parquet",
+        "nope.csv", ".parquet", ""))
+      intercept[IllegalArgumentException](
+        store.landFile(bad, Array[Byte](1), Kinds.Observations, ts("2024-08-12T01:00:00Z")))
+
+    // a genuine parquet payload (snapshot schema incl. snapshot_ts) lands
+    // under kind/date and is served by the pruned read
+    val tmp = Files.createTempDirectory("graft-upload").toString
+    Seq(("KLND", 42L)).toDF("station_id", "value")
+      .withColumn("begin_time", org.apache.spark.sql.functions.lit(ts("2024-08-12T06:00:00Z")))
+      .withColumn("snapshot_ts", org.apache.spark.sql.functions.lit(ts("2024-08-12T01:00:00Z")))
+      .coalesce(1).write.parquet(s"$tmp/one")
+    val part = new java.io.File(s"$tmp/one").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    store.landFile("uploaded.parquet", Files.readAllBytes(part.toPath),
+      Kinds.Observations, ts("2024-08-12T01:00:00Z"))
+
+    val got = store.read(Kinds.Observations,
+      ts("2024-08-12T00:00:00Z"), ts("2024-08-12T23:00:00Z")).get
+    assert(got.where(org.apache.spark.sql.functions.col("station_id") === "KLND").count() == 1)
+  }
+
   test("read of an empty store is None (early-exit guard)") {
     val (store, _) = newStore()
     assert(store.read(Kinds.Forecasts, ts("2024-08-12T00:00:00Z"), ts("2024-08-13T00:00:00Z")).isEmpty)
