@@ -59,6 +59,52 @@ object Multimodal {
     }
   }
 
+  final case class FrameRow(doc_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** STUB resize: a real deployment decodes, resamples to `w`×`h`, and
+    * re-encodes; the stub derives a deterministic payload of the
+    * post-resize size (w·h/8 bytes) from the source bytes. The pipeline
+    * shape is the real one: binary→binary per partition, codec reused
+    * across the partition's rows, never a driver round-trip. */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(w > 0 && h > 0, "resize dims must be positive")
+    media.mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5") // per-partition codec state
+      rows.map { r =>
+        md.reset()
+        val seed = md.digest(r.payload)
+        val out = new Array[Byte](math.max(1, w * h / 8))
+        var i = 0
+        while (i < out.length) { out(i) = seed(i % seed.length); i += 1 }
+        r.copy(payload = out)
+      }
+    }
+  }
+
+  /** Frame sampling: one video row → every `everyN`-th frame as its own
+    * row. The one-to-many explode happens executor-side via `flatMap`
+    * (bounded memory per row: frames stream out, the source payload is
+    * never duplicated per frame beyond the emitted slice). Non-video rows
+    * pass through as a single frame 0. */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int = 1): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    require(everyN >= 1, "everyN must be >= 1")
+    media.flatMap { r =>
+      val f = MediaCodec.decode(r)
+      val idxs = 0 until f.n_frames by everyN
+      idxs.map { i =>
+        // STUB frame extraction: a deterministic slice keyed by index; a
+        // real codec seeks and decodes frame i here
+        val len = math.max(1, math.min(16, r.payload.length))
+        val slice = new Array[Byte](len)
+        var j = 0
+        while (j < len) { slice(j) = (r.payload(j % r.payload.length) ^ i).toByte; j += 1 }
+        FrameRow(r.doc_id, i, slice)
+      }
+    }
+  }
+
   /** Synthesize a media table from `documents` (text bytes as stand-in
     * payloads) — used by tests and the m-series queries. */
   def mediaFromDocuments(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {

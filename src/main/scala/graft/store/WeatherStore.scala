@@ -27,12 +27,17 @@ final class WeatherStore(spark: SparkSession, root: String) {
   import WeatherStore._
 
   /** Append one snapshot. `snapshotTs` identifies the ingest run (the
-    * reference encodes it in the filename). */
-  def write(df: DataFrame, kind: String, snapshotTs: Timestamp): Unit =
+    * reference encodes it in the filename).
+    *
+    * `numFiles` defaults to the reference's one-small-file-per-snapshot
+    * layout; a large snapshot (or a backfill job) passes the parallelism
+    * it needs — the write is `numFiles` tasks, not a single-task funnel. */
+  def write(df: DataFrame, kind: String, snapshotTs: Timestamp,
+      numFiles: Int = 1): Unit =
     df.withColumn("snapshot_ts", lit(snapshotTs))
       .withColumn("date", to_date(lit(snapshotTs)))
       .withColumn("kind", lit(kind))
-      .repartition(1) // one snapshot = one small immutable file, like the reference
+      .repartition(numFiles)
       .write
       .mode(SaveMode.Append)
       .partitionBy("kind", "date")

@@ -30,6 +30,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again.toSeq == feats.toSeq)
   }
 
+  test("resize emits post-resize-sized payloads, deterministically, executor-side") {
+    val docs = Seq((0L, "hello world"), (1L, "some audio-ish text")).toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val resized = Multimodal.resize(media, 32, 16).collect().sortBy(_.doc_id)
+    assert(resized.forall(_.payload.length == 32 * 16 / 8))
+    val again = Multimodal.resize(media, 32, 16).collect().sortBy(_.doc_id)
+    assert(resized.zip(again).forall { case (a, b) => a.payload.sameElements(b.payload) })
+    // different source bytes → different resized bytes (stub is content-keyed)
+    assert(!resized(0).payload.sameElements(resized(1).payload))
+  }
+
+  test("sampleFrames explodes videos by stride and passes non-video through") {
+    val docs = Seq(
+      (0L, "img doc"), (2L, "a video payload with frames"), (3L, "img2")
+    ).toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val nFrames = Multimodal.extractFeatures(media).collect()
+      .map(f => f.doc_id -> f.n_frames).toMap
+
+    val all = Multimodal.sampleFrames(media, everyN = 1).collect()
+    assert(all.count(_.doc_id == 2L) == nFrames(2L)) // every video frame
+    assert(all.count(_.doc_id == 0L) == 1) // image = single frame 0
+    assert(all.filter(_.doc_id == 2L).map(_.frame_idx).sorted.toSeq ==
+      (0 until nFrames(2L)).toSeq)
+
+    val strided = Multimodal.sampleFrames(media, everyN = 4).collect()
+    assert(strided.count(_.doc_id == 2L) == (nFrames(2L) + 3) / 4)
+    // frame payloads differ by index (a real codec decodes distinct frames)
+    val f = all.filter(_.doc_id == 2L).sortBy(_.frame_idx)
+    if (f.length >= 2) assert(!f(0).payload.sameElements(f(1).payload))
+  }
+
   test("metadata-only projection prunes the payload column from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString + "/media"
     val docs = Seq((0L, "abc"), (1L, "defg")).toDF("doc_id", "text")
