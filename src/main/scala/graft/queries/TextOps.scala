@@ -130,13 +130,18 @@ object TextOps {
           size(col("s")).cast("int").as("n"),
           ColumnBridge.column(graft.functions.MinHashSigs(
             ColumnBridge.expression(col("s")))).as("sigs")).cache()
-        val bands = docs.select(col("doc_id"),
+        val bands = docs.select(col("doc_id"), col("sigs"),
           posexplode(col("sigs")).as(Seq("band", "mh")))
-        val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("mh"))
-          .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("mh")),
-            Seq("band", "mh"))
+        // first-matching-band emission (see d4): unique candidate pairs
+        // without a dedup exchange
+        val cand = bands.select(col("doc_id").as("doc_a"), col("sigs").as("sig_a"),
+            col("band"), col("mh"))
+          .join(bands.select(col("doc_id").as("doc_b"), col("sigs").as("sig_b"),
+            col("band"), col("mh")), Seq("band", "mh"))
           .where(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
+          .where(col("band") ===
+            expr("array_position(zip_with(sig_a, sig_b, (x, y) -> x = y), true) - 1"))
+          .select("doc_a", "doc_b")
         val nCommon = ColumnBridge.column(graft.functions.SortedIntersectCount(
           ColumnBridge.expression(col("ha")), ColumnBridge.expression(col("hb"))))
         cand
@@ -184,16 +189,23 @@ object TextOps {
 
     // MinHash-LSH candidate pairs: explode signatures into (band, hash)
     // buckets, equi-join on the bucket — the 100 TB-safe shape (shuffle on
-    // band hash, no quadratic blowup).
+    // band hash, no quadratic blowup). Pairs colliding in several bands
+    // are emitted only from the FIRST matching band (sig arrays ride the
+    // explode; the first match is an array_position over zip_with), so
+    // distinct-pairs needs no dedup exchange.
     Q("d4_minhash_pairs",
       (s, d) => {
         val bands = minhashSigs(s, d)
-          .select(col("doc_id"), posexplode(col("sigs")).as(Seq("band", "h")))
+          .select(col("doc_id"), col("sigs"), posexplode(col("sigs")).as(Seq("band", "h")))
           .cache() // feeds both sides of the bucket self-join
-        val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("h"))
-        val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("h"))
+        val a = bands.select(col("doc_id").as("doc_a"), col("sigs").as("sig_a"),
+          col("band"), col("h"))
+        val b = bands.select(col("doc_id").as("doc_b"), col("sigs").as("sig_b"),
+          col("band"), col("h"))
         a.join(b, Seq("band", "h")).where(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
+          .where(col("band") ===
+            expr("array_position(zip_with(sig_a, sig_b, (x, y) -> x = y), true) - 1"))
+          .select("doc_a", "doc_b")
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH sig AS ($duckSigs),
