@@ -60,6 +60,21 @@ class ScoringSpec extends AnyFunSuite {
     assert(scores(e4) == 109599L)
   }
 
+  test("winnersByEvent ranks within each event independently") {
+    val scores = Scoring.scoreEntries(choices, forecasts, observations)
+    // duplicate the golden scores under two event ids: per-event ranking
+    // must reproduce the single-event answer twice
+    val bulk = scores.withColumn("event_id", org.apache.spark.sql.functions.lit("evA"))
+      .unionByName(scores.withColumn("event_id", org.apache.spark.sql.functions.lit("evB")))
+    val w = Scoring.winnersByEvent(bulk, 3).collect()
+    assert(w.length == 6)
+    for (ev <- Seq("evA", "evB")) {
+      val rows = w.filter(_.getAs[String]("event_id") == ev)
+      assert(rows.map(_.getAs[String]("entry_id")).toSeq == Seq(e1, e3, e2))
+      assert(rows.map(_.getAs[Long]("outcome_index")).toSeq == Seq(0L, 2L, 1L))
+    }
+  }
+
   test("winner ranking and outcome indices match the reference") {
     val scores = Scoring.scoreEntries(choices, forecasts, observations)
     val w = Scoring.winners(scores, 3).collect()

@@ -57,6 +57,34 @@ class SnapshotStreamSpec extends AnyFunSuite {
     assert(got2 == 4) // only C was new
   }
 
+  test("dailyRollup runs as a watermarked streaming aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(String, Timestamp, Option[Long], Option[Long], Option[Long])](spark)
+    val rollup = SnapshotStream.dailyRollup(
+      input.toDS()
+        .toDF("station_id", "begin_time", "min_temp", "max_temp", "wind_speed")
+        .withWatermark("begin_time", "1 hour"),
+      "begin_time")
+    val q = rollup.writeStream.format("memory").queryName("daily_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        ("A", ts("2024-08-12T00:00:00Z"), Some(10L), Some(30L), Some(5L)),
+        ("A", ts("2024-08-12T21:00:00Z"), Some(12L), Some(28L), Some(9L)))
+      q.processAllAvailable()
+      input.addData(("A", ts("2024-08-13T00:00:00Z"), Some(8L), Some(25L), Some(4L)))
+      q.processAllAvailable()
+      val rows = spark.table("daily_stream")
+        .groupBy("station_id", "day_start")
+        .agg(org.apache.spark.sql.functions.max("temp_high").as("temp_high"),
+          org.apache.spark.sql.functions.min("temp_low").as("temp_low"))
+        .orderBy("day_start").collect()
+      assert(rows.length == 2)
+      assert(rows.head.getAs[Long]("temp_low") == 10L)
+      assert(rows.head.getAs[Long]("temp_high") == 30L)
+    } finally q.stop()
+  }
+
   test("dailyRollup matches the batch A1 shape on the same data") {
     val df = Seq(
       ("A", ts("2024-08-12T00:00:00Z"), Some(10L), Some(30L), Some(5L)),
