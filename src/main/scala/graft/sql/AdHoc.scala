@@ -32,6 +32,18 @@ object AdHoc {
     spark.sql(sql)
   }
 
+  /** P7 — parameterized form: named `:param` markers bound as TYPED
+    * literals by Spark itself, replacing the reference's regex rewrite of
+    * `$1..$n` placeholders (weather_data.rs:57-69) — no string splicing,
+    * so a hostile parameter value cannot change the statement shape, and
+    * the guard still sees the full parsed plan. */
+  def run(spark: SparkSession, sql: String, params: Map[String, Any]): DataFrame = {
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    if (!isReadOnly(plan))
+      throw NotAQueryException(s"only read-only queries are allowed: ${plan.nodeName}")
+    spark.sql(sql, params)
+  }
+
   /** Register the weather views like the UI's CREATE TABLE ... AS
     * read_parquet (main.js:112-128). */
   def registerViews(spark: SparkSession, tables: Map[String, DataFrame]): Unit =

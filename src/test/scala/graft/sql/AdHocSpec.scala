@@ -23,6 +23,26 @@ class AdHocSpec extends AnyFunSuite {
     assert(out.count() == 2)
   }
 
+  test("named parameters bind as typed literals, not string splices") {
+    AdHoc.registerViews(spark, Map("pv" ->
+      Seq(("A", 1), ("B", 2), ("C", 3)).toDF("station_id", "v")))
+    val out = AdHoc.run(spark,
+      "SELECT station_id FROM pv WHERE v >= :minV AND station_id <> :skip ORDER BY v",
+      Map("minV" -> 2, "skip" -> "C"))
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("B"))
+    // a hostile parameter value stays a literal — it cannot widen the rows
+    val inj = AdHoc.run(spark,
+      "SELECT station_id FROM pv WHERE station_id = :s",
+      Map("s" -> "A' OR '1'='1"))
+    assert(inj.count() == 0)
+  }
+
+  test("parameterized non-queries are still rejected") {
+    intercept[AdHoc.NotAQueryException] {
+      AdHoc.run(spark, "DROP TABLE pv", Map("x" -> 1))
+    }
+  }
+
   test("non-queries are rejected") {
     Seq(
       "DROP TABLE obs_view",
