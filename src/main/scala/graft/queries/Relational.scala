@@ -424,6 +424,34 @@ object Relational {
               FROM events)
         GROUP BY user_id ORDER BY user_id""")),
 
+    // J9 — the general as-of (point-in-time) join: for every click, the
+    // latest preceding purchase by the same user. Spark side runs the
+    // scalable union+window encoding (graft.queries.AsOf — one shuffle on
+    // the key, no range join); the oracle uses DuckDB's native ASOF LEFT
+    // JOIN, so two independent as-of implementations must agree. Misses
+    // surface as (-1, epoch) to keep the compare null-free.
+    Q("q22_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("event_id").as("pid"))
+        AsOf.joinBackwardFlat(clicks, purchases, Seq("user_id"), "ts", "ts",
+            prefix = "last_", defaults = Map(
+              "pid" -> lit(-1L),
+              "ts" -> lit("1970-01-01 00:00:00").cast("timestamp")))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT user_id, ts, max(event_id) AS pid FROM events
+                WHERE event_type = 'purchase' GROUP BY user_id, ts),
+             c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        SELECT c.event_id, c.user_id, c.ts,
+          COALESCE(p.ts, TIMESTAMP '1970-01-01 00:00:00') AS last_ts,
+          COALESCE(p.pid, -1) AS last_pid
+        FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        ORDER BY c.event_id""")),
+
     // §3.3 — the ad-hoc SQL surface: user-typed SQL over registered temp
     // views, run through the parser-backed SELECT-only guard
     // (ui/main.js:112-141; the reference's guard was a TODO).
