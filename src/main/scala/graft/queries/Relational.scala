@@ -452,6 +452,36 @@ object Relational {
         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         ORDER BY c.event_id""")),
 
+    // Skew-safe aggregation gate: event_type has only ~5 values — the
+    // canonical hot-key groupBy. Spark runs the two-phase salted shape
+    // (graft.queries.Skew.saltedAgg: partials on (key, salt), then merge);
+    // the oracle is the plain GROUP BY, so the rewrite must be exact.
+    Q("q23_salted_agg",
+      (s, d) => Skew.saltedAgg(
+          Tables.events(s, d).select("event_type", "value"),
+          Seq("event_type"), factor = 16)(
+          partial = Seq(count(lit(1)).as("p_n"),
+            sum(col("value").cast("decimal(18,2)")).as("p_sv")),
+          merge = Seq(sum("p_n").cast("long").as("n"),
+            sum("p_sv").cast("double").as("sv")))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // F16 at scale: the outcome permutation space as a distributed
+    // cross-product of index ranges (the reference's single-threaded
+    // generator marks n=200 "slow"); gated by an aggregate signature so
+    // both engines must produce the identical 970,200-row space.
+    Q("q24_perm_signature",
+      (s, d) => graft.oracle.Outcomes.permutationsDF(s, 100, 3)
+        .agg(count(lit(1)).as("n_perms"),
+          sum(col("p0") * 10000 + col("p1") * 100 + col("p2")).cast("long").as("sig")),
+      Some("""SELECT COUNT(*) AS n_perms,
+          CAST(SUM(p0 * 10000 + p1 * 100 + p2) AS BIGINT) AS sig
+        FROM range(100) t0(p0), range(100) t1(p1), range(100) t2(p2)
+        WHERE p0 <> p1 AND p0 <> p2 AND p1 <> p2""")),
+
     // §3.3 — the ad-hoc SQL surface: user-typed SQL over registered temp
     // views, run through the parser-backed SELECT-only guard
     // (ui/main.js:112-141; the reference's guard was a TODO).

@@ -25,4 +25,16 @@ class OutcomesSpec extends AnyFunSuite {
   test("count matches materialized size") {
     assert(Outcomes.count(7, 4) == Outcomes.permutations(7, 4).size.toLong)
   }
+
+  test("distributed generator produces exactly the iterator's space") {
+    val spark = graft.TestSpark.spark
+    val fromDf = Outcomes.permutationsDF(spark, 6, 3).collect()
+      .map(r => Seq(r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toInt))
+      .toSet
+    val fromIter = Outcomes.permutations(6, 3).toSet
+    assert(fromDf == fromIter)
+    assert(fromDf.size == Outcomes.count(6, 3))
+    // k=1 edge: no distinctness predicate at all
+    assert(Outcomes.permutationsDF(spark, 4, 1).count() == 4)
+  }
 }
