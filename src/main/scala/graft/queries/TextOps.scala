@@ -353,6 +353,26 @@ object TextOps {
               FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents))
         ORDER BY doc_id""")),
 
+    // Corpus profiling: per-language doc-length distribution (count, mean,
+    // exact median/p95) — the pre-training data-quality report every
+    // pipeline runs before filtering. Exact interpolated percentiles match
+    // DuckDB's quantile_cont definition; at 100 TB swap `percentile` for
+    // `percentile_approx` (t-digest sketch, mergeable map-side) — the
+    // query shape is identical.
+    Q("t5_profile",
+      (s, d) => Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double")).as("mean_chars"),
+          expr("percentile(n_chars, 0.5)").as("median_chars"),
+          expr("percentile(n_chars, 0.95)").as("p95_chars"))
+        .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars,
+          quantile_cont(n_chars, 0.5) AS median_chars,
+          quantile_cont(n_chars, 0.95) AS p95_chars
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
     // Multimodal plumbing: opaque binary payload column + typed metadata
     // (the schema/partitioning side of image/audio handling; decode is
     // stubbed in graft.llm.Multimodal).
