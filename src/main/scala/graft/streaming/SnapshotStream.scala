@@ -60,4 +60,25 @@ object SnapshotStream {
         max("wind_speed").as("wind_speed"))
       .select(col("station_id"), col("day.start").as("day_start"),
         col("temp_low"), col("temp_high"), col("wind_speed"))
+
+  /** Stream-stream event-time interval join: each observation matched to
+    * the forecast slot whose [begin_time, end_time) contains it, per
+    * station — the streaming form of the scoring input alignment
+    * (oracle.rs:478-528 joins observed vs forecast per station/slot).
+    *
+    * Both inputs MUST carry watermarks (the caller sets them with the
+    * schema, like the read contract): Spark buffers each side's join
+    * state only until the other side's watermark passes the interval
+    * bound, so state is O(stations × horizon), not unbounded. The join
+    * key is station_id (equi) with the containment range as residual —
+    * the same bucket+residual recipe as the batch W2 range join.
+    *
+    * @param obs columns (station_id, obs_time, ...obs payload)
+    * @param fc  columns (station_id, begin_time, end_time, ...fc payload)
+    */
+  def matchObservationsToForecasts(obs: DataFrame, fc: DataFrame): DataFrame =
+    obs.join(fc,
+      obs("station_id") === fc("station_id") &&
+        obs("obs_time") >= fc("begin_time") && obs("obs_time") < fc("end_time"))
+      .drop(fc("station_id"))
 }

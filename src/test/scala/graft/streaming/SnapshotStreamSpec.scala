@@ -85,6 +85,34 @@ class SnapshotStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches observations to forecast slots") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val obsIn = MemoryStream[(String, Timestamp, Long)](spark)
+    val fcIn = MemoryStream[(String, Timestamp, Timestamp, Long)](spark)
+    val obs = obsIn.toDS().toDF("station_id", "obs_time", "observed")
+      .withWatermark("obs_time", "1 hour")
+    val fc = fcIn.toDS().toDF("station_id", "begin_time", "end_time", "forecast")
+      .withWatermark("begin_time", "1 hour")
+    val joined = SnapshotStream.matchObservationsToForecasts(obs, fc)
+      .select("station_id", "obs_time", "observed", "forecast")
+    val q = joined.writeStream.format("memory").queryName("obs_fc")
+      .outputMode("append").start()
+    try {
+      fcIn.addData(
+        ("A", ts("2024-08-12T00:00:00Z"), ts("2024-08-12T03:00:00Z"), 30L),
+        ("A", ts("2024-08-12T03:00:00Z"), ts("2024-08-12T06:00:00Z"), 28L),
+        ("B", ts("2024-08-12T00:00:00Z"), ts("2024-08-12T03:00:00Z"), 20L))
+      obsIn.addData(
+        ("A", ts("2024-08-12T01:30:00Z"), 29L),  // slot 1 of A
+        ("A", ts("2024-08-12T03:00:00Z"), 27L),  // boundary → slot 2 (begin inclusive)
+        ("B", ts("2024-08-12T05:00:00Z"), 19L))  // no containing B slot
+      q.processAllAvailable()
+      val rows = spark.table("obs_fc").collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet
+      assert(rows == Set(("A", 29L, 30L), ("A", 27L, 28L)))
+    } finally q.stop()
+  }
+
   test("dailyRollup matches the batch A1 shape on the same data") {
     val df = Seq(
       ("A", ts("2024-08-12T00:00:00Z"), Some(10L), Some(30L), Some(5L)),
