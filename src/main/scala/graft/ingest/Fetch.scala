@@ -193,4 +193,32 @@ object Fetch {
     * (coordinates.rs:68-82). */
   def coordinatesQuery(chunk: Seq[StationCoord]): String =
     chunk.map(_.queryForm).mkString("%20")
+
+  /** Fan out one fetch per URL with bounded concurrency, collecting
+    * successes and failures separately — the reference's per-chunk task
+    * set with its completion counter (download_forecast.rs:683-720:
+    * JoinSet + AtomicUsize; a failed chunk is logged and the rest still
+    * land). Per-request retry/backoff/rate-limiting stay inside
+    * [[HttpFetcher]]; this layer only orchestrates. Order of results
+    * follows the input URL order. */
+  def fetchAll(fetcher: HttpFetcher, urls: Seq[String], parallelism: Int = 4)
+      : (Seq[(String, String)], Seq[(String, Throwable)]) = {
+    require(parallelism >= 1, "parallelism must be >= 1")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    try {
+      val futures = urls.map { url =>
+        url -> pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String = fetcher.fetchXml(url)
+        })
+      }
+      val results = futures.map { case (url, f) =>
+        try Right(url -> f.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException => Left(url -> e.getCause)
+          case e: Throwable => Left(url -> e)
+        }
+      }
+      (results.collect { case Right(ok) => ok }, results.collect { case Left(err) => err })
+    } finally pool.shutdown()
+  }
 }

@@ -140,6 +140,19 @@ class FetchSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[RateLimitExceeded](f.fetchXml(s"$base/ok"))
   }
 
+  test("fetchAll lands every healthy chunk and isolates the failing one") {
+    flakyCalls.set(10) // /flaky healthy from the start for this test
+    val p = new VirtualPacer
+    // generous bucket so the fan-out isn't rate-limited
+    val b = new TokenBucket(100, 15.0, 3, 1L, p)
+    val f = new HttpFetcher("graft-test/1.0", b, 5000L, 0, 1L, p)
+    val urls = Seq(s"$base/ok", s"$base/teapot", s"$base/flaky", s"$base/ok")
+    val (oks, errs) = fetchAll(f, urls, parallelism = 3)
+    assert(oks.map(_._1) == Seq(s"$base/ok", s"$base/flaky", s"$base/ok"))
+    assert(oks.count(_._2 == "<response>ok</response>") == 2)
+    assert(errs.map(_._1) == Seq(s"$base/teapot")) // one bad chunk, rest landed
+  }
+
   test("O5: chunking is ≤50 per chunk, order-preserving, lossless") {
     val stations = (1 to 117).map(i => StationCoord(s"S$i", 40.0 + i * 0.01, -93.0 - i * 0.01))
     val chunks = chunkCoordinates(stations)
