@@ -20,6 +20,9 @@ object Bench {
     val spark = Sessions.local(cpus, "graft-bench")
 
     def runOnce(name: String): Double = {
+      // Queries that cache intermediates would otherwise pin blocks across
+      // the whole run — each query is measured standalone, from cold cache.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

@@ -28,6 +28,12 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // single-machine latency knobs (harmless on a cluster, measurable
+      // locally): tiny local shuffles lose more to lz4 than they save,
+      // and there is no locality to wait for in local mode
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.locality.wait", "0ms")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

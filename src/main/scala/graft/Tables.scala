@@ -13,9 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  // Memoized per (session, path): re-reading a table in every query would
+  // re-list files and re-parse parquet footers each time — a real
+  // per-query tax both locally and against an object store at scale. The
+  // cached DataFrame carries its resolved FileIndex, exactly what a table
+  // catalog provides. (Weak-keyed on the session so stopped sessions
+  // don't pin entries.)
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Plain parquet table at `dir/name.parquet`. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relationCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -40,7 +50,7 @@ object Tables {
     require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
       "events.parquet is TIMESTAMP(NANOS): build the session with " +
         "graft.Sessions.local (sets spark.sql.legacy.parquet.nanosAsLong=true)")
-    spark.read.parquet(s"$dir/events.parquet")
+    table(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

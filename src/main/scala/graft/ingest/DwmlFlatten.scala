@@ -38,13 +38,23 @@ object DwmlFlatten {
   private val longMetrics =
     Seq("max_temp", "min_temp", "rh_max", "rh_min", "pop12", "wind_speed", "wind_dir")
 
-  /** Flatten one decoded DWML document into the 3-h Forecast grid. */
+  /** Flatten one decoded DWML document into the 3-h Forecast grid.
+    *
+    * One document is small by construction (≤ 50 stations/chunk × ~56
+    * slots), so its frames are built single-partition: the per-stage task
+    * fan-out would otherwise dominate runtime (32 near-empty tasks ×
+    * every stage). Corpus-level parallelism comes from flattening MANY
+    * documents — each an independent flatten over its own partition — not
+    * from splitting one document across the cluster. */
   def flatten(spark: SparkSession, doc: DwmlDoc, now: Timestamp): Dataset[Forecast] = {
     import spark.implicits._
 
-    val locations = spark.createDataset(doc.locations)
-    val layouts = spark.createDataset(doc.layouts)
-    val readings = spark.createDataset(doc.readings)
+    def one[T: org.apache.spark.sql.Encoder](rows: Seq[T]): Dataset[T] =
+      spark.createDataset(rows).coalesce(1)
+
+    val locations = one(doc.locations)
+    val layouts = one(doc.layouts)
+    val readings = one(doc.readings)
 
     // 1. 3-hour slot grid per location: [now, now+1w] inclusive.
     val slots = locations.select(col("locationKey"))

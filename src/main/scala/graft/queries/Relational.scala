@@ -31,20 +31,26 @@ final case class Q(
   */
 object Relational {
 
-  /** Exact decimal sum of a 2-dp double column, surfaced as DOUBLE. */
-  private def decSum(c: Column): Column =
-    sum(c.cast("decimal(18,2)")).cast("double")
-
-  /** Same result as [[decSum]] via long cents — cheaper codegen and agg
-    * state than Decimal (measured ~40% on q17).
+  /** Exact sum of a 2-dp double column via long cents, surfaced as DOUBLE
+    * — same bits as `sum(cast(decimal(18,2))) cast double` (the oracle
+    * SQL form) with cheaper codegen and agg state than Decimal (measured
+    * ~40% on q17).
     *
-    * Exactness for a positive 2-dp-valued double `v ≈ c/100`: the double
-    * error is ≪ 0.5 ulp-of-cents, so `floor(v·100 + 0.5) = c` exactly;
-    * the long sum S is exact (≪ 2^63); and `S / 100.0` is the correctly
-    * rounded double of S/100 — the same bits `decimal(18,2) → double`
-    * yields. Verified bit-identical to [[decSum]] on every sf0.1 group. */
-  private def centsSum(c: Column): Column =
-    sum(floor(c * 100 + 0.5).cast("long")) / 100.0
+    * Exactness for a 2-dp-valued double `v ≈ c/100` (either sign): the
+    * double error is ≪ 0.5 ulp-of-cents, so `floor(v·100 + 0.5) = c`
+    * exactly; the long sum S is exact (≪ 2^63); and `S / 100.0` is the
+    * correctly rounded double of S/100 — the same bits
+    * `decimal(18,2) → double` yields. Verified bit-identical to the
+    * decimal form on every sf0.1 group. */
+  private def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
+  private def centsSum(c: Column): Column = sum(cents(c)) / 100.0
+
+  /** `Σ price·(1−discount)` in exact 10^-4 units: the decimal product
+    * `(c1/100)·((100−c2)/100)` is `c1·(100−c2)/10^4` exactly, and the
+    * integer products (≤ 10^9 per row) sum exactly in a long. Same bits
+    * as the decimal-product sum cast to double. */
+  private def discPriceSum(price: Column, discount: Column): Column =
+    sum(cents(price) * (lit(100L) - cents(discount))) / 10000.0
 
   val all: Seq[Q] = Seq(
 
@@ -56,13 +62,10 @@ object Relational {
           .where(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            decSum(col("l_quantity")).as("sum_qty"),
-            decSum(col("l_extendedprice")).as("sum_base_price"),
-            sum((col("l_extendedprice").cast("decimal(18,2)") *
-              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
-              .cast("double").as("sum_disc_price"),
-            (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
-              count(lit(1)).cast("double")).as("avg_qty"),
+            centsSum(col("l_quantity")).as("sum_qty"),
+            centsSum(col("l_extendedprice")).as("sum_base_price"),
+            discPriceSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+            (centsSum(col("l_quantity")) / count(lit(1)).cast("double")).as("avg_qty"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
       },
@@ -164,7 +167,7 @@ object Relational {
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_items"), decSum(col("l_extendedprice")).as("revenue"))
+        .agg(count(lit(1)).as("n_items"), centsSum(col("l_extendedprice")).as("revenue"))
         .orderBy("c_mktsegment"),
       Some("""SELECT c_mktsegment, COUNT(*) AS n_items,
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -177,7 +180,7 @@ object Relational {
       (s, d) => Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(count(lit(1)).as("n_customers"), decSum(col("c_acctbal")).as("total_acctbal"))
+        .agg(count(lit(1)).as("n_customers"), centsSum(col("c_acctbal")).as("total_acctbal"))
         .orderBy("n_name"),
       Some("""SELECT n_name, COUNT(*) AS n_customers,
           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
@@ -310,7 +313,7 @@ object Relational {
       (s, d) => {
         val agg = Tables.events(s, d)
           .groupBy("event_type", "user_id")
-          .agg(decSum(col("value")).as("total"))
+          .agg(centsSum(col("value")).as("total"))
         val w = Window.partitionBy("event_type")
           .orderBy(col("total").desc, col("user_id"))
         agg.withColumn("rnk", row_number().over(w).cast("int"))
