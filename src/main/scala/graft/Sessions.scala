@@ -34,6 +34,9 @@ object Sessions {
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.locality.wait", "0ms")
+      // NOTE: adaptive.coalescePartitions.parallelismFirst stays at its
+      // default (true): measured — byte-based coalescing serializes the
+      // CPU-heavy small-byte shuffles (hash kernels, pair enumeration)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
