@@ -17,15 +17,20 @@ object Tables {
   // re-list files and re-parse parquet footers each time — a real
   // per-query tax both locally and against an object store at scale. The
   // cached DataFrame carries its resolved FileIndex, exactly what a table
-  // catalog provides. (Weak-keyed on the session so stopped sessions
-  // don't pin entries.)
+  // catalog provides. Weak-keyed on the session so a stopped session's
+  // plans don't stay pinned.
   private val relationCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
   /** Plain parquet table at `dir/name.parquet`. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    relationCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
-      { case (s, p) => s.read.parquet(p) })
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = relationCache.synchronized {
+      relationCache.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+    }
+    val path = s"$dir/$name.parquet"
+    perSession.getOrElseUpdate(path, spark.read.parquet(path))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
