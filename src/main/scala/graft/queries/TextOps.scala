@@ -62,6 +62,45 @@ object TextOps {
   private def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), col("lang"), shingles.as("s"))
 
+  /** Verified near-dup pairs: MinHash-LSH (band, minhash) bucket
+    * candidates (first-matching-band emission — unique pairs, no dedup
+    * exchange), exact Jaccard via the fused SortedIntersectCount
+    * merge-scan on candidates only. One cached pass computes
+    * shingles → (sorted hash array, size, sigs) per doc; it feeds both
+    * candidate-join sides and both verify-join sides (Catalyst would
+    * otherwise inline the shingle pipeline into every consumer,
+    * ~4× recompute). Shared by d2 (the pair report) and d7 (clustering). */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val docs = shingled(s, d).select(col("doc_id"),
+      sort_array(transform(col("s"), x => xxhash64(x))).as("h"),
+      size(col("s")).cast("int").as("n"),
+      ColumnBridge.column(graft.functions.MinHashSigs(
+        ColumnBridge.expression(col("s")))).as("sigs")).cache()
+    val bands = docs.select(col("doc_id"), col("sigs"),
+      posexplode(col("sigs")).as(Seq("band", "mh")))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("sigs").as("sig_a"),
+        col("band"), col("mh"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("sigs").as("sig_b"),
+        col("band"), col("mh")), Seq("band", "mh"))
+      .where(col("doc_a") < col("doc_b"))
+      .where(col("band") ===
+        expr("array_position(zip_with(sig_a, sig_b, (x, y) -> x = y), true) - 1"))
+      .select("doc_a", "doc_b")
+    val nCommon = ColumnBridge.column(graft.functions.SortedIntersectCount(
+      ColumnBridge.expression(col("ha")), ColumnBridge.expression(col("hb"))))
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"),
+        col("h").as("ha"), col("n").as("na")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"),
+        col("h").as("hb"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("n_common", nCommon)
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= 0.05)
+  }
+
   /** All 8 md5 MinHash values packed into ONE array column — a single
     * reference, so ProjectCollapse can't duplicate the shingle
     * computation into 8 inlined copies. Computed by the hand-tuned
@@ -119,44 +158,9 @@ object TextOps {
     // shape survives 100 TB; the trade is LSH recall (a pair must share
     // ≥1 of 8 minhashes to be seen), which the oracle mirrors.
     Q("d2_dedup_ngram_jaccard",
-      (s, d) => {
-        import org.apache.spark.sql.graft.ColumnBridge
-        // cache: one pass computes shingles → (sorted hash array, size,
-        // minhash sigs) per doc; it feeds both candidate-join sides and
-        // both verify-join sides. Catalyst would otherwise inline the
-        // shingle pipeline into every consumer (~4× recompute).
-        val docs = shingled(s, d).select(col("doc_id"),
-          sort_array(transform(col("s"), x => xxhash64(x))).as("h"),
-          size(col("s")).cast("int").as("n"),
-          ColumnBridge.column(graft.functions.MinHashSigs(
-            ColumnBridge.expression(col("s")))).as("sigs")).cache()
-        val bands = docs.select(col("doc_id"), col("sigs"),
-          posexplode(col("sigs")).as(Seq("band", "mh")))
-        // first-matching-band emission (see d4): unique candidate pairs
-        // without a dedup exchange
-        val cand = bands.select(col("doc_id").as("doc_a"), col("sigs").as("sig_a"),
-            col("band"), col("mh"))
-          .join(bands.select(col("doc_id").as("doc_b"), col("sigs").as("sig_b"),
-            col("band"), col("mh")), Seq("band", "mh"))
-          .where(col("doc_a") < col("doc_b"))
-          .where(col("band") ===
-            expr("array_position(zip_with(sig_a, sig_b, (x, y) -> x = y), true) - 1"))
-          .select("doc_a", "doc_b")
-        val nCommon = ColumnBridge.column(graft.functions.SortedIntersectCount(
-          ColumnBridge.expression(col("ha")), ColumnBridge.expression(col("hb"))))
-        cand
-          .join(docs.select(col("doc_id").as("doc_a"),
-            col("h").as("ha"), col("n").as("na")), Seq("doc_a"))
-          .join(docs.select(col("doc_id").as("doc_b"),
-            col("h").as("hb"), col("n").as("nb")), Seq("doc_b"))
-          .withColumn("n_common", nCommon)
-          .withColumn("jaccard",
-            col("n_common").cast("double") /
-              (col("na") + col("nb") - col("n_common")).cast("double"))
-          .where(col("jaccard") >= 0.05)
-          .select("doc_a", "doc_b", "n_common", "jaccard")
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) => jaccardPairs(s, d)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .orderBy("doc_a", "doc_b"),
       Some(s"""WITH sig AS ($duckSigs),
           bands AS (SELECT doc_id, k AS band, sigs[k + 1] AS mh FROM sig, range(0, 8) t(k)),
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -172,6 +176,43 @@ object TextOps {
           FROM cand JOIN sh a ON cand.doc_a = a.doc_id
                     JOIN sh b ON cand.doc_b = b.doc_id)
         WHERE jaccard >= 0.05 ORDER BY doc_a, doc_b""")),
+
+    // Dedup clustering: verified near-dup pairs → connected components →
+    // (doc, canonical keeper). Spark runs iterative hash-min label
+    // propagation (graft.queries.Components — one equi-join + groupBy-min
+    // per round, rounds = cluster diameter, lineage-truncated); the
+    // oracle recomputes components with a recursive-CTE transitive
+    // closure. Two structurally different algorithms must agree on every
+    // component. This is also where the iterative DataFrame model earns
+    // its fixed costs: the closure's row count explodes quadratically in
+    // cluster size while hash-min stays linear per round.
+    Q("d7_dedup_clusters",
+      (s, d) => Components
+        .connectedComponents(jaccardPairs(s, d).select("doc_a", "doc_b"))
+        .withColumnRenamed("node", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE sig AS ($duckSigs),
+          bands AS (SELECT doc_id, k AS band, sigs[k + 1] AS mh FROM sig, range(0, 8) t(k)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+          sh AS (SELECT doc_id, $duckShingles AS s
+                 FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)),
+          pairs AS (SELECT doc_a, doc_b FROM (
+              SELECT doc_a, doc_b,
+                CAST(CAST(len(list_intersect(a.s, b.s)) AS INT) AS DOUBLE) /
+                  CAST(len(a.s) + len(b.s) - CAST(len(list_intersect(a.s, b.s)) AS INT) AS DOUBLE) AS jaccard
+              FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+                        JOIN sh b ON cand.doc_b = b.doc_id)
+            WHERE jaccard >= 0.05),
+          edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+          reach(u, v) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+        SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
+        ORDER BY doc_id""")),
 
     // MinHash signatures (8 hashes): the per-doc half of MinHash-LSH.
     // Surfaced as a comma-joined string (the driver's pandas compare can't
