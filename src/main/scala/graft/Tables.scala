@@ -17,17 +17,27 @@ object Tables {
   // re-list files and re-parse parquet footers each time — a real
   // per-query tax both locally and against an object store at scale. The
   // cached DataFrame carries its resolved FileIndex, exactly what a table
-  // catalog provides. Weak-keyed on the session so a stopped session's
-  // plans don't stay pinned.
+  // catalog provides.
+  //
+  // Eviction is listener-based, not weak-keyed: a cached DataFrame
+  // strongly references its SparkSession, and a WeakHashMap entry whose
+  // value reaches the key is never reclaimed (the documented WeakHashMap
+  // caveat) — so instead every session's entries are dropped when its
+  // SparkContext ends, which is the moment the plans become useless.
   private val relationCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
   /** Plain parquet table at `dir/name.parquet`. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val perSession = relationCache.synchronized {
-      relationCache.computeIfAbsent(spark,
-        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
-    }
+    val perSession = relationCache.computeIfAbsent(spark, s => {
+      val sc = s.sparkContext // capture the context, not the session
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          relationCache.keySet().removeIf(_.sparkContext eq sc)
+      })
+      scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    })
     val path = s"$dir/$name.parquet"
     perSession.getOrElseUpdate(path, spark.read.parquet(path))
   }

@@ -29,9 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private object Md5Short {
 
-  // K[i] = floor(|sin(i+1)| · 2^32) — the RFC 1321 definition.
-  private val K: Array[Int] =
-    Array.tabulate(64)(i => ((1L << 32) * math.abs(math.sin(i + 1.0))).toInt)
+  // K[i] = floor(|sin(i+1)| · 2^32) — the RFC 1321 definition. The product
+  // is a Double; truncate via Long first — Double.toInt saturates at
+  // Int.MaxValue for the 33 constants above 2^31, which would fail the
+  // load-time self-check and silently disable the fast path.
+  private[functions] val K: Array[Int] =
+    Array.tabulate(64)(i => ((1L << 32) * math.abs(math.sin(i + 1.0))).toLong.toInt)
   private val S: Array[Int] = Array(
     7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
     5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20,

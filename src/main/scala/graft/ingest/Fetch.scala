@@ -158,8 +158,15 @@ object Fetch {
     def fetchXmlGzip(url: String): String = {
       if (!bucket.tryAcquire(1.0)) throw RateLimitExceeded(url)
       withRetry(url) { () =>
-        val rsp = checked(url, client.send(request(url),
-          HttpResponse.BodyHandlers.ofInputStream()))
+        val rsp = client.send(request(url), HttpResponse.BodyHandlers.ofInputStream())
+        // checked() throws on 5xx/429/non-2xx — close the body stream first
+        // or every failed attempt of the retry loop leaks a connection.
+        try checked(url, rsp)
+        catch {
+          case e: Throwable =>
+            try rsp.body().close() catch { case _: Throwable => () }
+            throw e
+        }
         val reader = new BufferedReader(new InputStreamReader(
           new GZIPInputStream(rsp.body()), StandardCharsets.UTF_8))
         try {

@@ -36,6 +36,12 @@ object AsOf {
     require(keys.nonEmpty, "as-of join needs at least one key column")
     val leftCols = left.columns.toSeq
     require(!leftCols.contains(asofCol), s"left already has a '$asofCol' column")
+    // The union/window encoding below claims these two names internally; an
+    // input that already uses them would silently join wrong — fail fast.
+    for (c <- Seq("__ts", "__side"); (side, cols) <-
+        Seq("left" -> leftCols, "right" -> right.columns.toSeq))
+      require(!cols.contains(c), s"$side input already has a '$c' column " +
+        "(reserved internally by AsOf.joinBackward)")
 
     val rightVals = right.columns.toSeq.filterNot(keys.contains)
     val rvType = {

@@ -51,6 +51,14 @@ object Components {
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      // Silent truncation here would split components (wrong keeper
+      // selection downstream) — surface it. Diameter > maxIters means the
+      // caller should raise the cap (or we should switch to large-star/
+      // small-star, whose round count is O(log n)).
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents hit maxIters=$maxIters before convergence; " +
+          "labels may split long chains — raise maxIters")
     labels.select(col("node"), col("label").as("component"))
   }
 }

@@ -42,6 +42,14 @@ class TextHashesSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("Md5Short fast path is enabled (constants reproduce MessageDigest)") {
+    // Guards the RFC 1321 constant derivation: a regression there (e.g.
+    // Double.toInt saturation) would silently fall back to MessageDigest
+    // and this is the only place that would notice.
+    assert(Md5Short.enabled)
+    assert(Md5Short.K(0) == 0xd76aa478 && Md5Short.K(63) == 0xeb86d391)
+  }
+
   test("MinHashSigs of an empty set is 8 nulls") {
     val out = Seq(Seq.empty[String]).toDF("s")
       .select(ColumnBridge.column(MinHashSigs(ColumnBridge.expression(col("s")))).as("sigs"))
