@@ -124,6 +124,16 @@ object EventQueries {
   * MERGE-style updates done as read-join-swap (J5). Single-writer by
   * design, like the reference's lock-retried DuckDB file; the API is
   * Delta-shaped so a transactional table format can slot in unchanged.
+  *
+  * Reader isolation: each table is a directory of immutable version
+  * subdirs (`v00000001`, …) plus `_commit_v…` marker files — the
+  * zero-byte analog of a Delta/Iceberg metadata commit. A swap writes
+  * the NEW version dir in full, then creates its marker; readers resolve
+  * the highest marker, so they always land on a fully-written version.
+  * The reference got the same isolation from DuckDB's file lock
+  * (db/event_data.rs:44-101). Retired versions linger for
+  * [[EventStore.KeepVersions]] swaps (covering in-flight scans, like a
+  * VACUUM retention window) before deletion.
   */
 final class EventStore(spark: SparkSession, root: String) {
   import spark.implicits._
@@ -134,11 +144,46 @@ final class EventStore(spark: SparkSession, root: String) {
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def tableExists(table: String): Boolean = fs.exists(new Path(path(table)))
+  private def versionName(n: Int): String = f"v$n%08d"
 
-  private def readOr[T: org.apache.spark.sql.Encoder](table: String): Dataset[T] =
-    if (tableExists(table)) spark.read.parquet(path(table)).as[T]
-    else spark.emptyDataset[T]
+  private val CommitPrefix = "_commit_"
+
+  /** The live version = the highest committed marker. The marker's NAME
+    * carries the version (its content is never read), so resolution is
+    * one atomic directory listing — no partially-written pointer file to
+    * race against, on any FileSystem. */
+  private def currentVersion(table: String): Option[String] = {
+    val dir = new Path(path(table))
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith(CommitPrefix))
+      .sorted.lastOption.map(_.stripPrefix(CommitPrefix))
+  }
+
+  /** Commit `version`: create its marker file. Readers see the new
+    * version exactly when the marker appears. */
+  private def commitPointer(table: String, version: String): Unit =
+    fs.create(new Path(path(table), CommitPrefix + version), true).close()
+
+  private def tableExists(table: String): Boolean = currentVersion(table).isDefined
+
+  private def readOr[T: org.apache.spark.sql.Encoder](table: String): Dataset[T] = {
+    // A reader that lags more than KeepVersions swaps behind can resolve
+    // a just-deleted version dir; re-resolving the pointer heals it.
+    var attempt = 0
+    while (true) {
+      currentVersion(table) match {
+        case None => return spark.emptyDataset[T]
+        case Some(v) =>
+          try return spark.read.parquet(new Path(path(table), v).toString).as[T]
+          catch {
+            case _: Throwable if attempt < 3 &&
+                !fs.exists(new Path(path(table), v)) => attempt += 1
+          }
+      }
+    }
+    sys.error("unreachable")
+  }
 
   def events: Dataset[EventRow] = readOr[EventRow]("events")
   def entries: Dataset[EntryRow] = readOr[EntryRow]("events_entries")
@@ -198,8 +243,18 @@ final class EventStore(spark: SparkSession, root: String) {
   def signEventsJson(ids: Seq[String]): DataFrame =
     EventQueries.signEventsJson(events.toDF(), ids)
 
+  /** Append into the live version dir (new files only — nothing a
+    * concurrent reader already listed is touched); first write creates
+    * version 1 and commits the pointer. */
   private def append(table: String, df: DataFrame): Unit =
-    df.write.mode(SaveMode.Append).parquet(path(table))
+    currentVersion(table) match {
+      case Some(v) =>
+        df.write.mode(SaveMode.Append).parquet(new Path(path(table), v).toString)
+      case None =>
+        val v = versionName(1)
+        df.write.mode(SaveMode.Append).parquet(new Path(path(table), v).toString)
+        commitPointer(table, v)
+    }
 
   /** J5 — correlated-update equivalent (event_data.rs:405-448):
     * entries.score = scores.score where matched. Read-join-swap. */
@@ -224,17 +279,28 @@ final class EventStore(spark: SparkSession, root: String) {
     swapWrite("events", updated)
   }
 
-  /** Overwrite a table that is also the read source: materialize to a
-    * temp dir, then atomically swap directories. */
+  /** Overwrite a table that is also the read source: write the NEXT
+    * version dir in full, commit the pointer atomically, then retire
+    * versions older than the retention window. The read path (old
+    * version) is never touched, so concurrent readers are safe at every
+    * instant of the swap. */
   private def swapWrite(table: String, df: DataFrame): Unit = {
-    val tmp = new Path(path(table) + ".tmp")
-    val dst = new Path(path(table))
-    val bak = new Path(path(table) + ".bak")
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(bak)) fs.delete(bak, true)
-    if (fs.exists(dst)) fs.rename(dst, bak)
-    fs.rename(tmp, dst)
-    fs.delete(bak, true)
+    val cur = currentVersion(table)
+    val curNum = cur.map(_.drop(1).toInt).getOrElse(0)
+    val next = versionName(curNum + 1)
+    df.write.mode(SaveMode.Overwrite).parquet(new Path(path(table), next).toString)
+    commitPointer(table, next)
+    // retention: keep the newest KeepVersions versions for in-flight
+    // readers; retire marker-then-dir for the rest
+    val retired = fs.listStatus(new Path(path(table)))
+      .map(_.getPath.getName)
+      .filter(_.startsWith(CommitPrefix))
+      .sorted.dropRight(EventStore.KeepVersions)
+      .map(_.stripPrefix(CommitPrefix))
+    retired.foreach { v =>
+      fs.delete(new Path(path(table), CommitPrefix + v), false)
+      fs.delete(new Path(path(table), v), true)
+    }
   }
 
   /** J4 + A4 + P6 — active events (no attestation yet) with entry counts,
@@ -257,7 +323,8 @@ final class EventStore(spark: SparkSession, root: String) {
 
   /** J3 + J6 — entries of an event with their choices collected into an
     * ordered struct array (replaces the Rust-side HashMap merge,
-    * event_data.rs:474-537). */
+    * event_data.rs:474-537).
+    */
   def entriesWithChoices(eventId: String): DataFrame =
     entries.toDF().where(col("event_id") === eventId)
       .join(choices.toDF().select(col("entry_id"), col("id").as("choice_id"),
@@ -267,4 +334,11 @@ final class EventStore(spark: SparkSession, root: String) {
       .agg(sort_array(collect_list(struct(
         col("choice_id"), col("station"),
         col("temp_low"), col("temp_high"), col("wind_speed")))).as("expected_observations"))
+}
+
+object EventStore {
+  /** Retired version dirs kept per table after a swap — the retention
+    * window covering the longest in-flight scan (a VACUUM horizon; a
+    * production deployment sizes this to its max query duration). */
+  val KeepVersions = 3
 }

@@ -150,4 +150,37 @@ class EventStoreSpec extends AnyFunSuite {
     val obs = ec.head.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("expected_observations")
     assert(obs.map(_.getAs[Long]("choice_id")).toSeq == Seq(1L, 2L)) // sorted, deterministic
   }
+
+  test("a concurrent reader never fails across 100 swap-writes") {
+    val store = newStore()
+    val e = Uuid7.generate()
+    store.insertEvents(Seq(mkEvent(e)))
+
+    @volatile var failure: Option[Throwable] = None
+    @volatile var keepReading = true
+    @volatile var reads = 0
+    val reader = new Thread(() => {
+      while (keepReading && failure.isEmpty) {
+        try {
+          // full read path: pointer resolve -> version scan -> count
+          if (store.events.count() != 1L)
+            failure = Some(new AssertionError("reader saw wrong row count"))
+          reads += 1
+        } catch { case t: Throwable => failure = Some(t) }
+      }
+    })
+    reader.start()
+    try
+      // every updateAttestation is a swapWrite of the events table
+      for (i <- 1 to 100) store.updateAttestation(e, Array(i.toByte))
+    finally {
+      keepReading = false
+      reader.join(60000)
+    }
+    assert(failure.isEmpty, s"concurrent reader failed: ${failure.map(_.toString)}")
+    assert(reads > 0, "reader thread never completed a read")
+    // the writer's last swap won
+    val att = store.events.head().attestation_signature.get
+    assert(att.length == 1 && att.head == 100.toByte)
+  }
 }
