@@ -110,4 +110,47 @@ class DwmlFlattenSpec extends AnyFunSuite {
     assert(out.forall(_.max_temp.contains(77L)))
     assert(out.forall(_.temperature_unit_code == "fahrenheit"))
   }
+
+  private def corpusXml(i: Int): String =
+    s"""<dwml><head><product><creation-date>2024-08-12T00:00:00Z</creation-date></product></head>
+       |<data>
+       |<location><location-key>point1</location-key>
+       |  <point latitude="44.56" longitude="-95.12"/>
+       |  <station-id>K$i%03dA</station-id></location>
+       |<time-layout><layout-key>k-p24h-n2-1</layout-key>
+       |  <start-valid-time>2024-08-12T00:00:00-00:00</start-valid-time>
+       |  <start-valid-time>2024-08-13T00:00:00-00:00</start-valid-time></time-layout>
+       |<parameters applicable-location="point1">
+       |  <temperature type="maximum" units="Fahrenheit" time-layout="k-p24h-n2-1">
+       |    <value>${60 + i % 30}</value><value>${55 + i % 30}</value></temperature>
+       |  <wind-speed type="sustained" units="knots" time-layout="k-p24h-n2-1">
+       |    <value>${i % 15}</value><value>${1 + i % 15}</value></wind-speed>
+       |</parameters></data></dwml>""".stripMargin
+      .replace(s"K$i%03dA", f"K$i%03dA")
+
+  test("flattenAll: 120 documents in ONE job, one partitioned window, matches flatten") {
+    import spark.implicits._
+    val n = 120
+    val docs = spark.createDataset((0 until n).map(i => (f"doc$i%03d", corpusXml(i))))
+      .repartition(8) // corpus parallelism: parse runs 8-way, not per-doc
+    val all = DwmlFlatten.flattenAll(spark, docs, now)
+
+    // single plan: exactly one Window operator, partitioned — never a
+    // per-document driver loop of 120 window plans
+    val plan = all.queryExecution.executedPlan.toString
+    assert("(?m)^\\s*[+:*-]*\\s*Window ".r.findAllIn(plan).size <= 1 &&
+      plan.contains("Window"), s"expected one Window operator:\n$plan")
+    assert(!plan.contains("No Partition"), plan)
+
+    val collected = all.collect()
+    assert(collected.length == n * 57) // the w-grid per document
+    assert(collected.map(_.getAs[String]("doc_id")).distinct.length == n)
+
+    // per-document results are identical to the single-document flatten
+    val one = DwmlFlatten.flatten(spark, Dwml.parse(corpusXml(7), now), now)
+      .collect().map(_.toString).sorted
+    val fromAll = all.where($"doc_id" === "doc007").drop("doc_id")
+      .as[graft.model.Forecast].collect().map(_.toString).sorted
+    assert(fromAll.toSeq == one.toSeq)
+  }
 }
