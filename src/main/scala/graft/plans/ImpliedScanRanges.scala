@@ -29,8 +29,19 @@ import org.apache.spark.sql.types._
   *  - `≤` / `>` reduce to the above with `T ± 1`;
   *  - `=` yields both bounds.
   * For `date_trunc(unit, x)` (monotone, `trunc(x) ≤ x`): a *lower* bound
-  * on the truncation implies the same lower bound on `x`; upper bounds do
-  * NOT transfer and are left alone.
+  * on the truncation implies the same lower bound on `x`. An *upper*
+  * bound transfers with the unit's maximum bucket length added:
+  * `trunc(x) ≤ T ⟹ x < T + maxLen(unit)`, because
+  * `x − trunc(x) < maxLen(unit)`. `maxLen` uses the longest possible
+  * calendar bucket (31-day months, 366-day years) plus a 26-hour slack
+  * for units ≥ MINUTE — wall-clock truncation in a non-UTC session zone
+  * can stretch a bucket across a DST/offset transition (a fall-back day
+  * is 25 h; tzdb offsets range −12…+14 with second-level components
+  * historically), and no real transition exceeds 26 h. Sub-second units
+  * need no slack: tzdb offsets are whole seconds, so second-and-finer
+  * buckets are exact in absolute time. The slack costs nothing for
+  * pruning — one extra day of row groups against a scan that would
+  * otherwise read everything.
   *
   * The rule is idempotent (implied conjuncts already present are not
   * re-added), so it is safe inside the fixed-point operator-optimization
@@ -71,10 +82,35 @@ object ImpliedScanRanges extends Rule[LogicalPlan] {
     }
   }
 
-  /** Peel monotone `date_trunc(unit, inner)` for lower bounds only. */
+  /** Peel monotone `date_trunc(unit, inner)`; yields the inner expression
+    * and the unit's maximum bucket length in micros (for upper bounds). */
   private object Trunc {
-    def unapply(e: Expression): Option[Expression] = e match {
-      case t: TruncTimestamp if t.format.foldable => Some(t.timestamp)
+    private val Hour = 3600L * 1000000L
+    private val Day = 24L * Hour
+    /** Covers any historical offset change (see scaladoc soundness note). */
+    private val TzSlack = 26L * Hour
+
+    private def maxLenMicros(unit: String): Option[Long] = {
+      val base = unit.toUpperCase(java.util.Locale.ROOT) match {
+        case "MICROSECOND" => Some(1L)
+        case "MILLISECOND" => Some(1000L)
+        case "SECOND" => Some(1000000L)
+        case "MINUTE" => Some(60L * 1000000L)
+        case "HOUR" => Some(Hour)
+        case "DAY" | "DD" => Some(Day)
+        case "WEEK" => Some(7L * Day)
+        case "MON" | "MONTH" | "MM" => Some(31L * Day)
+        case "QUARTER" => Some(92L * Day)
+        case "YEAR" | "YYYY" | "YY" => Some(366L * Day)
+        case _ => None // unknown format: date_trunc returns null; no bound
+      }
+      base.map(b => if (b >= 60L * 1000000L) b + TzSlack else b)
+    }
+
+    def unapply(e: Expression): Option[(Expression, Option[Long])] = e match {
+      case t: TruncTimestamp if t.format.foldable =>
+        val unit = Option(t.format.eval()).map(_.toString)
+        Some((t.timestamp, unit.flatMap(maxLenMicros)))
       case _ => None
     }
   }
@@ -98,16 +134,33 @@ object ImpliedScanRanges extends Rule[LogicalPlan] {
     case LessThanOrEqual(TsLit(t), NanoTs(raw))     => Seq(lower(raw, t))
     case LessThan(TsLit(t), NanoTs(raw))            => Seq(lower(raw, t + 1))
     case EqualTo(TsLit(t), NanoTs(raw))             => Seq(lower(raw, t), upper(raw, t + 1))
-    // date_trunc lower bounds transfer to the inner expression; recurse so
-    // date_trunc('day', timestamp_micros(raw div 1000)) ≥ T reaches raw.
-    case GreaterThanOrEqual(Trunc(inner), r @ TsLit(_)) =>
+    // date_trunc bounds transfer to the inner expression; recurse so
+    // date_trunc('day', timestamp_micros(raw div 1000)) op T reaches raw.
+    // Lower: trunc(x) ≥ T ⟹ x ≥ T (since trunc(x) ≤ x).
+    // Upper: trunc(x) ≤ T ⟹ x < T + maxLen (since x − trunc(x) < maxLen);
+    //        trunc(x) < T ⟹ trunc(x) ≤ T − 1μs ⟹ x < T − 1μs + maxLen.
+    case GreaterThanOrEqual(Trunc(inner, _), r @ TsLit(_)) =>
       implied(GreaterThanOrEqual(inner, r))
-    case GreaterThan(Trunc(inner), r @ TsLit(_)) =>
+    case GreaterThan(Trunc(inner, _), r @ TsLit(_)) =>
       implied(GreaterThanOrEqual(inner, r)) // trunc > T ⟹ inner ≥ trunc > T ⟹ inner ≥ T
-    case LessThanOrEqual(l @ TsLit(_), Trunc(inner)) =>
+    case LessThanOrEqual(l @ TsLit(_), Trunc(inner, _)) =>
       implied(GreaterThanOrEqual(inner, l))
-    case LessThan(l @ TsLit(_), Trunc(inner)) =>
+    case LessThan(l @ TsLit(_), Trunc(inner, _)) =>
       implied(GreaterThanOrEqual(inner, l))
+    case LessThanOrEqual(Trunc(inner, Some(ml)), TsLit(t)) =>
+      implied(LessThan(inner, Literal(t + ml, TimestampType)))
+    case LessThan(Trunc(inner, Some(ml)), TsLit(t)) =>
+      implied(LessThan(inner, Literal(t - 1 + ml, TimestampType)))
+    case GreaterThanOrEqual(TsLit(t), Trunc(inner, Some(ml))) =>
+      implied(LessThan(inner, Literal(t + ml, TimestampType)))
+    case GreaterThan(TsLit(t), Trunc(inner, Some(ml))) =>
+      implied(LessThan(inner, Literal(t - 1 + ml, TimestampType)))
+    case EqualTo(Trunc(inner, ml), r @ TsLit(t)) =>
+      implied(GreaterThanOrEqual(inner, r)) ++
+        ml.toSeq.flatMap(m => implied(LessThan(inner, Literal(t + m, TimestampType))))
+    case EqualTo(r @ TsLit(t), Trunc(inner, ml)) =>
+      implied(GreaterThanOrEqual(inner, r)) ++
+        ml.toSeq.flatMap(m => implied(LessThan(inner, Literal(t + m, TimestampType))))
     case _ => Seq.empty
   }
 

@@ -90,6 +90,85 @@ class ImpliedScanRangesSpec extends AnyFunSuite {
     fdf.unpersist()
   }
 
+  test("date_trunc upper/equality bounds return every qualifying row") {
+    // t0 is midnight UTC, so trunc('day') of every test value lands on a
+    // clean boundary; the rule's +maxLen slack must never drop a row.
+    val day = lit("2024-08-12").cast("timestamp")
+    val cases: Seq[(String, org.apache.spark.sql.Column, Long => Boolean)] = Seq(
+      ("trunc-le", date_trunc("day", col("ts")) <= day, r => r / 1000L < t0 + 86400000000L),
+      ("trunc-lt", date_trunc("day", col("ts")) < day, _ / 1000L < t0),
+      ("trunc-eq", date_trunc("day", col("ts")) === day,
+        r => r / 1000L >= t0 && r / 1000L < t0 + 86400000000L),
+      ("trunc-le-flipped", day >= date_trunc("day", col("ts")),
+        r => r / 1000L < t0 + 86400000000L),
+      ("trunc-gt-flipped", day > date_trunc("hour", col("ts")), _ / 1000L < t0))
+    for ((tag, cond, p) <- cases) {
+      val got = df.where(cond).select("raw").as[Long].collect().toSet
+      assert(got == raws.filter(p).toSet, s"case $tag")
+    }
+  }
+
+  test("seeded fuzz: date_trunc × every unit × every op lose no rows") {
+    val rnd = new scala.util.Random(7)
+    // cluster values around unit boundaries of 2024-08-12 so truncation
+    // actually discriminates
+    val base = 1723420800L * 1000000000L
+    val fuzzRaws = Seq.fill(200) {
+      val span = Seq(1000000L, 3600L * 1000000000L, 40L * 86400L * 1000000000L)(rnd.nextInt(3))
+      base + (rnd.nextLong() % span)
+    }
+    val fdf = fuzzRaws.toDF("raw")
+      .withColumn("ts", timestamp_micros(expr("raw div 1000"))).cache()
+    // independent truncation oracle: java.time in the session zone (UTC)
+    def truncUtc(unit: String, us: Long): Long = {
+      import java.time._, java.time.temporal.ChronoUnit
+      val ldt = LocalDateTime.ofInstant(
+        Instant.EPOCH.plus(us, ChronoUnit.MICROS), ZoneOffset.UTC)
+      val t = unit match {
+        case "second" => ldt.truncatedTo(ChronoUnit.SECONDS)
+        case "minute" => ldt.truncatedTo(ChronoUnit.MINUTES)
+        case "hour" => ldt.truncatedTo(ChronoUnit.HOURS)
+        case "day" => ldt.truncatedTo(ChronoUnit.DAYS)
+        case "week" => // Spark truncates to Monday
+          ldt.truncatedTo(ChronoUnit.DAYS).minusDays(ldt.getDayOfWeek.getValue - 1L)
+        case "month" => ldt.truncatedTo(ChronoUnit.DAYS).withDayOfMonth(1)
+        case "quarter" =>
+          LocalDateTime.of(ldt.getYear, ((ldt.getMonthValue - 1) / 3) * 3 + 1, 1, 0, 0)
+        case "year" => LocalDateTime.of(ldt.getYear, 1, 1, 0, 0)
+      }
+      ChronoUnit.MICROS.between(Instant.EPOCH, t.toInstant(ZoneOffset.UTC))
+    }
+    val t0us = 1723420800L * 1000000L // 2024-08-12T00:00:00Z
+    for (unit <- Seq("second", "minute", "hour", "day", "week", "month", "quarter", "year")) {
+      val thr = lit("2024-08-12 00:00:00").cast("timestamp")
+      val truncOf: Map[Long, Long] = fuzzRaws.map(r => r -> truncUtc(unit, r / 1000L)).toMap
+      val cases: Seq[(String, org.apache.spark.sql.Column, Long => Boolean)] = Seq(
+        ("le", date_trunc(unit, col("ts")) <= thr, r => truncOf(r) <= t0us),
+        ("lt", date_trunc(unit, col("ts")) < thr, r => truncOf(r) < t0us),
+        ("ge", date_trunc(unit, col("ts")) >= thr, r => truncOf(r) >= t0us),
+        ("gt", date_trunc(unit, col("ts")) > thr, r => truncOf(r) > t0us),
+        ("eq", date_trunc(unit, col("ts")) === thr, r => truncOf(r) == t0us))
+      for ((tag, cond, p) <- cases) {
+        val got = fdf.where(cond).select("raw").as[Long].collect().sorted.toSeq
+        assert(got == fuzzRaws.filter(p).sorted, s"unit=$unit case=$tag")
+      }
+    }
+    fdf.unpersist()
+  }
+
+  test("the date_trunc upper bound reaches the parquet PushedFilters") {
+    val dir = java.nio.file.Files.createTempDirectory("isr-ub").toString
+    raws.toDF("raw").write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("raw div 1000")))
+      .where(date_trunc("day", col("ts")) <= lit("2024-08-12").cast("timestamp"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(raw), LessThan(raw"),
+      s"implied raw upper bound not pushed:\n$plan")
+    assert(q.select("raw").as[Long].collect().toSet ==
+      raws.filter(_ / 1000L < t0 + 86400000000L + 26L * 3600000000L).toSet)
+  }
+
   test("the implied bound reaches the parquet PushedFilters") {
     val dir = java.nio.file.Files.createTempDirectory("isr").toString
     raws.toDF("raw").write.mode("overwrite").parquet(dir)
