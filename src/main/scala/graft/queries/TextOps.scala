@@ -426,6 +426,45 @@ object TextOps {
         .orderBy("doc_id"),
       Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
           upper(substr(hex(encode(text)), 1, 16)) AS hex_prefix
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // PII scrubbing (graft.queries.Redact): detect + redact emails /
+    // NANP phones / SSN-shaped ids, keeping per-type counts. The
+    // synthetic corpus is PII-free, so deterministic spans are injected
+    // from doc_id on BOTH sides first; the md5 of the redacted text
+    // verifies the replacement byte-exactly cross-engine. Pure
+    // regexp_replace/regexp_count column work — codegen'd, map-side,
+    // no shuffle at any scale. Patterns use the common Java/RE2 subset.
+    Q("r1_pii_scrub",
+      (s, d) => {
+        val decorated = Tables.documents(s, d).withColumn("text",
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@mail.example.com"))).otherwise(lit("")),
+            when(col("doc_id") % 3 === 1,
+              lit(" call 555-867-5309 or 555.867.1234")).otherwise(lit("")),
+            when(col("doc_id") % 2 === 0,
+              lit(" ssn 123-45-6789.")).otherwise(lit(""))))
+        Redact.scrub(decorated)
+          .select(col("doc_id"), col("n_emails"), col("n_phones"),
+            col("n_ssns"), md5(col("redacted")).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH decorated AS (
+          SELECT doc_id, text ||
+            CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||
+            CASE WHEN doc_id % 3 = 1 THEN ' call 555-867-5309 or 555.867.1234' ELSE '' END ||
+            CASE WHEN doc_id % 2 = 0 THEN ' ssn 123-45-6789.' ELSE '' END AS text
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+          CAST(len(regexp_extract_all(text, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS INT) AS n_phones,
+          CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INT) AS n_ssns,
+          md5(regexp_replace(regexp_replace(regexp_replace(text,
+            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+            '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+            '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g')) AS redacted_md5
+        FROM decorated ORDER BY doc_id"""))
   )
 }
