@@ -47,6 +47,44 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.size == 30)
   }
 
+  test("star variant: random graphs equal union-find roots") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val n = 120
+      val edges = Seq.fill(90)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val got = Components.connectedComponentsStar(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(n, edges)
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("star variant: a 200-node chain converges in logarithmic rounds") {
+    // hash-min would need ~200 rounds here; alternating stars must land
+    // well inside the default cap — this is the scale property the
+    // variant exists for.
+    val chain = (0L until 200L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = Components.connectedComponentsStar(chain.toDF("a", "b"), maxIters = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(0L))
+    assert(got.size == 200)
+  }
+
+  test("star variant: agrees with hash-min on clustered near-dup shapes") {
+    val rnd = new scala.util.Random(31)
+    // dense clusters + bridges — the d7 regime
+    val edges = (for (c <- 0 until 8) yield {
+      val base = c * 20L
+      Seq.fill(25)((base + rnd.nextInt(12), base + rnd.nextInt(12)))
+    }).flatten.filter(e => e._1 != e._2) ++ Seq((0L, 20L), (40L, 60L))
+    val a = Components.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Components.connectedComponentsStar(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("disjoint cliques keep separate canonical ids") {
     val cliqueA = for (i <- 0 to 3; j <- (i + 1) to 3) yield (i.toLong, j.toLong)
     val cliqueB = for (i <- 10 to 13; j <- (i + 1) to 13) yield (i.toLong, j.toLong)
