@@ -414,6 +414,80 @@ object TextOps {
           quantile_cont(n_chars, 0.95) AS p95_chars
         FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // Repetition filtering (Gopher/MassiveText-style quality rules, a
+    // public recipe): duplicate 2-/3-gram fractions and the most-frequent-
+    // token fraction, plus the keep/drop verdict. The n-gram fractions
+    // are map-side HOFs over the bound token array; the top-token count
+    // is the scalable explode → (doc, token) count → per-doc max shape
+    // (shuffle keyed on doc_id — never a per-doc quadratic scan).
+    // Fractions are single double divisions of exact ints (bit-identical
+    // cross-engine), so the boolean verdict compares identically too.
+    Q("t6_repetition",
+      (s, d) => {
+        val grams2 = expr("""CASE WHEN size(t) >= 2
+          THEN transform(sequence(1, size(t) - 1),
+            i -> concat_ws(' ', element_at(t, i), element_at(t, i+1)))
+          ELSE CAST(array() AS array<string>) END""")
+        val grams3 = expr("""CASE WHEN size(t) >= 3
+          THEN transform(sequence(1, size(t) - 2),
+            i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))
+          ELSE CAST(array() AS array<string>) END""")
+        def dupFrac(tot: Column, dis: Column): Column =
+          when(tot === 0, lit(0.0))
+            .otherwise((tot - dis).cast("double") / tot.cast("double"))
+        val base = Tables.documents(s, d)
+          .withColumn("t", tokens)
+          .withColumn("g2", grams2).withColumn("g3", grams3)
+          .select(col("doc_id"), size(col("t")).cast("int").as("n_tokens"),
+            size(col("g2")).cast("int").as("n_2g"),
+            size(array_distinct(col("g2"))).cast("int").as("n_2g_d"),
+            size(col("g3")).cast("int").as("n_3g"),
+            size(array_distinct(col("g3"))).cast("int").as("n_3g_d"))
+        val top = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens).as("tok"))
+          .groupBy("doc_id", "tok").count()
+          .groupBy("doc_id").agg(max(col("count")).cast("int").as("top_cnt"))
+        base.join(top, Seq("doc_id"))
+          .withColumn("dup_2g_frac", dupFrac(col("n_2g"), col("n_2g_d")))
+          .withColumn("dup_3g_frac", dupFrac(col("n_3g"), col("n_3g_d")))
+          .withColumn("top_tok_frac",
+            col("top_cnt").cast("double") / col("n_tokens").cast("double"))
+          .withColumn("keep",
+            col("dup_2g_frac") <= 0.9 && col("dup_3g_frac") <= 0.8 &&
+              col("top_tok_frac") <= 0.2)
+          .select(col("doc_id"), col("n_tokens"), col("dup_2g_frac"),
+            col("dup_3g_frac"), col("top_cnt"), col("top_tok_frac"), col("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        g AS (SELECT doc_id,
+            CAST(len(t) AS INT) AS n_tokens,
+            CAST(len(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS INT) AS n_2g,
+            CAST(len(list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS INT) AS n_2g_d,
+            CAST(len(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS INT) AS n_3g,
+            CAST(len(list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS INT) AS n_3g_d
+          FROM tok),
+        tc AS (SELECT doc_id, CAST(MAX(c) AS INT) AS top_cnt FROM (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS tok FROM tok)
+            GROUP BY doc_id, tok)
+          GROUP BY doc_id)
+        SELECT g.doc_id, n_tokens,
+          CASE WHEN n_2g = 0 THEN 0.0
+            ELSE CAST(n_2g - n_2g_d AS DOUBLE) / CAST(n_2g AS DOUBLE) END AS dup_2g_frac,
+          CASE WHEN n_3g = 0 THEN 0.0
+            ELSE CAST(n_3g - n_3g_d AS DOUBLE) / CAST(n_3g AS DOUBLE) END AS dup_3g_frac,
+          top_cnt,
+          CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_tok_frac,
+          (CASE WHEN n_2g = 0 THEN 0.0
+             ELSE CAST(n_2g - n_2g_d AS DOUBLE) / CAST(n_2g AS DOUBLE) END) <= 0.9
+            AND (CASE WHEN n_3g = 0 THEN 0.0
+             ELSE CAST(n_3g - n_3g_d AS DOUBLE) / CAST(n_3g AS DOUBLE) END) <= 0.8
+            AND CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.2 AS keep
+        FROM g JOIN tc ON g.doc_id = tc.doc_id
+        ORDER BY g.doc_id""")),
+
     // Multimodal plumbing: opaque binary payload column + typed metadata
     // (the schema/partitioning side of image/audio handling; decode is
     // stubbed in graft.llm.Multimodal).
