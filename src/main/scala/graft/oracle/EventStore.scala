@@ -206,23 +206,49 @@ final class EventStore(spark: SparkSession, root: String) {
     append("events_weather", links.toDS().toDF())
   }
 
+  private val SeqPrefix = "_seq_"
+
+  /** Reserve `n` sequence values for `table`: returns the old high-water
+    * mark; the caller owns `hwm+1 … hwm+n`. The mark lives in a marker
+    * file whose NAME carries the value (`_seq_<hwm>`, same pattern as the
+    * commit pointers) — reservation is one directory listing plus one
+    * file create, O(1) in table size, where the previous implementation
+    * ran `max(id)` over the whole table per insert batch (a full scan —
+    * the write-path serialization point at scale). The reservation is
+    * written BEFORE any data, so a crash between the two leaves a gap,
+    * never a duplicate — exactly what the reference's DuckDB sequence
+    * allows (event_db_migrations.rs:44-80). Stores created before this
+    * scheme bootstrap the mark from `max(id)` once. Single-writer by
+    * store contract, so reserve-then-write needs no lock. */
+  private def reserveSeq(table: String, n: Long, bootstrap: => Long): Long = {
+    val dir = new Path(path(table))
+    val existing =
+      if (!fs.exists(dir)) Seq.empty[String]
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith(SeqPrefix)).toSeq
+    val hwm = existing.map(_.stripPrefix(SeqPrefix).toLong)
+      .maxOption.getOrElse(bootstrap)
+    fs.create(new Path(dir, SeqPrefix + (hwm + n)), true).close()
+    existing.foreach(m => fs.delete(new Path(dir, m), false))
+    hwm
+  }
+
   /** F10 + F9 — insert entries whose choices have no ids yet and whose
     * audit timestamps may be unset: choice ids come from the store's
-    * sequence analog (`max(id) + monotonically_increasing_id() + 1` —
-    * unique and increasing like the reference's DuckDB sequence,
-    * event_db_migrations.rs:44-80; gaps allowed, exactly as sequences
-    * allow), and null created_at/updated_at default to the write time
-    * (the reference's `DEFAULT now()`). */
+    * sequence analog ([[reserveSeq]] — unique and increasing like the
+    * reference's DuckDB sequence, event_db_migrations.rs:44-80; gaps
+    * allowed, exactly as sequences allow), and null
+    * created_at/updated_at default to the write time (the reference's
+    * `DEFAULT now()`). */
   def insertEntriesAutoIds(rows: Seq[EntryRow],
       rowChoices: Seq[(String, String, Option[String], Option[String], Option[String])]): Unit = {
     require(rowChoices.forall { case (_, _, tl, th, ws) =>
       Seq(tl, th, ws).flatten.forall(choiceValues.contains) },
       s"choice values must be one of $choiceValues")
-    val base = choices.toDF().agg(coalesce(max(col("id")), lit(0L))).as[Long].head()
-    val withIds = rowChoices
-      .toDF("entry_id", "station", "temp_low", "temp_high", "wind_speed")
-      .withColumn("id", monotonically_increasing_id() + lit(base + 1))
-      .select("id", "entry_id", "station", "temp_low", "temp_high", "wind_speed")
+    val base = reserveSeq("expected_observations", rowChoices.size,
+      choices.toDF().agg(coalesce(max(col("id")), lit(0L))).as[Long].head())
+    val withIds = rowChoices.zipWithIndex.map { case ((e, st, tl, th, ws), i) =>
+      ChoiceRow(base + i + 1, e, st, tl, th, ws) }.toDS().toDF()
     val stamped = rows.toDS().toDF()
       .withColumn("created_at", coalesce(col("created_at"), current_timestamp()))
       .withColumn("updated_at", coalesce(col("updated_at"), current_timestamp()))

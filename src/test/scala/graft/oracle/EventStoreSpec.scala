@@ -127,6 +127,29 @@ class EventStoreSpec extends AnyFunSuite {
     assert(stamped.find(_.id == n2).get.created_at == t0) // explicit values kept
   }
 
+  test("insertEntriesAutoIds: O(1) sequence marker, not a table rescan") {
+    val rootDir = Files.createTempDirectory("graft-seq").toString
+    val store = new EventStore(spark, rootDir)
+    store.insertEvents(Seq(mkEvent("ev-s")))
+    val n1 = Uuid7.generate()
+    store.insertEntriesAutoIds(Seq(EntryRow(n1, "ev-s", 0L, t0, t0)),
+      Seq((n1, "PFNO", Some("over"), None, None)))
+    // the reservation left a high-water marker file in the table dir
+    val dir = new java.io.File(rootDir, "expected_observations")
+    def markers = dir.listFiles.map(_.getName).filter(_.startsWith("_seq_")).toSeq
+    assert(markers == Seq("_seq_1"))
+    // allocation follows the MARKER, not max(id): plant a higher mark and
+    // the next batch must start above it (proves no data rescan)
+    assert(new java.io.File(dir, "_seq_1").delete())
+    assert(new java.io.File(dir, "_seq_1000").createNewFile())
+    val n2 = Uuid7.generate()
+    store.insertEntriesAutoIds(Seq(EntryRow(n2, "ev-s", 0L, t0, t0)),
+      Seq((n2, "KSAW", None, Some("under"), None), (n2, "KWMC", Some("par"), None, None)))
+    val ids = store.choices.collect().map(_.id).sorted
+    assert(ids.toSeq == Seq(1L, 1001L, 1002L))
+    assert(markers == Seq("_seq_1002")) // old marks retired, one survivor
+  }
+
   test("eventWeatherRows 3-way join and entriesWithChoices collection") {
     val store = newStore()
     val e = Uuid7.generate()
