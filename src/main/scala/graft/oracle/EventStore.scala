@@ -121,9 +121,10 @@ object EventQueries {
 }
 
 /** Parquet-backed relational event store (SURVEY §2.1 S13) with
-  * MERGE-style updates done as read-join-swap (J5). Single-writer by
-  * design, like the reference's lock-retried DuckDB file; the API is
-  * Delta-shaped so a transactional table format can slot in unchanged.
+  * MERGE-style updates done as read-join-swap (J5). Writers serialize
+  * through [[withWriterLock]] with the reference's 5 × 100 ms retry
+  * envelope (S14, event_data.rs:33-36); the API is Delta-shaped so a
+  * transactional table format can slot in unchanged.
   *
   * Reader isolation: each table is a directory of immutable version
   * subdirs (`v00000001`, …) plus `_commit_v…` marker files — the
@@ -141,6 +142,51 @@ final class EventStore(spark: SparkSession, root: String) {
   val choiceValues: Set[String] = Set("over", "par", "under")
 
   private def path(table: String) = s"$root/$table"
+
+  /** S14 — writer mutual exclusion with the reference's retry envelope
+    * (5 attempts × 100 ms, event_data.rs:33-36,44-101). The reference
+    * leans on DuckDB's OS file lock; here the lock is an exclusively-
+    * created `_writer_lock` file: java.nio `createFile` (atomic
+    * create-if-absent) for local paths, `FileSystem.create(overwrite =
+    * false)` (namenode-atomic) elsewhere. An OS lock dies with its
+    * process; a lock FILE from a crashed writer does not, so locks older
+    * than [[EventStore.LockStaleMs]] are broken — the delete-then-
+    * recreate race is benign because every contender still goes through
+    * the atomic create, and exactly one wins. */
+  private def withWriterLock[T](f: => T): T = {
+    val lock = new Path(root, "_writer_lock")
+    def tryAcquire(): Boolean = {
+      val uri = lock.toUri
+      if (uri.getScheme == null || uri.getScheme == "file")
+        try {
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(uri.getPath)); true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.nio.file.NoSuchFileException => // parent missing
+            fs.mkdirs(new Path(root)); tryAcquire()
+        }
+      else
+        try { fs.create(lock, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    }
+    var attempt = 0
+    while (!tryAcquire()) {
+      val stale =
+        try fs.getFileStatus(lock).getModificationTime <
+          System.currentTimeMillis() - EventStore.LockStaleMs
+        catch { case _: java.io.IOException => false } // vanished: retry now
+      if (stale) fs.delete(lock, false)
+      else {
+        attempt += 1
+        if (attempt >= EventStore.LockAttempts)
+          sys.error(s"event store writer lock held after " +
+            s"${EventStore.LockAttempts} × ${EventStore.LockWaitMs} ms — " +
+            "is another writer stuck?")
+        Thread.sleep(EventStore.LockWaitMs)
+      }
+    }
+    try f finally fs.delete(lock, false)
+  }
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -191,20 +237,24 @@ final class EventStore(spark: SparkSession, root: String) {
   def weather: Dataset[WeatherRow] = readOr[WeatherRow]("weather")
   def eventWeather: Dataset[EventWeatherRow] = readOr[EventWeatherRow]("events_weather")
 
-  def insertEvents(rows: Seq[EventRow]): Unit = append("events", rows.toDS().toDF())
+  def insertEvents(rows: Seq[EventRow]): Unit =
+    withWriterLock(append("events", rows.toDS().toDF()))
 
   def insertEntries(rows: Seq[EntryRow], rowChoices: Seq[ChoiceRow]): Unit = {
     require(rowChoices.forall(c =>
       Seq(c.temp_low, c.temp_high, c.wind_speed).flatten.forall(choiceValues.contains)),
       s"choice values must be one of $choiceValues")
-    append("events_entries", rows.toDS().toDF())
-    append("expected_observations", rowChoices.toDS().toDF())
+    withWriterLock {
+      append("events_entries", rows.toDS().toDF())
+      append("expected_observations", rowChoices.toDS().toDF())
+    }
   }
 
-  def insertWeather(rows: Seq[WeatherRow], links: Seq[EventWeatherRow]): Unit = {
-    append("weather", rows.toDS().toDF())
-    append("events_weather", links.toDS().toDF())
-  }
+  def insertWeather(rows: Seq[WeatherRow], links: Seq[EventWeatherRow]): Unit =
+    withWriterLock {
+      append("weather", rows.toDS().toDF())
+      append("events_weather", links.toDS().toDF())
+    }
 
   private val SeqPrefix = "_seq_"
 
@@ -245,15 +295,17 @@ final class EventStore(spark: SparkSession, root: String) {
     require(rowChoices.forall { case (_, _, tl, th, ws) =>
       Seq(tl, th, ws).flatten.forall(choiceValues.contains) },
       s"choice values must be one of $choiceValues")
-    val base = reserveSeq("expected_observations", rowChoices.size,
-      choices.toDF().agg(coalesce(max(col("id")), lit(0L))).as[Long].head())
-    val withIds = rowChoices.zipWithIndex.map { case ((e, st, tl, th, ws), i) =>
-      ChoiceRow(base + i + 1, e, st, tl, th, ws) }.toDS().toDF()
-    val stamped = rows.toDS().toDF()
-      .withColumn("created_at", coalesce(col("created_at"), current_timestamp()))
-      .withColumn("updated_at", coalesce(col("updated_at"), current_timestamp()))
-    append("events_entries", stamped)
-    append("expected_observations", withIds)
+    withWriterLock {
+      val base = reserveSeq("expected_observations", rowChoices.size,
+        choices.toDF().agg(coalesce(max(col("id")), lit(0L))).as[Long].head())
+      val withIds = rowChoices.zipWithIndex.map { case ((e, st, tl, th, ws), i) =>
+        ChoiceRow(base + i + 1, e, st, tl, th, ws) }.toDS().toDF()
+      val stamped = rows.toDS().toDF()
+        .withColumn("created_at", coalesce(col("created_at"), current_timestamp()))
+        .withColumn("updated_at", coalesce(col("updated_at"), current_timestamp()))
+      append("events_entries", stamped)
+      append("expected_observations", withIds)
+    }
   }
 
   /** Listing surface over the store's tables — see [[EventQueries]]. */
@@ -290,20 +342,23 @@ final class EventStore(spark: SparkSession, root: String) {
     // invalidate the plan mid-write.
     val s = scores.select(col("entry_id"), col("score").as("new_score"))
       .localCheckpoint(true)
-    val updated = entries.toDF()
-      .join(broadcast(s), col("id") === col("entry_id"), "left")
-      .withColumn("score", coalesce(col("new_score"), col("score")))
-      .drop("entry_id", "new_score")
-    swapWrite("events_entries", updated)
+    withWriterLock {
+      val updated = entries.toDF()
+        .join(broadcast(s), col("id") === col("entry_id"), "left")
+        .withColumn("score", coalesce(col("new_score"), col("score")))
+        .drop("entry_id", "new_score")
+      swapWrite("events_entries", updated)
+    }
   }
 
   /** Attestation write-back (event_data.rs:385-402). */
-  def updateAttestation(eventId: String, signature: Array[Byte]): Unit = {
-    val updated = events.toDF()
-      .withColumn("attestation_signature",
-        when(col("id") === eventId, lit(signature)).otherwise(col("attestation_signature")))
-    swapWrite("events", updated)
-  }
+  def updateAttestation(eventId: String, signature: Array[Byte]): Unit =
+    withWriterLock {
+      val updated = events.toDF()
+        .withColumn("attestation_signature",
+          when(col("id") === eventId, lit(signature)).otherwise(col("attestation_signature")))
+      swapWrite("events", updated)
+    }
 
   /** Overwrite a table that is also the read source: write the NEXT
     * version dir in full, commit the pointer atomically, then retire
@@ -367,4 +422,13 @@ object EventStore {
     * window covering the longest in-flight scan (a VACUUM horizon; a
     * production deployment sizes this to its max query duration). */
   val KeepVersions = 3
+
+  /** Writer-lock retry envelope — the reference's 5 × 100 ms
+    * (event_data.rs:33-36). */
+  val LockAttempts = 5
+  val LockWaitMs = 100L
+
+  /** Age after which a writer lock is presumed abandoned (crashed
+    * writer) and broken. */
+  val LockStaleMs = 60000L
 }

@@ -150,6 +150,68 @@ class EventStoreSpec extends AnyFunSuite {
     assert(markers == Seq("_seq_1002")) // old marks retired, one survivor
   }
 
+  test("writer lock: concurrent insert batches serialize, ids stay unique") {
+    val store = newStore()
+    store.insertEvents(Seq(mkEvent("ev-c")))
+    // each thread retries on lock exhaustion, as the reference's API
+    // callers do on its lock-retry 500s — the property under test is
+    // mutual exclusion (no lost reservation), not the retry budget
+    val failures = new java.util.concurrent.atomic.AtomicInteger
+    val threads = (1 to 6).map { _ =>
+      new Thread(() => {
+        val n = Uuid7.generate()
+        var attempts = 0
+        var done = false
+        while (!done && attempts < 60) {
+          try {
+            store.insertEntriesAutoIds(Seq(EntryRow(n, "ev-c", 0L, t0, t0)),
+              Seq((n, "PFNO", Some("over"), None, None),
+                (n, "KSAW", None, Some("under"), None)))
+            done = true
+          } catch {
+            case e: RuntimeException if e.getMessage.contains("writer lock") =>
+              attempts += 1; Thread.sleep(50)
+          }
+        }
+        if (!done) failures.incrementAndGet()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.get() == 0)
+    val ids = store.choices.collect().map(_.id)
+    // 6 racing read-modify-write reservations: any lost update would
+    // produce a duplicate id
+    assert(ids.length == 12 && ids.distinct.length == 12)
+  }
+
+  test("writer lock: a held lock exhausts the 5 x 100 ms retry budget") {
+    val rootDir = Files.createTempDirectory("graft-lock").toString
+    val store = new EventStore(spark, rootDir)
+    store.insertEvents(Seq(mkEvent("ev-l"))) // creates the root
+    val lock = new java.io.File(rootDir, "_writer_lock")
+    assert(lock.createNewFile())
+    try {
+      val t0ms = System.currentTimeMillis()
+      val e = intercept[RuntimeException] {
+        store.insertEvents(Seq(mkEvent("ev-l2")))
+      }
+      assert(e.getMessage.contains("writer lock"))
+      assert(System.currentTimeMillis() - t0ms >= 400) // ~5 x 100 ms waited
+    } finally lock.delete()
+  }
+
+  test("writer lock: a stale lock from a crashed writer is broken") {
+    val rootDir = Files.createTempDirectory("graft-stale").toString
+    val store = new EventStore(spark, rootDir)
+    store.insertEvents(Seq(mkEvent("ev-st")))
+    val lock = new java.io.File(rootDir, "_writer_lock")
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(System.currentTimeMillis() - EventStore.LockStaleMs - 1000))
+    store.insertEvents(Seq(mkEvent("ev-st2"))) // must not need 5 retries
+    assert(store.events.collect().map(_.id).sorted.toSeq == Seq("ev-st", "ev-st2"))
+    assert(!lock.exists())
+  }
+
   test("eventWeatherRows 3-way join and entriesWithChoices collection") {
     val store = newStore()
     val e = Uuid7.generate()
