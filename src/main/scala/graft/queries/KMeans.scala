@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an embedding column — the production
+  * centroid builder for the IVF ANN index (v5 pins its centroids so the
+  * oracle gate is deterministic; its scaladoc names k-means as the real
+  * build step — this is that step, Spark-first).
+  *
+  * Shapes, per iteration:
+  *  - **assignment is pure map-side**: the k centroids are a literal
+  *    array-of-arrays baked into the plan (k × dim doubles — even
+  *    k=4096 × dim=1024 is 32 MB, broadcast-sized), and the nearest
+  *    cell is `array_position(d, array_min(d))` over a `transform` of
+  *    squared L2 distances. No join, no shuffle, no driver round-trip.
+  *  - **the update is ONE shuffle**: `posexplode` the vector, partial
+  *    `avg` per (cell, dimension) map-side, final aggregate of k × dim
+  *    cells — the shuffle carries combiner state, not rows. The k × dim
+  *    result is driver-collected (tiny, by construction) to rebuild the
+  *    literal for the next round — the same pattern the reference's
+  *    centroid loop would run, but distributed.
+  *
+  * Initialization is deterministic farthest-first traversal: the
+  * hash-minimal vector seeds, then k−1 passes each take the point
+  * farthest from its nearest chosen centroid (each pass is one map-side
+  * scoring scan + a TopK — no shuffle of vectors). Deterministic by
+  * construction (no RNG, stable tie-breaks), immune to the
+  * duplicate-seed collapse a plain sample risks; at large k swap in
+  * k-means|| (oversampled probabilistic init, fewer passes) — the loop
+  * body is unchanged. Empty cells keep their previous centroid.
+  * Iteration stops when the max centroid movement (squared L2) drops
+  * under `tol` or at `maxIters`.
+  */
+object KMeans {
+
+  /** Squared L2 distance between a literal centroid array and the vector
+    * column, as a sequential double fold (same fold family as
+    * VectorOps.dot). */
+  private def l2sq(c: Column, vec: Column): Column =
+    aggregate(
+      zip_with(c, vec, (x, y) => { val d = x - y.cast("double"); d * d }),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def centroidLit(cs: Array[Array[Double]]): Column =
+    array(cs.map(c => array(c.map(lit(_)): _*)): _*)
+
+  /** 0-based nearest-centroid cell id for `vec` — usable standalone to
+    * assign query vectors at search time. */
+  def assignCell(cs: Array[Array[Double]], vec: Column): Column = {
+    val d = transform(centroidLit(cs), c => l2sq(c, vec))
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  /** @param embeddings input with `idCol` and float-array `vecCol`
+    * @return (final centroids, assignment DataFrame (idCol, cell)) */
+  def fit(embeddings: DataFrame, k: Int, maxIters: Int = 10,
+      tol: Double = 1e-9, idCol: String = "vec_id",
+      vecCol: String = "embedding"): (Array[Array[Double]], DataFrame) = {
+    require(k > 0, "k must be positive")
+    val first = embeddings
+      .orderBy(xxhash64(col(vecCol)), col(idCol))
+      .limit(1).select(col(vecCol)).collect()
+    require(first.nonEmpty, "need at least one input vector")
+    var centroids: Array[Array[Double]] =
+      Array(first.head.getSeq[Float](0).map(_.toDouble).toArray)
+    while (centroids.length < k) {
+      val far = embeddings
+        .select(col(idCol), col(vecCol),
+          array_min(transform(centroidLit(centroids), c => l2sq(c, col(vecCol))))
+            .as("dmin"))
+        .orderBy(desc("dmin"), col(idCol))
+        .limit(1).select(col(vecCol)).collect()
+      centroids :+= far.head.getSeq[Float](0).map(_.toDouble).toArray
+    }
+
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIters && moved > tol) {
+      val assigned = embeddings
+        .withColumn("cell", assignCell(centroids, col(vecCol)))
+      val means = assigned
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+      val next = centroids.zipWithIndex.map { case (old, i) =>
+        means.get(i).map(_.toArray).getOrElse(old) // empty cell: keep
+      }
+      moved = centroids.zip(next)
+        .map { case (a, b) => a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum }
+        .max
+      centroids = next
+      iter += 1
+    }
+    (centroids, embeddings.select(col(idCol),
+      assignCell(centroids, col(vecCol)).as("cell")))
+  }
+}

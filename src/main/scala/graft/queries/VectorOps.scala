@@ -113,7 +113,8 @@ object VectorOps {
     // then search only the nprobe=2 closest lists per query (an equi-join
     // on the cell id — shuffle keyed by cell, never a scan of the corpus).
     // Centroids here are the first 16 vectors, pinned for determinism;
-    // production would k-means them — the operator shape (assign /
+    // production builds them with graft.queries.KMeans.fit (distributed
+    // Lloyd's, farthest-first init) — the operator shape (assign /
     // probe / rank) is identical and that is what this query gates.
     Q("v5_knn_ivf",
       (s, d) => {
