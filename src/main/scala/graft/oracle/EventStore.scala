@@ -136,7 +136,8 @@ object EventQueries {
   * [[EventStore.KeepVersions]] swaps (covering in-flight scans, like a
   * VACUUM retention window) before deletion.
   */
-final class EventStore(spark: SparkSession, root: String) {
+final class EventStore(spark: SparkSession, root: String,
+    lockStaleMs: Long = EventStore.LockStaleMs) {
   import spark.implicits._
 
   val choiceValues: Set[String] = Set("over", "par", "under")
@@ -148,12 +149,23 @@ final class EventStore(spark: SparkSession, root: String) {
     * leans on DuckDB's OS file lock; here the lock is an exclusively-
     * created `_writer_lock` file: java.nio `createFile` (atomic
     * create-if-absent) for local paths, `FileSystem.create(overwrite =
-    * false)` (namenode-atomic) elsewhere. An OS lock dies with its
-    * process; a lock FILE from a crashed writer does not, so locks older
-    * than [[EventStore.LockStaleMs]] are broken — the delete-then-
-    * recreate race is benign because every contender still goes through
-    * the atomic create, and exactly one wins. */
-  private def withWriterLock[T](f: => T): T = {
+    * false)` (namenode-atomic) elsewhere.
+    *
+    * An OS lock dies with its process; a lock FILE from a crashed writer
+    * does not, so liveness is carried by the file's mtime:
+    *  - the HOLDER heartbeats the mtime every `lockStaleMs / 6` from a
+    *    daemon thread, so a live writer is never judged stale no matter
+    *    how long its Spark jobs run;
+    *  - a contender breaks the lock only when the mtime is older than
+    *    `lockStaleMs` AND a re-stat immediately before the delete still
+    *    shows the SAME stale mtime — a lock re-created (or heartbeated)
+    *    between the two stats has a fresh stamp and is left alone. The
+    *    stat→delete pair is not atomic; the residual window requires a
+    *    competing breaker's delete plus a full re-acquire to interleave
+    *    within it, and breakers only exist at all after a writer crash —
+    *    accepted and documented (full fencing needs a coordination
+    *    service, out of scope as in the reference's single-file lock). */
+  private[oracle] def withWriterLock[T](f: => T): T = {
     val lock = new Path(root, "_writer_lock")
     def tryAcquire(): Boolean = {
       val uri = lock.toUri
@@ -171,12 +183,16 @@ final class EventStore(spark: SparkSession, root: String) {
     }
     var attempt = 0
     while (!tryAcquire()) {
-      val stale =
-        try fs.getFileStatus(lock).getModificationTime <
-          System.currentTimeMillis() - EventStore.LockStaleMs
-        catch { case _: java.io.IOException => false } // vanished: retry now
-      if (stale) fs.delete(lock, false)
-      else {
+      val seen =
+        try Some(fs.getFileStatus(lock).getModificationTime)
+        catch { case _: java.io.IOException => None } // vanished: retry now
+      val stale = seen.exists(_ < System.currentTimeMillis() - lockStaleMs)
+      if (stale) {
+        val unchanged =
+          try fs.getFileStatus(lock).getModificationTime == seen.get
+          catch { case _: java.io.IOException => false }
+        if (unchanged) fs.delete(lock, false)
+      } else if (seen.isDefined) {
         attempt += 1
         if (attempt >= EventStore.LockAttempts)
           sys.error(s"event store writer lock held after " +
@@ -185,7 +201,15 @@ final class EventStore(spark: SparkSession, root: String) {
         Thread.sleep(EventStore.LockWaitMs)
       }
     }
-    try f finally fs.delete(lock, false)
+    val beat = new Thread(() => {
+      try while (true) {
+        Thread.sleep(math.max(1L, lockStaleMs / 6))
+        fs.setTimes(lock, System.currentTimeMillis(), -1)
+      } catch { case _: InterruptedException => } // released
+    }, s"graft-lock-heartbeat-$root")
+    beat.setDaemon(true)
+    beat.start()
+    try f finally { beat.interrupt(); fs.delete(lock, false) }
   }
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -278,8 +302,14 @@ final class EventStore(spark: SparkSession, root: String) {
         .filter(_.startsWith(SeqPrefix)).toSeq
     val hwm = existing.map(_.stripPrefix(SeqPrefix).toLong)
       .maxOption.getOrElse(bootstrap)
-    fs.create(new Path(dir, SeqPrefix + (hwm + n)), true).close()
-    existing.foreach(m => fs.delete(new Path(dir, m), false))
+    if (n > 0) {
+      // n == 0 must not touch the marker: the new name would equal the
+      // old one and the retire pass below would delete it, losing the
+      // sequence state
+      fs.create(new Path(dir, SeqPrefix + (hwm + n)), true).close()
+      existing.filterNot(_ == SeqPrefix + (hwm + n))
+        .foreach(m => fs.delete(new Path(dir, m), false))
+    }
     hwm
   }
 
@@ -428,7 +458,8 @@ object EventStore {
   val LockAttempts = 5
   val LockWaitMs = 100L
 
-  /** Age after which a writer lock is presumed abandoned (crashed
-    * writer) and broken. */
+  /** Default age after which a non-heartbeated writer lock is presumed
+    * abandoned (crashed writer) and broken. Live holders refresh the
+    * mtime every sixth of this, so only a dead writer's lock ages out. */
   val LockStaleMs = 60000L
 }

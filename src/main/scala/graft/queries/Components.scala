@@ -92,15 +92,16 @@ object Components {
     */
   def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 40): DataFrame = {
     val Seq(ca, cb) = pairs.columns.toSeq.take(2)
+    // nodes derive from the RAW pairs: a node appearing only in
+    // self-pairs has no surviving edge but must still label itself
+    // (same contract as connectedComponents)
+    val nodes = pairs.select(col(ca).as("node"))
+      .unionByName(pairs.select(col(cb).as("node")))
+      .distinct()
+      .localCheckpoint(true)
     var edges = pairs
       .select(greatest(col(ca), col(cb)).as("u"), least(col(ca), col(cb)).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
-    // every node ever seen — the fixpoint edge set loses isolated nodes
-    // and (as stars merge) intermediate pivots on the child side
-    val nodes = edges.select(col("u").as("node"))
-      .unionByName(edges.select(col("v").as("node")))
       .distinct()
       .localCheckpoint(true)
 

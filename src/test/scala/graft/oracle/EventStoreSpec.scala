@@ -212,6 +212,46 @@ class EventStoreSpec extends AnyFunSuite {
     assert(!lock.exists())
   }
 
+  test("writer lock: heartbeat keeps a long-held lock from going stale") {
+    val rootDir = Files.createTempDirectory("graft-beat").toString
+    val store = new EventStore(spark, rootDir, lockStaleMs = 1000)
+    store.insertEvents(Seq(mkEvent("ev-hb")))
+    @volatile var holderDone = false
+    val holder = new Thread(() => {
+      store.withWriterLock { Thread.sleep(2500); holderDone = true }
+    })
+    holder.start()
+    Thread.sleep(1500) // well past lockStaleMs: only the heartbeat saves it
+    // a contender must NOT break the heartbeated lock — it exhausts the
+    // retry budget instead, while the holder is still inside f
+    val e = intercept[RuntimeException] { store.insertEvents(Seq(mkEvent("ev-hb2"))) }
+    assert(e.getMessage.contains("writer lock") && !holderDone)
+    holder.join()
+    assert(holderDone)
+    store.insertEvents(Seq(mkEvent("ev-hb3"))) // and releases cleanly
+    assert(store.events.count() == 2)
+  }
+
+  test("reserveSeq with an empty choice batch keeps the sequence marker") {
+    val rootDir = Files.createTempDirectory("graft-seq0").toString
+    val store = new EventStore(spark, rootDir)
+    store.insertEvents(Seq(mkEvent("ev-z")))
+    val n1 = Uuid7.generate()
+    store.insertEntriesAutoIds(Seq(EntryRow(n1, "ev-z", 0L, t0, t0)),
+      Seq((n1, "PFNO", Some("over"), None, None)))
+    val dir = new java.io.File(rootDir, "expected_observations")
+    def markers = dir.listFiles.map(_.getName).filter(_.startsWith("_seq_")).toSeq
+    assert(markers == Seq("_seq_1"))
+    // an entry with no choices reserves n = 0: the marker must survive
+    val n2 = Uuid7.generate()
+    store.insertEntriesAutoIds(Seq(EntryRow(n2, "ev-z", 0L, t0, t0)), Seq.empty)
+    assert(markers == Seq("_seq_1"))
+    val n3 = Uuid7.generate()
+    store.insertEntriesAutoIds(Seq(EntryRow(n3, "ev-z", 0L, t0, t0)),
+      Seq((n3, "KSAW", None, Some("under"), None)))
+    assert(store.choices.collect().map(_.id).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("eventWeatherRows 3-way join and entriesWithChoices collection") {
     val store = newStore()
     val e = Uuid7.generate()

@@ -85,6 +85,16 @@ class ComponentsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("star variant: self-pair-only nodes label themselves (contract parity)") {
+    val pairs = Seq((1L, 2L), (7L, 7L)).toDF("a", "b")
+    val star = Components.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hashMin = Components.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+    assert(star == hashMin)
+  }
+
   test("disjoint cliques keep separate canonical ids") {
     val cliqueA = for (i <- 0 to 3; j <- (i + 1) to 3) yield (i.toLong, j.toLong)
     val cliqueB = for (i <- 10 to 13; j <- (i + 1) to 13) yield (i.toLong, j.toLong)
