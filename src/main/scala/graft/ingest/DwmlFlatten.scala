@@ -38,26 +38,24 @@ object DwmlFlatten {
   private val longMetrics =
     Seq("max_temp", "min_temp", "rh_max", "rh_min", "pop12", "wind_speed", "wind_dir")
 
-  /** Flatten one decoded DWML document into the 3-h Forecast grid.
+  /** The grid/interval/fill/pivot pipeline shared by the single-document
+    * and corpus entry points, parameterized by the grouping-key prefix
+    * (`Seq()` for one document, `Seq("doc_id")` for a corpus — the keys
+    * join every join, aggregation, and window partition) and by a
+    * dimension hint (`broadcast` for the tiny single-document frames,
+    * identity for corpus-sized ones).
     *
-    * One document is small by construction (≤ 50 stations/chunk × ~56
-    * slots), so its frames are built single-partition: the per-stage task
-    * fan-out would otherwise dominate runtime (32 near-empty tasks ×
-    * every stage). Corpus-level parallelism comes from flattening MANY
-    * documents — each an independent flatten over its own partition — not
-    * from splitting one document across the cluster. */
-  def flatten(spark: SparkSession, doc: DwmlDoc, now: Timestamp): Dataset[Forecast] = {
-    import spark.implicits._
+    * @param locations (keys..., locationKey, latitude, longitude,
+    *                  stationId, generated_at)
+    * @param layouts   (keys..., layoutKey, idx, rangeStart)
+    * @param readings  (keys..., locationKey, metric, units, layoutKey, values)
+    * @return keys... followed by [[Forecast]]'s columns */
+  private def flattenFrames(locations: DataFrame, layouts: DataFrame,
+      readings: DataFrame, keys: Seq[String], now: Timestamp,
+      dimHint: DataFrame => DataFrame): DataFrame = {
 
-    def one[T: org.apache.spark.sql.Encoder](rows: Seq[T]): Dataset[T] =
-      spark.createDataset(rows).coalesce(1)
-
-    val locations = one(doc.locations)
-    val layouts = one(doc.layouts)
-    val readings = one(doc.readings)
-
-    // 1. 3-hour slot grid per location: [now, now+1w] inclusive.
-    val slots = locations.select(col("locationKey"))
+    // 1. 3-hour slot grid per (keys, location): [now, now+1w] inclusive.
+    val slots = locations.select((keys :+ "locationKey").map(col): _*)
       .withColumn("begin_time",
         explode(sequence(
           lit(now), lit(new Timestamp(now.getTime + 7L * 24 * 3600 * 1000)),
@@ -65,18 +63,23 @@ object DwmlFlatten {
       .withColumn("end_time", col("begin_time") + expr("INTERVAL 3 HOURS"))
 
     // 2. interval index per (slot, reading): last layout start ≤ begin.
+    //    Layout columns are l_-renamed so the range join is unambiguous.
+    val layoutsR = dimHint(layouts.select(
+      keys.map(k => col(k).as(s"l_$k")) ++
+        Seq(col("layoutKey").as("l_layoutKey"), col("idx"), col("rangeStart")): _*))
+    val layoutCond = keys
+      .map(k => col(k) === col(s"l_$k"))
+      .foldLeft(col("layoutKey") === col("l_layoutKey") &&
+        col("rangeStart") <= col("begin_time"))(_ && _)
     val slotReadings = slots
-      .join(readings, Seq("locationKey"))
-      .join(broadcast(layouts),
-        readings("layoutKey") === layouts("layoutKey") &&
-          col("rangeStart") <= col("begin_time"),
-        "left")
-      .groupBy(col("locationKey"), col("begin_time"), col("end_time"),
-        col("metric"), col("units"), col("values"))
+      .join(readings, keys :+ "locationKey")
+      .join(layoutsR, layoutCond, "left")
+      .groupBy((keys ++ Seq("locationKey", "begin_time", "end_time",
+        "metric", "units", "values")).map(col): _*)
       .agg(max(col("idx")).as("interval_idx"))
 
     // 3. raw value at the index (null when no interval or unparseable),
-    //    then per-(location, metric) forward fill in slot order.
+    //    then per-(keys, location, metric) forward fill in slot order.
     // try_cast = the reference's `value.parse::<i64>().ok()` (null on
     // malformed, e.g. the empty strings NDFD emits at layout tails).
     val valued = slotReadings
@@ -86,7 +89,7 @@ object DwmlFlatten {
       .withColumn("val_double",
         when(col("metric") === "precip", expr("try_cast(raw AS DOUBLE)")))
 
-    val w = Window.partitionBy("locationKey", "metric")
+    val w = Window.partitionBy((keys ++ Seq("locationKey", "metric")).map(col): _*)
       .orderBy("begin_time")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = valued
@@ -100,7 +103,7 @@ object DwmlFlatten {
       coalesce(max(when(col("metric") === m, col("units"))), lit(default)).as(name)
 
     val pivoted = filled
-      .groupBy("locationKey", "begin_time", "end_time")
+      .groupBy((keys ++ Seq("locationKey", "begin_time", "end_time")).map(col): _*)
       .agg(
         metricCol("max_temp"), metricCol("min_temp"), metricCol("rh_max"),
         metricCol("rh_min"), metricCol("precip"), metricCol("pop12"),
@@ -116,146 +119,15 @@ object DwmlFlatten {
     // Locations with no readings at all still get their (empty) grid —
     // join back to slots to preserve them, like the reference's
     // pre-seeded per-location vectors.
-    val grid = slots.join(pivoted, Seq("locationKey", "begin_time", "end_time"), "left")
+    val grid = slots.join(pivoted,
+      keys ++ Seq("locationKey", "begin_time", "end_time"), "left")
 
     // 5. station ids + fixed columns; drop locations without a station id
     //    (download_forecast.rs:404-412).
     grid
-      .join(broadcast(locations), Seq("locationKey"))
+      .join(dimHint(locations), keys :+ "locationKey")
       .where(col("stationId").isNotNull)
-      .select(
-        col("stationId").as("station_id"),
-        lit("").as("station_name"),
-        col("latitude"),
-        col("longitude"),
-        lit(doc.generatedAt).as("generated_at"),
-        col("begin_time"),
-        col("end_time"),
-        col("max_temp"),
-        col("min_temp"),
-        coalesce(col("temperature_unit_code"), lit(Units.Fahrenheit)).as("temperature_unit_code"),
-        col("wind_speed"),
-        coalesce(col("wind_speed_unit_code"), lit(Units.Knots)).as("wind_speed_unit_code"),
-        col("wind_dir").as("wind_direction"),
-        coalesce(col("wind_direction_unit_code"), lit(Units.DegreesTrue)).as("wind_direction_unit_code"),
-        col("rh_max").as("relative_humidity_max"),
-        col("rh_min").as("relative_humidity_min"),
-        coalesce(col("relative_humidity_unit_code"), lit(Units.Percent)).as("relative_humidity_unit_code"),
-        col("precip").as("liquid_precipitation_amt"),
-        coalesce(col("liquid_precipitation_unit_code"), lit(Units.Inches)).as("liquid_precipitation_unit_code"),
-        col("pop12").as("twelve_hour_probability_of_precipitation"),
-        coalesce(col("twelve_hour_probability_of_precipitation_unit_code"), lit(Units.Percent))
-          .as("twelve_hour_probability_of_precipitation_unit_code"))
-      .as[Forecast]
-  }
-
-  /** Flatten MANY DWML documents in ONE job — corpus-level parallelism
-    * as an API, not a per-document driver loop. The reference processes
-    * ≤50-coordinate chunks in a loop (download_forecast.rs:683-720);
-    * here every chunk's XML is one input row and the whole corpus is a
-    * single plan: partition-local parse (`map`, the only imperative
-    * step), then the same grid/interval/fill/pivot pipeline as
-    * [[flatten]] with `doc_id` added to every join key, aggregation key,
-    * and window partition — so a million documents shuffle by document,
-    * and no per-document work ever serializes through the driver.
-    *
-    * The parsed corpus is persisted (memory-and-disk) because four plan
-    * subtrees consume it (grid, readings, layouts, final location join);
-    * without it each subtree would re-parse the XML.
-    *
-    * @param docs (doc_id, dwml xml) rows; doc_id must be unique
-    * @return [[flatten]]'s Forecast columns, plus `doc_id` first */
-  def flattenAll(spark: SparkSession, docs: Dataset[(String, String)],
-      now: Timestamp): DataFrame = {
-    import spark.implicits._
-
-    val parsed = docs
-      .map { case (id, xml) => (id, Dwml.parse(xml, now)) }
-      .toDF("doc_id", "doc")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val locations = parsed.select(col("doc_id"),
-        col("doc.generatedAt").as("generated_at"),
-        explode(col("doc.locations")).as("loc"))
-      .select(col("doc_id"), col("generated_at"),
-        col("loc.locationKey").as("locationKey"),
-        col("loc.latitude").as("latitude"),
-        col("loc.longitude").as("longitude"),
-        col("loc.stationId").as("stationId"))
-    val layouts = parsed.select(col("doc_id"), explode(col("doc.layouts")).as("lay"))
-      .select(col("doc_id"), col("lay.layoutKey").as("layoutKey"),
-        col("lay.idx").as("idx"), col("lay.rangeStart").as("rangeStart"))
-    val readings = parsed.select(col("doc_id"), explode(col("doc.readings")).as("r"))
-      .select(col("doc_id"), col("r.locationKey").as("locationKey"),
-        col("r.metric").as("metric"), col("r.units").as("units"),
-        col("r.layoutKey").as("layoutKey"), col("r.values").as("values"))
-
-    // 1. 3-hour slot grid per (doc, location).
-    val slots = locations.select(col("doc_id"), col("locationKey"))
-      .withColumn("begin_time",
-        explode(sequence(
-          lit(now), lit(new Timestamp(now.getTime + 7L * 24 * 3600 * 1000)),
-          expr("INTERVAL 3 HOURS"))))
-      .withColumn("end_time", col("begin_time") + expr("INTERVAL 3 HOURS"))
-
-    // 2. interval index: last layout start ≤ begin, within the document.
-    val layoutsR = layouts.select(col("doc_id").as("l_doc_id"),
-      col("layoutKey").as("l_layoutKey"), col("idx"), col("rangeStart"))
-    val slotReadings = slots
-      .join(readings, Seq("doc_id", "locationKey"))
-      .join(layoutsR,
-        col("layoutKey") === col("l_layoutKey") &&
-          col("doc_id") === col("l_doc_id") &&
-          col("rangeStart") <= col("begin_time"),
-        "left")
-      .groupBy(col("doc_id"), col("locationKey"), col("begin_time"),
-        col("end_time"), col("metric"), col("units"), col("values"))
-      .agg(max(col("idx")).as("interval_idx"))
-
-    // 3. value lookup + per-(doc, location, metric) forward fill.
-    val valued = slotReadings
-      .withColumn("raw", element_at(col("values"), col("interval_idx") + 1))
-      .withColumn("val_long",
-        when(col("metric").isin(longMetrics: _*), expr("try_cast(raw AS BIGINT)")))
-      .withColumn("val_double",
-        when(col("metric") === "precip", expr("try_cast(raw AS DOUBLE)")))
-
-    val w = Window.partitionBy("doc_id", "locationKey", "metric")
-      .orderBy("begin_time")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valued
-      .withColumn("fill_long", last(col("val_long"), ignoreNulls = true).over(w))
-      .withColumn("fill_double", last(col("val_double"), ignoreNulls = true).over(w))
-
-    // 4. pivot metrics to columns, keyed by document.
-    def metricCol(m: String) = max(when(col("metric") === m,
-      if (m == "precip") col("fill_double") else col("fill_long"))).as(m)
-    def unitCol(m: String, default: String, name: String) =
-      coalesce(max(when(col("metric") === m, col("units"))), lit(default)).as(name)
-
-    val pivoted = filled
-      .groupBy("doc_id", "locationKey", "begin_time", "end_time")
-      .agg(
-        metricCol("max_temp"), metricCol("min_temp"), metricCol("rh_max"),
-        metricCol("rh_min"), metricCol("precip"), metricCol("pop12"),
-        metricCol("wind_speed"), metricCol("wind_dir"),
-        unitCol("max_temp", Units.Fahrenheit, "temperature_unit_code"),
-        unitCol("wind_speed", Units.Knots, "wind_speed_unit_code"),
-        unitCol("wind_dir", Units.DegreesTrue, "wind_direction_unit_code"),
-        unitCol("rh_max", Units.Percent, "relative_humidity_unit_code"),
-        unitCol("precip", Units.Inches, "liquid_precipitation_unit_code"),
-        unitCol("pop12", Units.Percent,
-          "twelve_hour_probability_of_precipitation_unit_code"))
-
-    // locations with no readings keep their empty grid, per document
-    val grid = slots.join(pivoted,
-      Seq("doc_id", "locationKey", "begin_time", "end_time"), "left")
-
-    grid
-      .join(locations, Seq("doc_id", "locationKey"))
-      .where(col("stationId").isNotNull)
-      .select(
-        col("doc_id"),
+      .select(keys.map(col) ++ Seq(
         col("stationId").as("station_id"),
         lit("").as("station_name"),
         col("latitude"),
@@ -277,7 +149,79 @@ object DwmlFlatten {
         coalesce(col("liquid_precipitation_unit_code"), lit(Units.Inches)).as("liquid_precipitation_unit_code"),
         col("pop12").as("twelve_hour_probability_of_precipitation"),
         coalesce(col("twelve_hour_probability_of_precipitation_unit_code"), lit(Units.Percent))
-          .as("twelve_hour_probability_of_precipitation_unit_code"))
+          .as("twelve_hour_probability_of_precipitation_unit_code")): _*)
+  }
+
+  /** Flatten one decoded DWML document into the 3-h Forecast grid.
+    *
+    * One document is small by construction (≤ 50 stations/chunk × ~56
+    * slots), so its frames are built single-partition: the per-stage task
+    * fan-out would otherwise dominate runtime (32 near-empty tasks ×
+    * every stage). Corpus-level parallelism comes from flattening MANY
+    * documents — each an independent flatten over its own partition — not
+    * from splitting one document across the cluster. */
+  def flatten(spark: SparkSession, doc: DwmlDoc, now: Timestamp): Dataset[Forecast] = {
+    import spark.implicits._
+
+    def one[T: org.apache.spark.sql.Encoder](rows: Seq[T]): Dataset[T] =
+      spark.createDataset(rows).coalesce(1)
+
+    flattenFrames(
+      one(doc.locations).toDF().withColumn("generated_at", lit(doc.generatedAt)),
+      one(doc.layouts).toDF(),
+      one(doc.readings).toDF(),
+      keys = Seq.empty, now = now, dimHint = broadcast)
+      .as[Forecast]
+  }
+
+  /** Flatten MANY DWML documents in ONE job — corpus-level parallelism
+    * as an API, not a per-document driver loop. The reference processes
+    * ≤50-coordinate chunks in a loop (download_forecast.rs:683-720);
+    * here every chunk's XML is one input row and the whole corpus is a
+    * single plan: partition-local parse (`map`, the only imperative
+    * step), then the same grid/interval/fill/pivot pipeline as
+    * [[flatten]] with `doc_id` added to every join key, aggregation key,
+    * and window partition — so a million documents shuffle by document,
+    * and no per-document work ever serializes through the driver.
+    *
+    * The parsed corpus is materialized once via eager `localCheckpoint`
+    * because four plan subtrees consume it (grid, readings, layouts,
+    * final location join); without it each subtree would re-parse the
+    * XML. localCheckpoint rather than `persist`: cached Datasets are
+    * pinned by the session's CacheManager until explicitly unpersisted
+    * (a leak for a fire-and-forget API), while checkpoint blocks are
+    * released by the ContextCleaner as soon as the result plan is
+    * garbage-collected.
+    *
+    * @param docs (doc_id, dwml xml) rows; doc_id must be unique
+    * @return [[flatten]]'s Forecast columns, plus `doc_id` first */
+  def flattenAll(spark: SparkSession, docs: Dataset[(String, String)],
+      now: Timestamp): DataFrame = {
+    import spark.implicits._
+
+    val parsed = docs
+      .map { case (id, xml) => (id, Dwml.parse(xml, now)) }
+      .toDF("doc_id", "doc")
+      .localCheckpoint(true)
+
+    val locations = parsed.select(col("doc_id"),
+        col("doc.generatedAt").as("generated_at"),
+        explode(col("doc.locations")).as("loc"))
+      .select(col("doc_id"), col("generated_at"),
+        col("loc.locationKey").as("locationKey"),
+        col("loc.latitude").as("latitude"),
+        col("loc.longitude").as("longitude"),
+        col("loc.stationId").as("stationId"))
+    val layouts = parsed.select(col("doc_id"), explode(col("doc.layouts")).as("lay"))
+      .select(col("doc_id"), col("lay.layoutKey").as("layoutKey"),
+        col("lay.idx").as("idx"), col("lay.rangeStart").as("rangeStart"))
+    val readings = parsed.select(col("doc_id"), explode(col("doc.readings")).as("r"))
+      .select(col("doc_id"), col("r.locationKey").as("locationKey"),
+        col("r.metric").as("metric"), col("r.units").as("units"),
+        col("r.layoutKey").as("layoutKey"), col("r.values").as("values"))
+
+    flattenFrames(locations, layouts, readings,
+      keys = Seq("doc_id"), now = now, dimHint = identity)
   }
 
   /** Station-name enrichment via the 2-dp coordinate equi-match (J8,
