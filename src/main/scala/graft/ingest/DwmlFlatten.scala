@@ -78,12 +78,17 @@ object DwmlFlatten {
         "metric", "units", "values")).map(col): _*)
       .agg(max(col("idx")).as("interval_idx"))
 
-    // 3. raw value at the index (null when no interval or unparseable),
-    //    then per-(keys, location, metric) forward fill in slot order.
+    // 3. raw value at the index (null when no interval, when the layout
+    //    has more range starts than the reading has values — the
+    //    reference's `values.get(idx)` returning None — or when
+    //    unparseable), then per-(keys, location, metric) forward fill in
+    //    slot order.
+    // try_element_at, not element_at: under ANSI mode the latter THROWS
+    // on an out-of-range interval index (caught by DwmlFlattenFuzzSpec).
     // try_cast = the reference's `value.parse::<i64>().ok()` (null on
     // malformed, e.g. the empty strings NDFD emits at layout tails).
     val valued = slotReadings
-      .withColumn("raw", element_at(col("values"), col("interval_idx") + 1))
+      .withColumn("raw", expr("try_element_at(values, interval_idx + 1)"))
       .withColumn("val_long",
         when(col("metric").isin(longMetrics: _*), expr("try_cast(raw AS BIGINT)")))
       .withColumn("val_double",
