@@ -502,6 +502,34 @@ object TextOps {
           upper(substr(hex(encode(text)), 1, 16)) AS hex_prefix
         FROM documents ORDER BY doc_id""")),
 
+    // Frame-sampling plumbing (the declarative side of
+    // graft.llm.Multimodal.sampleFrames): split an opaque payload into
+    // fixed 16-byte frames, keep every 4th, digest each — one-to-many
+    // via explode (executor-side, bounded per row), never a driver loop.
+    // Frames are addressed over the hex encoding because DuckDB has no
+    // BLOB substring; the Spark side mirrors it so the gate is exact.
+    Q("m2_frame_sample",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("hexp", upper(hex(encode(col("text"), "UTF-8"))))
+        .withColumn("frame_idx", explode(expr(
+          "filter(sequence(0, greatest(int(ceil(length(hexp) / 32.0)), 1) - 1), i -> i % 4 = 0)")))
+        .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+          md5(expr("substring(hexp, frame_idx * 32 + 1, 32)")).as("frame_md5"),
+          (length(expr("substring(hexp, frame_idx * 32 + 1, 32)")) / 2)
+            .cast("int").as("frame_bytes"))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH f AS (
+          SELECT doc_id, upper(hex(encode(text))) AS hexp FROM documents),
+        e AS (
+          SELECT doc_id, hexp,
+            unnest(range(0, greatest(CAST(ceil(length(hexp) / 32.0) AS INT), 1))) AS frame_idx
+          FROM f)
+        SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+          md5(substring(hexp, frame_idx * 32 + 1, 32)) AS frame_md5,
+          CAST(length(substring(hexp, frame_idx * 32 + 1, 32)) / 2 AS INT) AS frame_bytes
+        FROM e WHERE frame_idx % 4 = 0
+        ORDER BY doc_id, frame_idx""")),
+
     // PII scrubbing (graft.queries.Redact): detect + redact emails /
     // NANP phones / SSN-shaped ids, keeping per-type counts. The
     // synthetic corpus is PII-free, so deterministic spans are injected
