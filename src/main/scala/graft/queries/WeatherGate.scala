@@ -41,6 +41,24 @@ object WeatherGate {
       |    <value>9</value><value>11</value></wind-speed>
       |</parameters></data></dwml>""".stripMargin
 
+  /** One corpus document per index: temps/wind shift with `i` so the
+    * per-document grids are distinguishable in the oracle's closed form. */
+  private def corpusDwmlXml(i: Int): String =
+    s"""<dwml><head><product><creation-date>2024-08-12T00:00:00Z</creation-date></product></head>
+       |<data>
+       |<location><location-key>point1</location-key>
+       |  <point latitude="44.56" longitude="-95.12"/>
+       |  <station-id>KST$i</station-id></location>
+       |<time-layout><layout-key>k-p24h-n2-1</layout-key>
+       |  <start-valid-time>2024-08-12T00:00:00-00:00</start-valid-time>
+       |  <start-valid-time>2024-08-13T00:00:00-00:00</start-valid-time></time-layout>
+       |<parameters applicable-location="point1">
+       |  <temperature type="maximum" units="Fahrenheit" time-layout="k-p24h-n2-1">
+       |    <value>${60 + i}</value><value>${55 + i}</value></temperature>
+       |  <wind-speed type="sustained" units="knots" time-layout="k-p24h-n2-1">
+       |    <value>${5 + i}</value><value>${6 + i}</value></wind-speed>
+       |</parameters></data></dwml>""".stripMargin
+
   // ---- w2/w3 fixtures: forecast slots with a duplicated slot ----------
 
   private def forecastSlots(s: SparkSession): DataFrame = {
@@ -172,6 +190,30 @@ object WeatherGate {
         FROM generate_series(TIMESTAMP '2024-08-12 00:00:00',
                              TIMESTAMP '2024-08-19 00:00:00', INTERVAL 3 HOUR) t(g)
         ORDER BY begin_time""")),
+
+    // §2.9 corpus flatten — flattenAll over 3 documents in ONE plan,
+    // gated directly against the closed-form grid × document cross
+    // product (w1 gates the shared pipeline single-doc; this gates the
+    // doc_id keying of every join, aggregation, and window).
+    Q("w1b_dwml_flatten_corpus",
+      (s, d) => {
+        val now = ts("2024-08-12T00:00:00Z")
+        import s.implicits._
+        val docs = s.createDataset((0 until 3).map(i => (s"doc$i", corpusDwmlXml(i))))
+        DwmlFlatten.flattenAll(s, docs, now)
+          .select(col("doc_id"), col("station_id"), col("begin_time"),
+            col("max_temp"), col("wind_speed"), col("temperature_unit_code"))
+          .orderBy("doc_id", "begin_time")
+      },
+      Some("""SELECT 'doc' || CAST(i AS VARCHAR) AS doc_id,
+          'KST' || CAST(i AS VARCHAR) AS station_id, g AS begin_time,
+          CAST(CASE WHEN g < TIMESTAMP '2024-08-13 00:00:00' THEN 60 + i ELSE 55 + i END AS BIGINT) AS max_temp,
+          CAST(CASE WHEN g < TIMESTAMP '2024-08-13 00:00:00' THEN 5 + i ELSE 6 + i END AS BIGINT) AS wind_speed,
+          'fahrenheit' AS temperature_unit_code
+        FROM generate_series(TIMESTAMP '2024-08-12 00:00:00',
+                             TIMESTAMP '2024-08-19 00:00:00', INTERVAL 3 HOUR) t(g),
+             range(0, 3) r(i)
+        ORDER BY doc_id, begin_time""")),
 
     // A1 — the flagship two-level daily forecast rollup over slot rows
     // with a duplicated slot (level 1 must collapse it).
