@@ -161,6 +161,14 @@ object ImpliedScanRanges extends Rule[LogicalPlan] {
     case EqualTo(r @ TsLit(t), Trunc(inner, ml)) =>
       implied(GreaterThanOrEqual(inner, r)) ++
         ml.toSeq.flatMap(m => implied(LessThan(inner, Literal(t + m, TimestampType))))
+    // IN-list: the disjunction of equalities implies the [min, max] hull,
+    // which IS a conjunct — ts IN (t₁…tₙ) ⟹ min(tᵢ) ≤ ts ≤ max(tᵢ).
+    case In(e, list) if list.nonEmpty =>
+      val ts = list.collect { case TsLit(t) => t }
+      if (ts.length != list.length) Seq.empty // non-literal member: no hull
+      else
+        implied(GreaterThanOrEqual(e, Literal(ts.min, TimestampType))) ++
+          implied(LessThanOrEqual(e, Literal(ts.max, TimestampType)))
     case _ => Seq.empty
   }
 

@@ -156,6 +156,23 @@ class ImpliedScanRangesSpec extends AnyFunSuite {
     fdf.unpersist()
   }
 
+  test("IN-list keeps exactly the member rows and pushes its hull") {
+    val members = Seq(0L, 1000L, t0) // micros values present in raws
+    val cond = col("ts").isInCollection(members.map(m => timestamp_micros(lit(m))))
+    val got = df.where(cond).select("raw").as[Long].collect().toSet
+    assert(got == raws.filter(r => members.contains(r / 1000L)).toSet)
+
+    val dir = java.nio.file.Files.createTempDirectory("isr-in").toString
+    raws.toDF("raw").write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("raw div 1000")))
+      .where(col("ts").isInCollection(members.map(m => timestamp_micros(lit(m)))))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(raw") && plan.contains("LessThan(raw"),
+      s"IN hull not pushed:\n$plan")
+    assert(q.select("raw").as[Long].collect().toSet == got)
+  }
+
   test("the date_trunc upper bound reaches the parquet PushedFilters") {
     val dir = java.nio.file.Files.createTempDirectory("isr-ub").toString
     raws.toDF("raw").write.mode("overwrite").parquet(dir)
