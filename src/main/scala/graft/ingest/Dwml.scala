@@ -100,6 +100,17 @@ object Dwml {
       }
     }
 
-    DwmlDoc(generatedAt, locations, layouts, readings)
+    // Last block wins when a document repeats a (location, metric) —
+    // the reference's sequential walk overwrites its per-location vector
+    // per parameter block (download_forecast.rs:431-571). Deduplicating
+    // at parse time keeps that deterministic semantic; two readings per
+    // key in one flatten plan would otherwise tie in the forward-fill
+    // window with nondeterministic order.
+    val lastWins = readings
+      .groupBy(r => (r.locationKey, r.metric))
+      .valuesIterator.map(_.last).toSeq
+      .sortBy(r => (r.locationKey, r.metric)) // deterministic seq order
+
+    DwmlDoc(generatedAt, locations, layouts, lastWins)
   }
 }

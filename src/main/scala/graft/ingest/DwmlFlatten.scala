@@ -168,6 +168,12 @@ object DwmlFlatten {
   def flatten(spark: SparkSession, doc: DwmlDoc, now: Timestamp): Dataset[Forecast] = {
     import spark.implicits._
 
+    // Dwml.parse guarantees this (last block wins); a hand-built doc
+    // with duplicates would tie nondeterministically in the fill window.
+    require(doc.readings.map(r => (r.locationKey, r.metric)).distinct.size ==
+      doc.readings.size,
+      "duplicate (location, metric) readings — parse with Dwml.parse (last block wins)")
+
     def one[T: org.apache.spark.sql.Encoder](rows: Seq[T]): Dataset[T] =
       spark.createDataset(rows).coalesce(1)
 
@@ -189,25 +195,32 @@ object DwmlFlatten {
     * and window partition — so a million documents shuffle by document,
     * and no per-document work ever serializes through the driver.
     *
-    * The parsed corpus is materialized once via eager `localCheckpoint`
-    * because four plan subtrees consume it (grid, readings, layouts,
-    * final location join); without it each subtree would re-parse the
-    * XML. localCheckpoint rather than `persist`: cached Datasets are
-    * pinned by the session's CacheManager until explicitly unpersisted
-    * (a leak for a fire-and-forget API), while checkpoint blocks are
-    * released by the ContextCleaner as soon as the result plan is
-    * garbage-collected.
+    * The parsed corpus is materialized once because four plan subtrees
+    * consume it (grid, readings, layouts, final location join); without
+    * it each subtree would re-parse the XML. Two modes:
+    *  - default (`reliableCache = false`): eager `localCheckpoint` —
+    *    blocks are auto-released by the ContextCleaner once the result
+    *    plan is collected (no CacheManager pinning for a
+    *    fire-and-forget API), but a LOST executor aborts the job
+    *    because the truncated lineage cannot recompute its blocks;
+    *  - `reliableCache = true`: `persist(MEMORY_AND_DISK)` — lost
+    *    blocks recompute from lineage (use under dynamic allocation /
+    *    preemptible executors), at the cost that the cached corpus
+    *    stays pinned until `spark.catalog.clearCache()`.
     *
     * @param docs (doc_id, dwml xml) rows; doc_id must be unique
     * @return [[flatten]]'s Forecast columns, plus `doc_id` first */
   def flattenAll(spark: SparkSession, docs: Dataset[(String, String)],
-      now: Timestamp): DataFrame = {
+      now: Timestamp, reliableCache: Boolean = false): DataFrame = {
     import spark.implicits._
 
-    val parsed = docs
+    val parsedBase = docs
       .map { case (id, xml) => (id, Dwml.parse(xml, now)) }
       .toDF("doc_id", "doc")
-      .localCheckpoint(true)
+    val parsed =
+      if (reliableCache)
+        parsedBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else parsedBase.localCheckpoint(true)
 
     val locations = parsed.select(col("doc_id"),
         col("doc.generatedAt").as("generated_at"),

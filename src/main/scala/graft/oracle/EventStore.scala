@@ -164,7 +164,10 @@ final class EventStore(spark: SparkSession, root: String,
     *    competing breaker's delete plus a full re-acquire to interleave
     *    within it, and breakers only exist at all after a writer crash —
     *    accepted and documented (full fencing needs a coordination
-    *    service, out of scope as in the reference's single-file lock). */
+    *    service, out of scope as in the reference's single-file lock).
+    * On a FileSystem where `setTimes` is a no-op (some object stores),
+    * the heartbeat carries no signal — size `lockStaleMs` to the
+    * worst-case job duration there. */
   private[oracle] def withWriterLock[T](f: => T): T = {
     val lock = new Path(root, "_writer_lock")
     def tryAcquire(): Boolean = {
@@ -181,30 +184,38 @@ final class EventStore(spark: SparkSession, root: String,
         try { fs.create(lock, false).close(); true }
         catch { case _: java.io.IOException => false }
     }
+    // EVERY loop iteration is a counted attempt, so the wait is bounded
+    // on all paths — contended lock, vanished lock, failed stat during
+    // an FS outage, failed stale-delete — never a busy-spin.
     var attempt = 0
-    while (!tryAcquire()) {
+    var acquired = tryAcquire()
+    while (!acquired) {
+      attempt += 1
+      if (attempt > EventStore.LockAttempts)
+        sys.error(s"event store writer lock not acquired after " +
+          s"${EventStore.LockAttempts} × ${EventStore.LockWaitMs} ms — " +
+          "is another writer stuck?")
       val seen =
         try Some(fs.getFileStatus(lock).getModificationTime)
-        catch { case _: java.io.IOException => None } // vanished: retry now
+        catch { case _: java.io.IOException => None }
       val stale = seen.exists(_ < System.currentTimeMillis() - lockStaleMs)
-      if (stale) {
+      val broke = stale && {
         val unchanged =
           try fs.getFileStatus(lock).getModificationTime == seen.get
           catch { case _: java.io.IOException => false }
-        if (unchanged) fs.delete(lock, false)
-      } else if (seen.isDefined) {
-        attempt += 1
-        if (attempt >= EventStore.LockAttempts)
-          sys.error(s"event store writer lock held after " +
-            s"${EventStore.LockAttempts} × ${EventStore.LockWaitMs} ms — " +
-            "is another writer stuck?")
-        Thread.sleep(EventStore.LockWaitMs)
+        unchanged && fs.delete(lock, false)
       }
+      if (!broke) Thread.sleep(EventStore.LockWaitMs) // a break retries now
+      acquired = tryAcquire()
     }
     val beat = new Thread(() => {
       try while (true) {
         Thread.sleep(math.max(1L, lockStaleMs / 6))
-        fs.setTimes(lock, System.currentTimeMillis(), -1)
+        // transient stat/refresh failures (namenode failover, the
+        // documented breaker micro-race) must NOT kill the heartbeat —
+        // a dead heartbeat re-exposes a live writer to stale-breaking
+        try fs.setTimes(lock, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => }
       } catch { case _: InterruptedException => } // released
     }, s"graft-lock-heartbeat-$root")
     beat.setDaemon(true)

@@ -169,6 +169,18 @@ object ImpliedScanRanges extends Rule[LogicalPlan] {
       else
         implied(GreaterThanOrEqual(e, Literal(ts.min, TimestampType))) ++
           implied(LessThanOrEqual(e, Literal(ts.max, TimestampType)))
+    // Same for InSet — OptimizeIn rewrites In to InSet past
+    // spark.sql.optimizer.inSetConversionThreshold (default 10) EARLIER
+    // in the same batch, and the realistic big time-slice IN-list is
+    // exactly that case. Timestamp internals are Long micros (nulls in
+    // the set can never match, so the hull over the non-null members is
+    // still implied for every row the predicate keeps).
+    case InSet(e, hset) if hset.nonEmpty && e.dataType == TimestampType =>
+      val ts = hset.toSeq.collect { case t: Long if math.abs(t) < SafeMicros => t }
+      if (ts.isEmpty || ts.length != hset.count(_ != null)) Seq.empty
+      else
+        implied(GreaterThanOrEqual(e, Literal(ts.min, TimestampType))) ++
+          implied(LessThanOrEqual(e, Literal(ts.max, TimestampType)))
     case _ => Seq.empty
   }
 

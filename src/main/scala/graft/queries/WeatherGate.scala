@@ -23,41 +23,38 @@ object WeatherGate {
 
   // ---- w1: DWML flatten (S6 + W1 + W2) --------------------------------
 
-  private val dwmlXml =
-    """<dwml><head><product><creation-date>2024-08-12T00:00:00Z</creation-date></product></head>
-      |<data>
-      |<location><location-key>point1</location-key>
-      |  <point latitude="44.56" longitude="-95.12"/>
-      |  <station-id>KXYZ</station-id></location>
-      |<time-layout><layout-key>k-p24h-n2-1</layout-key>
-      |  <start-valid-time>2024-08-12T00:00:00-00:00</start-valid-time>
-      |  <start-valid-time>2024-08-13T00:00:00-00:00</start-valid-time></time-layout>
-      |<parameters applicable-location="point1">
-      |  <temperature type="maximum" units="Fahrenheit" time-layout="k-p24h-n2-1">
-      |    <value>83</value><value>79</value></temperature>
-      |  <temperature type="minimum" units="Fahrenheit" time-layout="k-p24h-n2-1">
-      |    <value>61</value><value>58</value></temperature>
-      |  <wind-speed type="sustained" units="knots" time-layout="k-p24h-n2-1">
-      |    <value>9</value><value>11</value></wind-speed>
-      |</parameters></data></dwml>""".stripMargin
-
-  /** One corpus document per index: temps/wind shift with `i` so the
-    * per-document grids are distinguishable in the oracle's closed form. */
-  private def corpusDwmlXml(i: Int): String =
+  /** One DWML fixture shape for both flatten gates: a two-start 24-h
+    * layout with per-parameter value pairs. */
+  private def dwmlFixture(station: String, maxT: (Int, Int),
+      minT: Option[(Int, Int)], wind: (Int, Int)): String = {
+    val minBlock = minT.fold("") { case (a, b) =>
+      s"""|  <temperature type="minimum" units="Fahrenheit" time-layout="k-p24h-n2-1">
+          |    <value>$a</value><value>$b</value></temperature>
+          |""".stripMargin
+    }
     s"""<dwml><head><product><creation-date>2024-08-12T00:00:00Z</creation-date></product></head>
        |<data>
        |<location><location-key>point1</location-key>
        |  <point latitude="44.56" longitude="-95.12"/>
-       |  <station-id>KST$i</station-id></location>
+       |  <station-id>$station</station-id></location>
        |<time-layout><layout-key>k-p24h-n2-1</layout-key>
        |  <start-valid-time>2024-08-12T00:00:00-00:00</start-valid-time>
        |  <start-valid-time>2024-08-13T00:00:00-00:00</start-valid-time></time-layout>
        |<parameters applicable-location="point1">
        |  <temperature type="maximum" units="Fahrenheit" time-layout="k-p24h-n2-1">
-       |    <value>${60 + i}</value><value>${55 + i}</value></temperature>
-       |  <wind-speed type="sustained" units="knots" time-layout="k-p24h-n2-1">
-       |    <value>${5 + i}</value><value>${6 + i}</value></wind-speed>
+       |    <value>${maxT._1}</value><value>${maxT._2}</value></temperature>
+       |$minBlock  <wind-speed type="sustained" units="knots" time-layout="k-p24h-n2-1">
+       |    <value>${wind._1}</value><value>${wind._2}</value></wind-speed>
        |</parameters></data></dwml>""".stripMargin
+  }
+
+  private val dwmlXml =
+    dwmlFixture("KXYZ", maxT = (83, 79), minT = Some((61, 58)), wind = (9, 11))
+
+  /** One corpus document per index: temps/wind shift with `i` so the
+    * per-document grids are distinguishable in the oracle's closed form. */
+  private def corpusDwmlXml(i: Int): String =
+    dwmlFixture(s"KST$i", maxT = (60 + i, 55 + i), minT = None, wind = (5 + i, 6 + i))
 
   // ---- w2/w3 fixtures: forecast slots with a duplicated slot ----------
 

@@ -111,6 +111,37 @@ class DwmlFlattenSpec extends AnyFunSuite {
     assert(out.forall(_.temperature_unit_code == "fahrenheit"))
   }
 
+  test("a repeated (location, metric) block: last block wins, like the reference walk") {
+    val xml =
+      """<dwml><head><product><creation-date>2024-08-12T00:00:00Z</creation-date></product></head>
+        |<data>
+        |<location><location-key>point1</location-key>
+        |  <point latitude="44.56" longitude="-95.12"/>
+        |  <station-id>KDUP</station-id></location>
+        |<time-layout><layout-key>k1</layout-key>
+        |  <start-valid-time>2024-08-12T00:00:00-00:00</start-valid-time></time-layout>
+        |<parameters applicable-location="point1">
+        |  <temperature type="maximum" units="Fahrenheit" time-layout="k1">
+        |    <value>50</value></temperature>
+        |  <temperature type="maximum" units="Celsius" time-layout="k1">
+        |    <value>77</value></temperature>
+        |</parameters></data></dwml>""".stripMargin
+    val parsed = Dwml.parse(xml, now)
+    val maxTemps = parsed.readings.filter(_.metric == "max_temp")
+    assert(maxTemps.map(r => (r.values, r.units)) == Seq((Seq("77"), "celsius")))
+    val out = DwmlFlatten.flatten(spark, parsed, now).collect()
+    assert(out.forall(_.max_temp.contains(77L)))
+    assert(out.forall(_.temperature_unit_code == "celsius"))
+  }
+
+  test("flatten rejects hand-built docs with duplicate (location, metric) readings") {
+    val dup = doc.copy(readings = doc.readings ++ doc.readings.take(1))
+    val e = intercept[IllegalArgumentException] {
+      DwmlFlatten.flatten(spark, dup, now)
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   private def corpusXml(i: Int): String =
     s"""<dwml><head><product><creation-date>2024-08-12T00:00:00Z</creation-date></product></head>
        |<data>

@@ -173,6 +173,22 @@ class ImpliedScanRangesSpec extends AnyFunSuite {
     assert(q.select("raw").as[Long].collect().toSet == got)
   }
 
+  test("a 12-member IN-list (the InSet path) still pushes its hull") {
+    // past spark.sql.optimizer.inSetConversionThreshold (10), OptimizeIn
+    // rewrites In → InSet before this rule sees it
+    val members = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 1000L, 1001L, 2000L, t0)
+    val dir = java.nio.file.Files.createTempDirectory("isr-inset").toString
+    raws.toDF("raw").write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("raw div 1000")))
+      .where(col("ts").isInCollection(members.map(m => timestamp_micros(lit(m)))))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(raw") && plan.contains("LessThan(raw"),
+      s"InSet hull not pushed:\n$plan")
+    assert(q.select("raw").as[Long].collect().toSet ==
+      raws.filter(r => members.contains(r / 1000L)).toSet)
+  }
+
   test("the date_trunc upper bound reaches the parquet PushedFilters") {
     val dir = java.nio.file.Files.createTempDirectory("isr-ub").toString
     raws.toDF("raw").write.mode("overwrite").parquet(dir)
