@@ -202,6 +202,18 @@ class ImpliedScanRangesSpec extends AnyFunSuite {
       raws.filter(_ / 1000L < t0 + 86400000000L + 26L * 3600000000L).toSet)
   }
 
+  test("the rule is idempotent (safe inside a fixed-point batch)") {
+    // every bound-producing shape at once: range op, date_trunc, IN hull
+    val q = df.where(
+      col("ts") >= timestamp_micros(lit(t0)) &&
+        date_trunc("day", col("ts")) <= lit("2024-08-12").cast("timestamp") &&
+        col("ts").isInCollection(Seq(0L, 1000L, t0).map(m => timestamp_micros(lit(m)))))
+    val once = ImpliedScanRanges(q.queryExecution.analyzed)
+    val twice = ImpliedScanRanges(once)
+    assert(once.canonicalized == twice.canonicalized,
+      s"second application changed the plan:\n$once\nvs\n$twice")
+  }
+
   test("the implied bound reaches the parquet PushedFilters") {
     val dir = java.nio.file.Files.createTempDirectory("isr").toString
     raws.toDF("raw").write.mode("overwrite").parquet(dir)
