@@ -54,4 +54,20 @@ class AdHocSpec extends AnyFunSuite {
       intercept[AdHoc.NotAQueryException] { AdHoc.run(spark, sql) }
     }
   }
+
+  test("adversarial wrappers don't smuggle writes past the guard") {
+    // the guard walks the PARSED PLAN, so disguises that keep a write
+    // node anywhere in the tree must all fail
+    Seq(
+      "EXPLAIN INSERT INTO obs_view VALUES ('C', 3)", // Command wrapper
+      "WITH x AS (SELECT 1) INSERT INTO obs_view SELECT * FROM x", // CTE-wrapped
+      "/* just reading */ DROP TABLE obs_view", // comment prefix
+      "CREATE OR REPLACE TEMPORARY VIEW evil AS SELECT 1", // view definition
+      "CREATE TABLE sink USING parquet AS SELECT * FROM obs_view" // CTAS
+    ).foreach { sql =>
+      intercept[AdHoc.NotAQueryException] { AdHoc.run(spark, sql) }
+    }
+    // a statement list never parses as one plan — rejected at parse, not run
+    intercept[Exception] { AdHoc.run(spark, "SELECT 1; DROP TABLE obs_view") }
+  }
 }
