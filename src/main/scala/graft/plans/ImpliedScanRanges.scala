@@ -121,8 +121,20 @@ object ImpliedScanRanges extends Rule[LogicalPlan] {
     LessThan(raw, Literal(tUs * 1000L, LongType))
 
   /** Implied raw-column bounds for one conjunct (empty when no pattern
-    * matches). `Trunc` peeling only contributes lower bounds. */
+    * matches). */
   private def implied(c: Expression): Seq[Expression] = c match {
+    // Base cases for a PLAIN timestamp scan column: the comparison is
+    // itself the (pushable) bound. Standalone conjuncts of this shape
+    // re-emit themselves and are dropped by the caller's semanticEquals
+    // dedup; the cases exist so the date_trunc/IN recursions terminate
+    // usefully on ordinary columns — date_trunc('day', ts) ≥ T on a
+    // parquet ts column previously derived NO pushable bound at all.
+    case GreaterThanOrEqual(a: Attribute, TsLit(t)) if a.dataType == TimestampType =>
+      Seq(GreaterThanOrEqual(a, Literal(t, TimestampType)))
+    case LessThanOrEqual(a: Attribute, TsLit(t)) if a.dataType == TimestampType =>
+      Seq(LessThanOrEqual(a, Literal(t, TimestampType)))
+    case LessThan(a: Attribute, TsLit(t)) if a.dataType == TimestampType =>
+      Seq(LessThan(a, Literal(t, TimestampType)))
     case LessThan(NanoTs(raw), TsLit(t))            => Seq(upper(raw, t))
     case LessThanOrEqual(NanoTs(raw), TsLit(t))     => Seq(upper(raw, t + 1))
     case GreaterThanOrEqual(NanoTs(raw), TsLit(t))  => Seq(lower(raw, t))

@@ -202,6 +202,20 @@ class ImpliedScanRangesSpec extends AnyFunSuite {
       raws.filter(_ / 1000L < t0 + 86400000000L + 26L * 3600000000L).toSet)
   }
 
+  test("date_trunc on a PLAIN timestamp column pushes to the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("isr-plain").toString
+    raws.map(r => new java.sql.Timestamp(r / 1000000L)).toDF("ts")
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .where(date_trunc("day", col("ts")) >= lit("2024-08-12").cast("timestamp"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+      s"plain-column trunc bound not pushed:\n$plan")
+    val got = q.select("ts").collect().map(_.getTimestamp(0).getTime).toSet
+    val want = raws.map(_ / 1000000L).filter(_ >= 1723420800000L).toSet
+    assert(got == want)
+  }
+
   test("the rule is idempotent (safe inside a fixed-point batch)") {
     // every bound-producing shape at once: range op, date_trunc, IN hull
     val q = df.where(
