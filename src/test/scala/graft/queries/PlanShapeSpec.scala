@@ -44,9 +44,11 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q5_time_range: timestamp range predicate pushes to the parquet scan") {
     val plan = SparkEntry.queries("q5_time_range")(spark, sf)
       .queryExecution.executedPlan.toString
-    // date_trunc('day', ts) >= … is not pushable, but the raw ts < … bound is.
+    // both bounds push: ts < … directly, and the date_trunc('day', ts) >= …
+    // lower bound via the ImpliedScanRanges trunc transfer.
     assert(plan.contains("PushedFilters"), plan)
     assert(plan.contains("LessThan(ts"), s"ts upper bound not pushed:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(ts"), s"trunc lower bound not pushed:\n$plan")
   }
 
   test("q1_pricing_summary: scan reads only the referenced columns") {
