@@ -55,7 +55,8 @@ object Oracle {
     // Step 0: active events (attestation IS NULL), with their windows.
     // Bounded driver list by design — see the class doc.
     val active = eventStore.activeEvents()
-      .select("id", "signing_date", "observation_date", "locations", "nonce")
+      .select("id", "signing_date", "observation_date", "locations", "nonce",
+        "number_of_places_win")
       .collect()
     if (active.isEmpty) return EtlReport(0, 0, 0L, Nil)
 
@@ -137,16 +138,21 @@ object Oracle {
     eventStore.updateScores(allScores.select(col("entry_id"), col("score")))
 
     // Step 3: sign completed events (signing_date passed, attestation
-    // null) — winnersByEvent in ONE plan, then the bounded per-event
-    // collect (3 winners each) feeds the Schnorr signer
-    // (add_oracle_signature, oracle.rs:590-658).
+    // null) — winnersByEvent in ONE plan (ranked to the deepest
+    // number_of_places_win among the events being signed), then the
+    // bounded per-event collect feeds the Schnorr signer with each
+    // event's OWN winner count (top number_of_places_win,
+    // add_oracle_signature, oracle.rs:590-658 — a places=1 event signs
+    // exactly one winner).
     val toSign = active.filter(_.getAs[Timestamp]("signing_date").before(now))
     val signed = if (toSign.isEmpty) Nil else {
       val signIds = toSign.map(_.getAs[String]("id")).toSeq
+      val places = toSign.map(ev =>
+        ev.getAs[String]("id") -> ev.getAs[Int]("number_of_places_win")).toMap
       val scored = eventStore.entries.toDF()
         .where(col("event_id").isin(signIds: _*))
         .select(col("event_id"), col("id").as("entry_id"), col("score"))
-      val winnerLists = Scoring.winnersByEvent(scored, 3)
+      val winnerLists = Scoring.winnersByEvent(scored, places.values.max)
         .groupBy("event_id")
         .agg(sort_array(collect_list(struct(col("rank"), col("outcome_index")))).as("w"))
         .collect()
@@ -162,7 +168,7 @@ object Oracle {
         nonce <- Option(nonces(id))
       } yield {
         val attestation = Schnorr.attestationSecret(
-          privateKey, nonce, Scoring.winningBytes(winners))
+          privateKey, nonce, Scoring.winningBytes(winners.take(places(id))))
         eventStore.updateAttestation(id, attestation)
         id
       }

@@ -132,6 +132,88 @@ class OracleEtlSpec extends AnyFunSuite {
     assert(second.activeEvents == 0 && second.signedEventIds.isEmpty)
   }
 
+  test("runEtl handles many concurrent events: per-event scores and signatures") {
+    // the reference's operating regime (~10 concurrent active events,
+    // oracle.rs:315) — scores must not bleed across events and only
+    // events past their signing date sign
+    val root = Files.createTempDirectory("graft-etl3").toString
+    val weatherStore = new WeatherStore(spark, s"$root/weather")
+    val eventStore = new EventStore(spark, s"$root/events")
+    val now = ts("2024-08-13T00:00:00Z")
+    val created = ts("2024-08-11T00:00:00Z")
+
+    val slots = Seq(
+      ("PFNO", ts("2024-08-12T00:00:00Z"), ts("2024-08-12T12:00:00Z"), 9L, 35L, 8L),
+      ("KSAW", ts("2024-08-12T00:00:00Z"), ts("2024-08-12T12:00:00Z"), 17L, 25L, 3L)
+    ).toDF("station_id", "begin_time", "end_time", "min_temp", "max_temp", "wind_speed")
+    weatherStore.write(slots, Kinds.Forecasts, ts("2024-08-12T01:00:00Z"))
+    val obs = Seq(
+      ("PFNO", ts("2024-08-12T02:00:00Z"), 9.0, 8L),
+      ("KSAW", ts("2024-08-12T02:00:00Z"), 20.0, 10L)
+    ).toDF("station_id", "generated_at", "temperature_value", "wind_speed")
+    weatherStore.write(obs, Kinds.Observations, ts("2024-08-12T15:00:00Z"))
+
+    val seckey = Schnorr.taggedHash("graft/etl-test-key", Array(5.toByte))
+    def mkEvent(id: String, signing: Timestamp, nonceSeed: Byte) = EventRow(
+      id = id, total_allowed_entries = 2, number_of_places_win = 1,
+      number_of_values_per_entry = 3, signing_date = signing,
+      observation_date = ts("2024-08-12T00:00:00Z"),
+      locations = Seq("PFNO", "KSAW"), coordinator_pubkey = "pk",
+      nonce = Some(Schnorr.taggedHash("graft/etl-test-nonce", Array(nonceSeed))),
+      event_announcement = None, attestation_signature = None,
+      created_at = created, updated_at = created)
+    val (evA, evB, evC) = (
+      Uuid7.generateDeterministic(Instant.parse("2024-08-10T00:00:00Z"), 1, 0),
+      Uuid7.generateDeterministic(Instant.parse("2024-08-10T00:00:01Z"), 2, 0),
+      Uuid7.generateDeterministic(Instant.parse("2024-08-10T00:00:02Z"), 3, 0))
+    eventStore.insertEvents(Seq(
+      mkEvent(evA, ts("2024-08-12T23:00:00Z"), 6), // past signing: signs
+      mkEvent(evB, ts("2024-08-12T23:00:00Z"), 7), // past signing: signs
+      mkEvent(evC, ts("2024-08-14T00:00:00Z"), 8))) // future: stays active
+
+    // e1/e2 in evA (par hits on PFNO low => 20), e3 in evB (miss => 0),
+    // e4 in evC (par on KSAW wind? choice 'over' f3 < o10 => 10)
+    eventStore.insertEntries(
+      Seq(EntryRow(e1, evA, 0L, created, created),
+        EntryRow(e2, evA, 0L, created, created),
+        EntryRow(e3, evB, 0L, created, created),
+        EntryRow(e4, evC, 0L, created, created)),
+      Seq(ChoiceRow(1L, e1, "PFNO", Some("par"), None, None),
+        ChoiceRow(2L, e2, "PFNO", Some("over"), None, None),
+        ChoiceRow(3L, e3, "KSAW", Some("under"), None, None),
+        ChoiceRow(4L, e4, "KSAW", None, None, Some("over"))))
+
+    val report = Oracle.runEtl(spark, weatherStore, eventStore, seckey, now)
+    assert(report.activeEvents == 3)
+    assert(report.signedEventIds.sorted == Seq(evA, evB).sorted)
+
+    // per-event scores: bases 20 (e1 par 9==9), 0 (e2 over 9<9 false),
+    // 0 (e3 under 17>20 false), 10 (e4 over 3<10)
+    val scores = eventStore.entries.collect().map(r => r.id -> r.score).toMap
+    assert(scores(e1) == 20L * 10000L + 9899L)
+    assert(scores(e2) == 9799L)
+    assert(scores(e3) == 9699L)
+    assert(scores(e4) == 10L * 10000L + 9599L)
+
+    // each signed event attests ITS OWN winner under ITS OWN nonce:
+    // both evA (winner e1, index 0 of {e1,e2}) and evB (winner e3,
+    // index 0 of {e3}) encode winning index 0 — distinct nonces must
+    // still produce distinct, individually-verifiable attestations
+    val byId = eventStore.events.collect().map(e => e.id -> e).toMap
+    for (ev <- Seq(evA, evB)) {
+      val att = byId(ev).attestation_signature.get
+      val bytes = Scoring.winningBytes(Seq(0L))
+      assert(java.util.Arrays.equals(att,
+        Schnorr.attestationSecret(seckey, byId(ev).nonce.get, bytes)), ev)
+      assert(Schnorr.verify(Schnorr.pubkey(seckey), bytes,
+        Schnorr.pubkey(byId(ev).nonce.get) ++ att), ev)
+    }
+    assert(byId(evA).attestation_signature.get.toSeq !=
+      byId(evB).attestation_signature.get.toSeq)
+    assert(byId(evC).attestation_signature.isEmpty)
+    assert(eventStore.activeEvents().count() == 1) // only evC remains
+  }
+
   test("runEtl scores entries even when a station has no observations yet") {
     val root = Files.createTempDirectory("graft-etl2").toString
     val weatherStore = new WeatherStore(spark, s"$root/weather")
