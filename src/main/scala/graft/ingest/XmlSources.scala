@@ -30,9 +30,21 @@ object XmlSources {
 
   /** Decode `stations.cache.xml` (already gunzipped) →  stations, applying
     * the US country + 51-state filter (crates/daemon/src/coordinates.rs:133-161). */
+  /** Parse the document, tolerating a malformed/truncated feed: the
+    * reference's daemon logs the serde error and skips the cycle rather
+    * than dying (the next hourly run refetches); rows with unparseable
+    * REQUIRED fields are likewise dropped per row, not thrown. */
+  private def loadOrEmpty(xml: String, feed: String): Seq[Node] =
+    Try(XML.loadString(xml)) match {
+      case scala.util.Success(root) => Seq(root)
+      case scala.util.Failure(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"skipping malformed $feed feed: ${e.getMessage}")
+        Seq.empty
+    }
+
   def parseStations(xml: String): Seq[Station] = {
-    val root: Elem = XML.loadString(xml)
-    (root \ "data" \ "Station").flatMap { st =>
+    loadOrEmpty(xml, "stations").flatMap(root => root \ "data" \ "Station").flatMap { st =>
       val country = text(st, "country")
       val state = text(st, "state")
       val keep = country.forall(_ == "US") &&
@@ -56,8 +68,7 @@ object XmlSources {
     * temp_c / latitude / longitude / observation_time
     * (crates/daemon/src/domains/observations/download_observations.rs:242-250). */
   def parseMetars(xml: String): Seq[Observation] = {
-    val root: Elem = XML.loadString(xml)
-    (root \ "data" \ "METAR").flatMap { m =>
+    loadOrEmpty(xml, "METAR").flatMap(root => root \ "data" \ "METAR").flatMap { m =>
       for {
         id <- text(m, "station_id")
         tempC <- text(m, "temp_c").flatMap(s => Try(s.toDouble).toOption)

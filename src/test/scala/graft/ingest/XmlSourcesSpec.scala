@@ -43,4 +43,14 @@ class XmlSourcesSpec extends AnyFunSuite {
     assert(o.temperature_unit_code == "celcius")
     assert(o.generated_at.toInstant == java.time.Instant.parse("2024-08-12T10:00:00Z"))
   }
+
+  test("a malformed feed yields zero rows instead of killing the cycle") {
+    // the reference's daemon logs the serde failure and retries next
+    // hour; a truncated download must not throw
+    val truncated = "<response><data><Station><station_id>KX"
+    assert(XmlSources.parseStations(truncated).isEmpty)
+    assert(XmlSources.parseMetars(truncated).isEmpty)
+    assert(XmlSources.parseStations("not xml at all").isEmpty)
+    assert(XmlSources.parseMetars("").isEmpty)
+  }
 }
