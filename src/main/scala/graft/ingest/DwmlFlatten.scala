@@ -214,8 +214,20 @@ object DwmlFlatten {
       now: Timestamp, reliableCache: Boolean = false): DataFrame = {
     import spark.implicits._
 
+    // one malformed document must not kill a million-document job: drop
+    // it (with an executor-side warning) and flatten the rest — the
+    // same skip-and-continue the single-doc ingest loop gets from its
+    // per-cycle retry
     val parsedBase = docs
-      .map { case (id, xml) => (id, Dwml.parse(xml, now)) }
+      .flatMap { case (id, xml) =>
+        scala.util.Try(Dwml.parse(xml, now)) match {
+          case scala.util.Success(doc) => Some((id, doc))
+          case scala.util.Failure(e) =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"skipping unparseable DWML doc '$id': ${e.getMessage}")
+            None
+        }
+      }
       .toDF("doc_id", "doc")
     val parsed =
       if (reliableCache)

@@ -159,6 +159,18 @@ class DwmlFlattenSpec extends AnyFunSuite {
        |</parameters></data></dwml>""".stripMargin
       .replace(s"K$i%03dA", f"K$i%03dA")
 
+  test("flattenAll drops unparseable documents and flattens the rest") {
+    import spark.implicits._
+    val docs = spark.createDataset(Seq(
+      ("good", corpusXml(1)),
+      ("bad", "<dwml><data><location>truncated"),
+      ("worse", "not xml")))
+    val out = DwmlFlatten.flattenAll(spark, docs, now)
+    val ids = out.select("doc_id").distinct().as[String].collect()
+    assert(ids.toSeq == Seq("good"))
+    assert(out.count() == 57)
+  }
+
   test("flattenAll: 120 documents in ONE job, one partitioned window, matches flatten") {
     import spark.implicits._
     val n = 120
