@@ -1,0 +1,181 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.{Components, Q, Redact, TextOps}
+
+/** Tuning knobs for [[CorpusEtl.prepare]].
+  *
+  * @param minTokens     drop documents with fewer whitespace tokens
+  * @param maxDup2gFrac  Gopher-style duplicate-2-gram ceiling
+  * @param maxDup3gFrac  Gopher-style duplicate-3-gram ceiling
+  * @param maxTopTokFrac most-frequent-token fraction ceiling
+  * @param minJaccard    near-dup edge threshold; candidate generation
+  *                      floors this at 0.05 (below that a pair must still
+  *                      share a MinHash band to be seen at all)
+  */
+final case class CorpusEtlConfig(
+    minTokens: Int = 5,
+    maxDup2gFrac: Double = 0.9,
+    maxDup3gFrac: Double = 0.8,
+    maxTopTokFrac: Double = 0.2,
+    minJaccard: Double = 0.05) {
+  require(minJaccard >= 0.05,
+    "candidate generation floors pairs at jaccard 0.05 (LSH recall limit)")
+}
+
+/** The composed corpus-preparation pipeline — the LLM-training analog of
+  * `Oracle.runEtl`: one production entry point that strings the
+  * individually-gated operators into the standard prepare-a-corpus job:
+  *
+  *  1. repetition/quality filter ([[TextOps.repetitionStats]], t6) —
+  *     map-side stats + one doc_id-keyed count, cheapest first so
+  *     everything downstream sees fewer rows;
+  *  2. exact dedup (d1 shape) — one shuffle on the md5 content digest,
+  *     `min(doc_id)` keeper per hash;
+  *  3. near-dup dedup — MinHash-LSH verified Jaccard pairs
+  *     ([[TextOps.jaccardPairsOf]], d2 shape) over the survivors, then
+  *     hash-min connected components ([[Components.connectedComponents]],
+  *     d7 shape); only each cluster's minimum doc_id survives;
+  *  4. PII scrub ([[Redact.scrub]], r1 shape) — LAST, so content hashes
+  *     and shingles upstream see the raw bytes and the scrub cost is paid
+  *     only for kept documents.
+  *
+  * Every stage is the plan shape already proven 100 TB-safe by its
+  * standalone gate: the only pairwise step is LSH-bucketed, the only
+  * iteration is lineage-truncated, and nothing touches the driver. The
+  * whole pipeline is ONE DataFrame program — Catalyst sees it end to end,
+  * so the filter prunes the scan and the scrub runs fused over the final
+  * keeper set.
+  *
+  * Gated end-to-end as `c1_corpus_prep` against a DuckDB oracle that
+  * recomputes the same composition (recursive-CTE transitive closure for
+  * the clustering step, like d7).
+  */
+object CorpusEtl {
+
+  /** Run the pipeline over `(doc_id, lang, text, …)` documents.
+    *
+    * @return one row per kept (canonical) document: doc_id, lang,
+    *         n_tokens, n_copies (exact duplicates it represents),
+    *         cluster_size (near-dup cluster it represents, 1 if unique),
+    *         n_emails/n_phones/n_ssns (PII redacted from it), redacted
+    *         (the scrubbed text).
+    */
+  def prepare(docs: DataFrame,
+      cfg: CorpusEtlConfig = CorpusEtlConfig()): DataFrame = {
+    // 1. repetition filter: stats are doc_id-keyed, one join back to text
+    val stats = TextOps.repetitionStats(docs)
+      .where(col("n_tokens") >= cfg.minTokens &&
+        col("dup_2g_frac") <= cfg.maxDup2gFrac &&
+        col("dup_3g_frac") <= cfg.maxDup3gFrac &&
+        col("top_tok_frac") <= cfg.maxTopTokFrac)
+      .select("doc_id", "n_tokens")
+    val kept = docs.join(stats, Seq("doc_id"))
+
+    // 2. exact dedup: keeper + represented-copy count per content digest
+    val exact = kept
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).cast("int").as("n_copies"))
+      .select("doc_id", "n_copies")
+    // joining back on doc_id keeps exactly the keeper row per digest
+    val survivors = kept.join(exact, Seq("doc_id"))
+
+    // 3. near-dup clustering on the survivors; a doc in no pair is its
+    // own (size-1) cluster, so components join LEFT and label-coalesce
+    val pairs = TextOps.jaccardPairsOf(survivors)
+      .where(col("jaccard") >= cfg.minJaccard)
+      .select("doc_a", "doc_b")
+    val comp = Components.connectedComponents(pairs)
+      .withColumnRenamed("node", "doc_id")
+    val sizes = comp.groupBy("component")
+      .agg(count(lit(1)).cast("int").as("cluster_size"))
+    val canonical = survivors
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .where(col("doc_id") === col("component"))
+      .join(sizes, Seq("component"), "left")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1)))
+
+    // 4. PII scrub, only on what survived
+    Redact.scrub(canonical)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_copies"),
+        col("cluster_size"), col("n_emails"), col("n_phones"), col("n_ssns"),
+        col("redacted"))
+  }
+
+  /** The c1 correctness gate: [[prepare]] at default config, with the
+    * redacted text surfaced as its md5 (byte-exact cross-engine, and the
+    * driver compare can't sort long strings with embedded newlines). */
+  val all: Seq[Q] = Seq(
+    Q("c1_corpus_prep",
+      (s, d) => prepare(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_copies"),
+          col("cluster_size"), md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE tok AS (
+          SELECT doc_id, lang, text, string_split(lower(text), ' ') AS t
+          FROM documents),
+        g AS (SELECT doc_id,
+            CAST(len(t) AS INT) AS n_tokens,
+            CAST(len(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS INT) AS n_2g,
+            CAST(len(list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS INT) AS n_2g_d,
+            CAST(len(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS INT) AS n_3g,
+            CAST(len(list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS INT) AS n_3g_d
+          FROM tok),
+        tc AS (SELECT doc_id, CAST(MAX(c) AS INT) AS top_cnt FROM (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS tok FROM tok)
+            GROUP BY doc_id, tok)
+          GROUP BY doc_id),
+        kept AS (
+          SELECT tok.doc_id, lang, text, n_tokens
+          FROM tok JOIN g ON tok.doc_id = g.doc_id JOIN tc ON tok.doc_id = tc.doc_id
+          WHERE n_tokens >= 5
+            AND (CASE WHEN n_2g = 0 THEN 0.0
+                 ELSE CAST(n_2g - n_2g_d AS DOUBLE) / CAST(n_2g AS DOUBLE) END) <= 0.9
+            AND (CASE WHEN n_3g = 0 THEN 0.0
+                 ELSE CAST(n_3g - n_3g_d AS DOUBLE) / CAST(n_3g AS DOUBLE) END) <= 0.8
+            AND CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.2),
+        ex AS (SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS INT) AS n_copies
+               FROM kept GROUP BY md5(text)),
+        exk AS (SELECT k.doc_id, k.lang, k.text, k.n_tokens, e.n_copies
+                FROM kept k JOIN ex e ON k.doc_id = e.doc_id),
+        sig AS (${TextOps.duckSigsFrom("exk")}),
+        bands AS (SELECT doc_id, k AS band, sigs[k + 1] AS mh FROM sig, range(0, 8) t(k)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+        sh AS (SELECT doc_id, ${TextOps.duckShingles} AS s
+               FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM exk)),
+        pairs AS (SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b,
+              CAST(CAST(len(list_intersect(a.s, b.s)) AS INT) AS DOUBLE) /
+                CAST(len(a.s) + len(b.s) - CAST(len(list_intersect(a.s, b.s)) AS INT) AS DOUBLE) AS jaccard
+            FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+                      JOIN sh b ON cand.doc_b = b.doc_id)
+          WHERE jaccard >= 0.05),
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(u, v) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+        comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
+        cs AS (SELECT component, CAST(COUNT(*) AS INT) AS cluster_size
+               FROM comp GROUP BY component)
+        SELECT exk.doc_id, exk.lang, exk.n_tokens, exk.n_copies,
+          COALESCE(cs.cluster_size, 1) AS cluster_size,
+          md5(regexp_replace(regexp_replace(regexp_replace(exk.text,
+            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+            '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+            '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '<PHONE>', 'g')) AS redacted_md5
+        FROM exk
+        LEFT JOIN comp ON exk.doc_id = comp.doc_id
+        LEFT JOIN cs ON COALESCE(comp.component, exk.doc_id) = cs.component
+        WHERE COALESCE(comp.component, exk.doc_id) = exk.doc_id
+        ORDER BY exk.doc_id"""))
+  )
+}

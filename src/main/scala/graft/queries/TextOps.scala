@@ -41,8 +41,10 @@ object TextOps {
         ELSE z END)""")
   }
 
-  /** DuckDB equivalent of [[shingles]] over alias `t` (token list). */
-  private val duckShingles =
+  /** DuckDB equivalent of [[shingles]] over alias `t` (token list).
+    * `private[graft]` so the composed corpus pipeline's oracle
+    * ([[graft.llm.CorpusEtl]]) reuses the exact same SQL fragment. */
+  private[graft] val duckShingles =
     """list_distinct(list_transform(range(1, len(t)-1),
        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"""
 
@@ -69,10 +71,19 @@ object TextOps {
     * shingles → (sorted hash array, size, sigs) per doc; it feeds both
     * candidate-join sides and both verify-join sides (Catalyst would
     * otherwise inline the shingle pipeline into every consumer,
-    * ~4× recompute). Shared by d2 (the pair report) and d7 (clustering). */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    * ~4× recompute). Shared by d2 (the pair report), d7 (clustering) and
+    * the composed corpus pipeline ([[graft.llm.CorpusEtl]]). */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    jaccardPairsOf(Tables.documents(s, d))
+
+  /** [[jaccardPairs]] over an arbitrary `(doc_id, text, …)` frame — the
+    * reusable form the composed pipeline runs on its filter/dedup
+    * survivors. Candidates are floored at jaccard ≥ 0.05 (below that a
+    * pair must still share a minhash band to be seen at all, so lower
+    * thresholds would be LSH-recall-limited anyway). */
+  def jaccardPairsOf(input: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    val docs = shingled(s, d).select(col("doc_id"),
+    val docs = input.select(col("doc_id"), shingles.as("s")).select(col("doc_id"),
       sort_array(transform(col("s"), x => xxhash64(x))).as("h"),
       size(col("s")).cast("int").as("n"),
       ColumnBridge.column(graft.functions.MinHashSigs(
@@ -113,11 +124,17 @@ object TextOps {
         ColumnBridge.expression(col("s")))).as("sigs"))
   }
 
-  private val duckSigs =
+  /** DuckDB MinHash signatures over any relation exposing
+    * `(doc_id, text)` — the oracle-side twin of [[minhashSigs]] /
+    * `MinHashSigs`, parameterized so composed pipelines can run it on a
+    * filtered CTE instead of the raw table. */
+  private[graft] def duckSigsFrom(src: String): String =
     s"""SELECT doc_id, list_transform(range(0, 8),
           k -> list_min(list_transform(sh, x -> md5(k::VARCHAR || '|' || x)))) AS sigs
         FROM (SELECT doc_id, $duckShingles AS sh
-              FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents))"""
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM $src))"""
+
+  private val duckSigs = duckSigsFrom("documents")
 
   /** 16-bit SimHash via the hand-tuned [[graft.functions.SimHash16]]
     * kernel (same md5 semantics as the oracle SQL). */
@@ -134,6 +151,49 @@ object TextOps {
                THEN (1 << i) ELSE 0 END)) AS INT) AS simhash
         FROM (SELECT doc_id, $duckHvals AS hs
               FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents))"""
+
+  /** Per-document repetition statistics (Gopher/MassiveText-style quality
+    * rules, a public recipe): duplicate 2-/3-gram fractions, the
+    * most-frequent-token fraction, and the keep/drop verdict at the
+    * published default thresholds. The n-gram fractions are map-side HOFs
+    * over the bound token array; the top-token count is the scalable
+    * explode → (doc, token) count → per-doc max shape (shuffle keyed on
+    * doc_id — never a per-doc quadratic scan). Fractions are single
+    * double divisions of exact ints, so the verdict compares identically
+    * cross-engine. Shared by the t6 gate and [[graft.llm.CorpusEtl]]. */
+  def repetitionStats(input: DataFrame): DataFrame = {
+    val grams2 = expr("""CASE WHEN size(t) >= 2
+      THEN transform(sequence(1, size(t) - 1),
+        i -> concat_ws(' ', element_at(t, i), element_at(t, i+1)))
+      ELSE CAST(array() AS array<string>) END""")
+    val grams3 = expr("""CASE WHEN size(t) >= 3
+      THEN transform(sequence(1, size(t) - 2),
+        i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))
+      ELSE CAST(array() AS array<string>) END""")
+    def dupFrac(tot: Column, dis: Column): Column =
+      when(tot === 0, lit(0.0))
+        .otherwise((tot - dis).cast("double") / tot.cast("double"))
+    val base = input
+      .withColumn("t", tokens)
+      .withColumn("g2", grams2).withColumn("g3", grams3)
+      .select(col("doc_id"), size(col("t")).cast("int").as("n_tokens"),
+        size(col("g2")).cast("int").as("n_2g"),
+        size(array_distinct(col("g2"))).cast("int").as("n_2g_d"),
+        size(col("g3")).cast("int").as("n_3g"),
+        size(array_distinct(col("g3"))).cast("int").as("n_3g_d"))
+    val top = input
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .groupBy("doc_id", "tok").count()
+      .groupBy("doc_id").agg(max(col("count")).cast("int").as("top_cnt"))
+    base.join(top, Seq("doc_id"))
+      .withColumn("dup_2g_frac", dupFrac(col("n_2g"), col("n_2g_d")))
+      .withColumn("dup_3g_frac", dupFrac(col("n_3g"), col("n_3g_d")))
+      .withColumn("top_tok_frac",
+        col("top_cnt").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("keep",
+        col("dup_2g_frac") <= 0.9 && col("dup_3g_frac") <= 0.8 &&
+          col("top_tok_frac") <= 0.2)
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -414,51 +474,13 @@ object TextOps {
           quantile_cont(n_chars, 0.95) AS p95_chars
         FROM documents GROUP BY lang ORDER BY lang""")),
 
-    // Repetition filtering (Gopher/MassiveText-style quality rules, a
-    // public recipe): duplicate 2-/3-gram fractions and the most-frequent-
-    // token fraction, plus the keep/drop verdict. The n-gram fractions
-    // are map-side HOFs over the bound token array; the top-token count
-    // is the scalable explode → (doc, token) count → per-doc max shape
-    // (shuffle keyed on doc_id — never a per-doc quadratic scan).
-    // Fractions are single double divisions of exact ints (bit-identical
-    // cross-engine), so the boolean verdict compares identically too.
+    // Repetition filtering: see [[repetitionStats]] (shared with the
+    // composed corpus pipeline).
     Q("t6_repetition",
-      (s, d) => {
-        val grams2 = expr("""CASE WHEN size(t) >= 2
-          THEN transform(sequence(1, size(t) - 1),
-            i -> concat_ws(' ', element_at(t, i), element_at(t, i+1)))
-          ELSE CAST(array() AS array<string>) END""")
-        val grams3 = expr("""CASE WHEN size(t) >= 3
-          THEN transform(sequence(1, size(t) - 2),
-            i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))
-          ELSE CAST(array() AS array<string>) END""")
-        def dupFrac(tot: Column, dis: Column): Column =
-          when(tot === 0, lit(0.0))
-            .otherwise((tot - dis).cast("double") / tot.cast("double"))
-        val base = Tables.documents(s, d)
-          .withColumn("t", tokens)
-          .withColumn("g2", grams2).withColumn("g3", grams3)
-          .select(col("doc_id"), size(col("t")).cast("int").as("n_tokens"),
-            size(col("g2")).cast("int").as("n_2g"),
-            size(array_distinct(col("g2"))).cast("int").as("n_2g_d"),
-            size(col("g3")).cast("int").as("n_3g"),
-            size(array_distinct(col("g3"))).cast("int").as("n_3g_d"))
-        val top = Tables.documents(s, d)
-          .select(col("doc_id"), explode(tokens).as("tok"))
-          .groupBy("doc_id", "tok").count()
-          .groupBy("doc_id").agg(max(col("count")).cast("int").as("top_cnt"))
-        base.join(top, Seq("doc_id"))
-          .withColumn("dup_2g_frac", dupFrac(col("n_2g"), col("n_2g_d")))
-          .withColumn("dup_3g_frac", dupFrac(col("n_3g"), col("n_3g_d")))
-          .withColumn("top_tok_frac",
-            col("top_cnt").cast("double") / col("n_tokens").cast("double"))
-          .withColumn("keep",
-            col("dup_2g_frac") <= 0.9 && col("dup_3g_frac") <= 0.8 &&
-              col("top_tok_frac") <= 0.2)
-          .select(col("doc_id"), col("n_tokens"), col("dup_2g_frac"),
-            col("dup_3g_frac"), col("top_cnt"), col("top_tok_frac"), col("keep"))
-          .orderBy("doc_id")
-      },
+      (s, d) => repetitionStats(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_tokens"), col("dup_2g_frac"),
+          col("dup_3g_frac"), col("top_cnt"), col("top_tok_frac"), col("keep"))
+        .orderBy("doc_id"),
       Some("""WITH tok AS (
           SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
         g AS (SELECT doc_id,
