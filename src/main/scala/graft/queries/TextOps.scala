@@ -152,6 +152,18 @@ object TextOps {
         FROM (SELECT doc_id, $duckHvals AS hs
               FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents))"""
 
+  private val grams2 = expr("""CASE WHEN size(t) >= 2
+    THEN transform(sequence(1, size(t) - 1),
+      i -> concat_ws(' ', element_at(t, i), element_at(t, i+1)))
+    ELSE CAST(array() AS array<string>) END""")
+  private val grams3 = expr("""CASE WHEN size(t) >= 3
+    THEN transform(sequence(1, size(t) - 2),
+      i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))
+    ELSE CAST(array() AS array<string>) END""")
+  private def dupFrac(tot: Column, dis: Column): Column =
+    when(tot === 0, lit(0.0))
+      .otherwise((tot - dis).cast("double") / tot.cast("double"))
+
   /** Per-document repetition statistics (Gopher/MassiveText-style quality
     * rules, a public recipe): duplicate 2-/3-gram fractions, the
     * most-frequent-token fraction, and the keep/drop verdict at the
@@ -162,17 +174,6 @@ object TextOps {
     * double divisions of exact ints, so the verdict compares identically
     * cross-engine. Shared by the t6 gate and [[graft.llm.CorpusEtl]]. */
   def repetitionStats(input: DataFrame): DataFrame = {
-    val grams2 = expr("""CASE WHEN size(t) >= 2
-      THEN transform(sequence(1, size(t) - 1),
-        i -> concat_ws(' ', element_at(t, i), element_at(t, i+1)))
-      ELSE CAST(array() AS array<string>) END""")
-    val grams3 = expr("""CASE WHEN size(t) >= 3
-      THEN transform(sequence(1, size(t) - 2),
-        i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))
-      ELSE CAST(array() AS array<string>) END""")
-    def dupFrac(tot: Column, dis: Column): Column =
-      when(tot === 0, lit(0.0))
-        .otherwise((tot - dis).cast("double") / tot.cast("double"))
     val base = input
       .withColumn("t", tokens)
       .withColumn("g2", grams2).withColumn("g3", grams3)
@@ -194,6 +195,33 @@ object TextOps {
         col("dup_2g_frac") <= 0.9 && col("dup_3g_frac") <= 0.8 &&
           col("top_tok_frac") <= 0.2)
   }
+
+  /** Shuffle-free twin of [[repetitionStats]]: ADDS the same stat columns
+    * to the input (all original columns retained), computing the
+    * top-token count per row with a nested HOF instead of the
+    * explode → groupBy shape. Identical values (spec-asserted
+    * differentially); cost is O(distinct_tokens × tokens) per document
+    * instead of a doc_id-keyed shuffle — the form a STATELESS streaming
+    * stage needs, and the better batch plan when the row already has to
+    * be carried through (no join back). */
+  def repetitionStatsInline(input: DataFrame): DataFrame =
+    input
+      .withColumn("t", tokens)
+      .withColumn("g2", grams2).withColumn("g3", grams3)
+      .withColumn("n_tokens", size(col("t")).cast("int"))
+      .withColumn("top_cnt",
+        expr("array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))")
+          .cast("int"))
+      .withColumn("dup_2g_frac",
+        dupFrac(size(col("g2")).cast("int"), size(array_distinct(col("g2"))).cast("int")))
+      .withColumn("dup_3g_frac",
+        dupFrac(size(col("g3")).cast("int"), size(array_distinct(col("g3"))).cast("int")))
+      .withColumn("top_tok_frac",
+        col("top_cnt").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("keep",
+        col("dup_2g_frac") <= 0.9 && col("dup_3g_frac") <= 0.8 &&
+          col("top_tok_frac") <= 0.2)
+      .drop("t", "g2", "g3")
 
   val all: Seq[Q] = Seq(
 

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.llm.CorpusEtlConfig
+import graft.queries.{Redact, TextOps}
+
+/** Streaming corpus ingest — the in-flight half of the LLM data pipeline
+  * ([[graft.llm.CorpusEtl]] is the batch half): documents land as parquet
+  * files, and each micro-batch is repetition-filtered, exact-deduped and
+  * PII-scrubbed before it reaches the store, so downstream batch jobs
+  * (near-dup clustering, profiling) start from a clean corpus.
+  *
+  * Stage shapes, chosen for bounded streaming state:
+  *  - the quality filter is [[TextOps.repetitionStatsInline]] — stateless,
+  *    shuffle-free, per-row;
+  *  - exact dedup keys on the md5 content digest via
+  *    `dropDuplicatesWithinWatermark`: a duplicate arriving within the
+  *    watermark horizon of its first copy is dropped, and the digest's
+  *    state cell is evicted once the watermark passes — state is
+  *    O(docs per horizon), never O(corpus). (Plain `dropDuplicates` on a
+  *    non-event-time key would keep every digest forever.) Re-landed
+  *    files beyond the horizon re-ingest — collapsed later by the batch
+  *    d1/c1 pass, exactly the reference's snapshot-reingest-then-collapse
+  *    posture (oracle.rs:314-389);
+  *  - the scrub is pure `regexp_replace` column work, after the dedup so
+  *    it runs once per kept document.
+  */
+object DocStream {
+
+  /** Filter + dedup + scrub a landing directory into a store directory.
+    * `schema` must carry `text` plus timestamp `ingestTimeCol` (the
+    * event-time for the dedup watermark). Returns the started query
+    * (`AvailableNow`: drains what exists, then stops — the scheduled-
+    * batch cadence; checkpointed, so re-runs resume incrementally). */
+  def preparedIngest(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String,
+      ingestTimeCol: String = "ingest_ts",
+      watermark: String = "1 hour",
+      cfg: CorpusEtlConfig = CorpusEtlConfig(),
+      maxFilesPerTrigger: Int = 100): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+    prepared(raw, ingestTimeCol, watermark, cfg)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The transform alone (works on a streaming or batch frame): quality
+    * filter → watermarked exact dedup → scrub. Exposed so specs and
+    * non-parquet sinks can drive it directly. */
+  def prepared(
+      docs: DataFrame,
+      ingestTimeCol: String,
+      watermark: String,
+      cfg: CorpusEtlConfig = CorpusEtlConfig()): DataFrame = {
+    val kept = TextOps.repetitionStatsInline(docs)
+      .where(col("n_tokens") >= cfg.minTokens &&
+        col("dup_2g_frac") <= cfg.maxDup2gFrac &&
+        col("dup_3g_frac") <= cfg.maxDup3gFrac &&
+        col("top_tok_frac") <= cfg.maxTopTokFrac)
+    val deduped = kept
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark(ingestTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+    Redact.scrub(deduped)
+      .drop("text")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.queries.TextOps
+
+class DocStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.from(Instant.parse(s))
+
+  private val good = ("the quick brown fox jumps over a lazy dog while " +
+    "seventeen sparrows argue about breadcrumbs near the old stone bridge")
+  private val withPii = ("every database engine eventually reinvents half " +
+    "of a filesystem, writes to admin@db.example.com and calls 555-867-5309")
+
+  test("streaming ingest filters, dedups within watermark, and scrubs") {
+    val base = Files.createTempDirectory("graft-docstream").toString
+    val landing = s"$base/landing"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+
+    def docs(rows: (Long, String, String, Timestamp)*) =
+      rows.toDF("doc_id", "lang", "text", "ingest_ts")
+    val schema = docs((1L, "en", "x", ts("2024-08-12T00:00:00Z"))).schema
+
+    // batch 1: a good doc, an exact dup of it, a too-short doc, spam
+    docs(
+      (1L, "en", good, ts("2024-08-12T00:00:00Z")),
+      (2L, "en", good, ts("2024-08-12T00:10:00Z")),
+      (3L, "en", "too short to keep", ts("2024-08-12T00:20:00Z")),
+      (4L, "en", Seq.fill(40)("spam").mkString(" "), ts("2024-08-12T00:30:00Z")))
+      .coalesce(1).write.parquet(s"$landing/b1")
+
+    DocStream.preparedIngest(spark, s"$landing/*", schema, out, ckpt)
+      .awaitTermination()
+    val got1 = spark.read.parquet(out)
+    assert(got1.select("doc_id").as[Long].collect().toSet == Set(1L))
+
+    // batch 2: another dup of the first doc (inside the 1 h watermark of
+    // the running state) and a new doc with PII — only the new one lands
+    docs(
+      (5L, "en", good, ts("2024-08-12T00:40:00Z")),
+      (6L, "en", withPii, ts("2024-08-12T00:50:00Z")))
+      .coalesce(1).write.parquet(s"$landing/b2")
+
+    DocStream.preparedIngest(spark, s"$landing/*", schema, out, ckpt)
+      .awaitTermination()
+    val got2 = spark.read.parquet(out)
+    assert(got2.select("doc_id").as[Long].collect().toSet == Set(1L, 6L))
+
+    val r6 = got2.where($"doc_id" === 6L).collect().head
+    assert(r6.getAs[Int]("n_emails") == 1)
+    assert(r6.getAs[Int]("n_phones") == 1)
+    val red = r6.getAs[String]("redacted")
+    assert(red.contains("<EMAIL>") && red.contains("<PHONE>"))
+    assert(!red.contains("example.com") && !red.contains("867"))
+    // content hash travels with the row (the batch d1/c1 collapse key)
+    assert(r6.getAs[String]("content_hash").length == 32)
+  }
+
+  test("inline repetition stats match the shuffle-shaped batch stats") {
+    val rnd = new scala.util.Random(7)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docs = (1L to 60L).map { i =>
+      val n = 1 + rnd.nextInt(30)
+      (i, Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val cols = Seq("doc_id", "n_tokens", "top_cnt",
+      "dup_2g_frac", "dup_3g_frac", "top_tok_frac", "keep")
+    val inline = TextOps.repetitionStatsInline(docs)
+      .selectExpr(cols: _*).orderBy("doc_id").collect().toSeq
+    val shuffled = TextOps.repetitionStats(docs)
+      .selectExpr(cols: _*).orderBy("doc_id").collect().toSeq
+    assert(inline == shuffled)
+  }
+
+  test("the inline stat stage adds no shuffle to a streaming-less plan") {
+    val docs = Seq((1L, good)).toDF("doc_id", "text")
+    val plan = TextOps.repetitionStatsInline(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
