@@ -58,6 +58,15 @@ object CorpusEtl {
 
   /** Run the pipeline over `(doc_id, lang, text, …)` documents.
     *
+    * The filter+dedup survivor frame is materialized once because two
+    * plan subtrees consume it (the pair-generation pipeline and the
+    * final keeper join) — without it the corpus scan AND the stats
+    * aggregation run twice. Same two modes as `DwmlFlatten.flattenAll`:
+    * default eager `localCheckpoint` (blocks auto-released, but an
+    * executor loss aborts the job), `reliableCache = true` →
+    * `persist(MEMORY_AND_DISK)` (recomputable from lineage; stays
+    * pinned until `clearCache()`).
+    *
     * @return one row per kept (canonical) document: doc_id, lang,
     *         n_tokens, n_copies (exact duplicates it represents),
     *         cluster_size (near-dup cluster it represents, 1 if unique),
@@ -65,7 +74,8 @@ object CorpusEtl {
     *         (the scrubbed text).
     */
   def prepare(docs: DataFrame,
-      cfg: CorpusEtlConfig = CorpusEtlConfig()): DataFrame = {
+      cfg: CorpusEtlConfig = CorpusEtlConfig(),
+      reliableCache: Boolean = false): DataFrame = {
     // 1. repetition filter: stats are doc_id-keyed, one join back to text
     val stats = TextOps.repetitionStats(docs)
       .where(col("n_tokens") >= cfg.minTokens &&
@@ -81,7 +91,11 @@ object CorpusEtl {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).cast("int").as("n_copies"))
       .select("doc_id", "n_copies")
     // joining back on doc_id keeps exactly the keeper row per digest
-    val survivors = kept.join(exact, Seq("doc_id"))
+    val survivorsBase = kept.join(exact, Seq("doc_id"))
+    val survivors =
+      if (reliableCache)
+        survivorsBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else survivorsBase.localCheckpoint(true)
 
     // 3. near-dup clustering on the survivors; a doc in no pair is its
     // own (size-1) cluster, so components join LEFT and label-coalesce

@@ -152,17 +152,37 @@ object TextOps {
         FROM (SELECT doc_id, $duckHvals AS hs
               FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents))"""
 
-  private val grams2 = expr("""CASE WHEN size(t) >= 2
-    THEN transform(sequence(1, size(t) - 1),
-      i -> concat_ws(' ', element_at(t, i), element_at(t, i+1)))
-    ELSE CAST(array() AS array<string>) END""")
-  private val grams3 = expr("""CASE WHEN size(t) >= 3
-    THEN transform(sequence(1, size(t) - 2),
-      i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))
-    ELSE CAST(array() AS array<string>) END""")
   private def dupFrac(tot: Column, dis: Column): Column =
     when(tot === 0, lit(0.0))
       .otherwise((tot - dis).cast("double") / tot.cast("double"))
+
+  /** Every gram-count stat in ONE expression with the token array bound
+    * once (`includeTop` adds the map-side top-token count). Consumers
+    * must materialize it through `explode(array(…))`: a Generate is a
+    * predicate-pushdown substitution barrier, so a later filter on the
+    * stats references the struct FIELD instead of re-inlining the full
+    * HOF chain per conjunct — measured 7× on the composed pipeline
+    * (26 s → 3.7 s for the filtered stats at sf0.1; the same trap as the
+    * shingle binding above, one level up). */
+  private def gramStatsStruct(includeTop: Boolean): Column = {
+    val top = if (includeTop)
+      ", cast(array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x)))) as int) AS top_cnt"
+    else ""
+    expr(s"""aggregate(array(split(lower(text), ' ')),
+      CAST(NULL AS struct<n_tokens:int,n_2g:int,n_2g_d:int,n_3g:int,n_3g_d:int${
+        if (includeTop) ",top_cnt:int" else ""}>),
+      (z, t) -> struct(
+        cast(size(t) as int) AS n_tokens,
+        cast(CASE WHEN size(t) >= 2 THEN size(t) - 1 ELSE 0 END as int) AS n_2g,
+        cast(CASE WHEN size(t) >= 2 THEN size(array_distinct(
+          transform(sequence(1, size(t) - 1),
+            i -> concat_ws(' ', element_at(t, i), element_at(t, i+1))))) ELSE 0 END as int) AS n_2g_d,
+        cast(CASE WHEN size(t) >= 3 THEN size(t) - 2 ELSE 0 END as int) AS n_3g,
+        cast(CASE WHEN size(t) >= 3 THEN size(array_distinct(
+          transform(sequence(1, size(t) - 2),
+            i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2))))) ELSE 0 END as int) AS n_3g_d
+        $top))""")
+  }
 
   /** Per-document repetition statistics (Gopher/MassiveText-style quality
     * rules, a public recipe): duplicate 2-/3-gram fractions, the
@@ -175,13 +195,10 @@ object TextOps {
     * cross-engine. Shared by the t6 gate and [[graft.llm.CorpusEtl]]. */
   def repetitionStats(input: DataFrame): DataFrame = {
     val base = input
-      .withColumn("t", tokens)
-      .withColumn("g2", grams2).withColumn("g3", grams3)
-      .select(col("doc_id"), size(col("t")).cast("int").as("n_tokens"),
-        size(col("g2")).cast("int").as("n_2g"),
-        size(array_distinct(col("g2"))).cast("int").as("n_2g_d"),
-        size(col("g3")).cast("int").as("n_3g"),
-        size(array_distinct(col("g3"))).cast("int").as("n_3g_d"))
+      .select(col("doc_id"), explode(array(gramStatsStruct(includeTop = false))).as("rs"))
+      .select(col("doc_id"), col("rs.n_tokens").as("n_tokens"),
+        col("rs.n_2g").as("n_2g"), col("rs.n_2g_d").as("n_2g_d"),
+        col("rs.n_3g").as("n_3g"), col("rs.n_3g_d").as("n_3g_d"))
     val top = input
       .select(col("doc_id"), explode(tokens).as("tok"))
       .groupBy("doc_id", "tok").count()
@@ -206,22 +223,17 @@ object TextOps {
     * be carried through (no join back). */
   def repetitionStatsInline(input: DataFrame): DataFrame =
     input
-      .withColumn("t", tokens)
-      .withColumn("g2", grams2).withColumn("g3", grams3)
-      .withColumn("n_tokens", size(col("t")).cast("int"))
-      .withColumn("top_cnt",
-        expr("array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))")
-          .cast("int"))
-      .withColumn("dup_2g_frac",
-        dupFrac(size(col("g2")).cast("int"), size(array_distinct(col("g2"))).cast("int")))
-      .withColumn("dup_3g_frac",
-        dupFrac(size(col("g3")).cast("int"), size(array_distinct(col("g3"))).cast("int")))
+      .select(col("*"), explode(array(gramStatsStruct(includeTop = true))).as("__rs"))
+      .withColumn("n_tokens", col("__rs.n_tokens"))
+      .withColumn("top_cnt", col("__rs.top_cnt"))
+      .withColumn("dup_2g_frac", dupFrac(col("__rs.n_2g"), col("__rs.n_2g_d")))
+      .withColumn("dup_3g_frac", dupFrac(col("__rs.n_3g"), col("__rs.n_3g_d")))
       .withColumn("top_tok_frac",
         col("top_cnt").cast("double") / col("n_tokens").cast("double"))
       .withColumn("keep",
         col("dup_2g_frac") <= 0.9 && col("dup_3g_frac") <= 0.8 &&
           col("top_tok_frac") <= 0.2)
-      .drop("t", "g2", "g3")
+      .drop("__rs")
 
   val all: Seq[Q] = Seq(
 
