@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -85,13 +86,17 @@ object CorpusEtl {
       .select("doc_id", "n_tokens")
     val kept = docs.join(stats, Seq("doc_id"))
 
-    // 2. exact dedup: keeper + represented-copy count per content digest
-    val exact = kept
-      .groupBy(md5(col("text")).as("content_hash"))
-      .agg(min("doc_id").as("doc_id"), count(lit(1)).cast("int").as("n_copies"))
-      .select("doc_id", "n_copies")
-    // joining back on doc_id keeps exactly the keeper row per digest
-    val survivorsBase = kept.join(exact, Seq("doc_id"))
+    // 2. exact dedup: keeper + represented-copy count per content digest.
+    // One window over the digest does both in a SINGLE corpus shuffle —
+    // the agg + join-back-on-doc_id alternative (d1's reporting shape)
+    // shuffles the corpus twice.
+    val byHash = Window.partitionBy("content_hash")
+    val survivorsBase = kept
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("n_copies", count(lit(1)).over(byHash).cast("int"))
+      .withColumn("__rn", row_number().over(byHash.orderBy("doc_id")))
+      .where(col("__rn") === 1)
+      .drop("__rn", "content_hash")
     val survivors =
       if (reliableCache)
         survivorsBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
