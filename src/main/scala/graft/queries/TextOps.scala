@@ -105,7 +105,12 @@ object TextOps {
         col("h").as("ha"), col("n").as("na")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"),
         col("h").as("hb"), col("n").as("nb")), Seq("doc_b"))
-      .withColumn("n_common", nCommon)
+      // explode(array(…)) fence: the threshold filter below would
+      // otherwise inline the merge-scan kernel a second time per pair
+      // (filter eval + project eval) — the verify stage is the hot loop
+      // at corpus scale, so it runs exactly once per candidate
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        explode(array(nCommon)).as("n_common"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common")).cast("double"))

@@ -198,7 +198,10 @@ object VectorOps {
         val b = bands.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
           col("band"), col("sig"))
         a.join(b, Seq("band", "sig")).where(col("vec_a") < col("vec_b"))
-          .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos_sim"))
+          // explode(array(…)) fence: keeps the threshold filter from
+          // inlining a second cosine evaluation per candidate pair
+          .select(col("vec_a"), col("vec_b"),
+            explode(array(cosine(col("ea"), col("eb")))).as("cos_sim"))
           .where(col("cos_sim") > 0.35)
           .distinct()
           .orderBy("vec_a", "vec_b")
