@@ -555,6 +555,28 @@ object TextOps {
         FROM g JOIN tc ON g.doc_id = tc.doc_id
         ORDER BY g.doc_id""")),
 
+    // Corpus vocabulary: top-50 tokens by occurrence count with document
+    // frequency — the vocab/tokenizer-prep step of a training pipeline.
+    // explode → two-level groupBy: partial counts combine map-side, so
+    // the shuffle carries (token, partial) not raw occurrences; stop-word
+    // skew is bounded by the combiner (each map task emits one row per
+    // distinct token). countDistinct(doc_id) expands to the standard
+    // two-phase distinct aggregate — same (tok, doc_id)-keyed shuffle
+    // shape at any scale. Deterministic ties: count desc, token asc.
+    Q("t7_vocab",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occurrences").desc, col("tok"))
+        .limit(50),
+      Some("""SELECT tok, COUNT(*) AS n_occurrences,
+          COUNT(DISTINCT doc_id) AS n_docs
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        GROUP BY tok ORDER BY n_occurrences DESC, tok LIMIT 50""")),
+
     // Multimodal plumbing: opaque binary payload column + typed metadata
     // (the schema/partitioning side of image/audio handling; decode is
     // stubbed in graft.llm.Multimodal).
