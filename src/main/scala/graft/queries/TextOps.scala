@@ -409,6 +409,39 @@ object TextOps {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         ORDER BY doc_a, doc_b""")),
 
+    // Benchmark decontamination: flag corpus documents sharing ≥3 word
+    // 3-gram shingles with any held-out benchmark document (the standard
+    // n-gram-overlap decontamination pass an LLM training pipeline runs
+    // before training; benchmark membership is a deterministic doc_id
+    // residue so both engines pick the same set). Scale shape: the
+    // benchmark side is tiny relative to the corpus (a few thousand eval
+    // documents vs billions), so its exploded shingle table is
+    // BROADCAST — the 100 TB corpus side never shuffles for the join;
+    // only the matched (doc, bench) pairs (a sliver) hit the groupBy
+    // exchange.
+    Q("d8_decontaminate",
+      (s, d) => {
+        val sh = shingled(s, d)
+        val bench = sh.where(col("doc_id") % 41 === 0)
+          .select(col("doc_id").as("bench_id"), explode(col("s")).as("shingle"))
+        val corpus = sh.where(col("doc_id") % 41 =!= 0)
+          .select(col("doc_id"), explode(col("s")).as("shingle"))
+        corpus.join(broadcast(bench), Seq("shingle"))
+          .groupBy("doc_id", "bench_id")
+          .agg(count(lit(1)).cast("int").as("n_overlap"))
+          .where(col("n_overlap") >= 2)
+          .orderBy("doc_id", "bench_id")
+      },
+      Some(s"""WITH sh AS (
+          SELECT doc_id, unnest($duckShingles) AS shingle
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents))
+        SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+          CAST(COUNT(*) AS INT) AS n_overlap
+        FROM sh c JOIN sh b ON c.shingle = b.shingle
+        WHERE b.doc_id % 41 = 0 AND c.doc_id % 41 <> 0
+        GROUP BY c.doc_id, b.doc_id HAVING COUNT(*) >= 2
+        ORDER BY doc_id, bench_id""")),
+
     // Language-ID: n-gram/stopword marker heuristic → argmax with a
     // deterministic tiebreak.
     Q("t1_langid",
@@ -576,6 +609,70 @@ object TextOps {
         FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
               FROM documents)
         GROUP BY tok ORDER BY n_occurrences DESC, tok LIMIT 50""")),
+
+    // BM25 relevance ranking for a fixed keyword query — the retrieval
+    // scorer a data pipeline runs to select training documents near a
+    // topic. Term frequencies come from a map-side `filter` over the
+    // token array (no explode, no shuffle per term); the corpus stats
+    // (N, Σdl, per-term df) are ONE tiny aggregate row broadcast back
+    // over the scan, so the whole query is scan → 1-row agg → map-side
+    // score → top-k: at 100 TB the only exchange is the single-row
+    // stats exchange and the final TakeOrdered. Cross-engine exactness:
+    // the classic log-idf is replaced by the rational Robertson idf
+    // (N - df + 0.5)/(df + 0.5) — every term score is +,*,/ over
+    // int-derived doubles evaluated in identical order on both engines,
+    // so doubles hash-match bit-exactly (no transcendentals, whose
+    // libm/JVM bits differ).
+    Q("t8_bm25",
+      (s, d) => {
+        def tf(term: String): Column =
+          size(filter(tokens, x => x === lit(term))).cast("int")
+        val perDoc = Tables.documents(s, d).select(col("doc_id"),
+          size(tokens).cast("int").as("dl"),
+          tf("spark").as("tf_spark"), tf("join").as("tf_join"),
+          tf("vector").as("tf_vector"))
+        val stats = perDoc.agg(
+          count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
+          sum(when(col("tf_spark") > 0, 1L).otherwise(0L)).as("df_spark"),
+          sum(when(col("tf_join") > 0, 1L).otherwise(0L)).as("df_join"),
+          sum(when(col("tf_vector") > 0, 1L).otherwise(0L)).as("df_vector"))
+        def part(term: String): String =
+          s"""((n_docs - df_$term + 0.5e0) / (df_$term + 0.5e0)) *
+              (tf_$term * 2.2e0) /
+              (tf_$term + 1.2e0 * (0.25e0 + 0.75e0 * (dl / (sum_dl / n_docs))))"""
+        perDoc.crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("tf_spark"), col("tf_join"),
+            col("tf_vector"),
+            expr(s"${part("spark")} + ${part("join")} + ${part("vector")}")
+              .as("bm25"))
+          .where(col("bm25") > 0d)
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(25)
+      },
+      Some("""WITH per_doc AS (
+          SELECT doc_id, CAST(len(t) AS INT) AS dl,
+            CAST(len(list_filter(t, x -> x = 'spark')) AS INT) AS tf_spark,
+            CAST(len(list_filter(t, x -> x = 'join')) AS INT) AS tf_join,
+            CAST(len(list_filter(t, x -> x = 'vector')) AS INT) AS tf_vector
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)),
+        stats AS (
+          SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+            SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+            SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+            SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS df_vector
+          FROM per_doc)
+        SELECT doc_id, tf_spark, tf_join, tf_vector,
+          ((n_docs - df_spark + 0.5e0) / (df_spark + 0.5e0)) *
+              (tf_spark * 2.2e0) /
+              (tf_spark + 1.2e0 * (0.25e0 + 0.75e0 * (dl / (sum_dl / n_docs)))) +
+          ((n_docs - df_join + 0.5e0) / (df_join + 0.5e0)) *
+              (tf_join * 2.2e0) /
+              (tf_join + 1.2e0 * (0.25e0 + 0.75e0 * (dl / (sum_dl / n_docs)))) +
+          ((n_docs - df_vector + 0.5e0) / (df_vector + 0.5e0)) *
+              (tf_vector * 2.2e0) /
+              (tf_vector + 1.2e0 * (0.25e0 + 0.75e0 * (dl / (sum_dl / n_docs)))) AS bm25
+        FROM per_doc, stats
+        WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 25""")),
 
     // Multimodal plumbing: opaque binary payload column + typed metadata
     // (the schema/partitioning side of image/audio handling; decode is

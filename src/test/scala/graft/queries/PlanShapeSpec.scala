@@ -22,7 +22,8 @@ class PlanShapeSpec extends AnyFunSuite {
   private val pairJoinQueries = Seq(
     "d2_dedup_ngram_jaccard", "d4_minhash_pairs", "d6_simhash_pairs",
     "v2_knn_lsh", "v4_embed_near_dup", "q12_bucket_join", "q14_range_join",
-    "q22_asof_join", "q23_salted_agg", "t6_repetition", "c1_corpus_prep")
+    "q22_asof_join", "q23_salted_agg", "t6_repetition", "c1_corpus_prep",
+    "d8_decontaminate")
 
   for (name <- pairJoinQueries)
     test(s"$name: no cartesian / nested-loop join in the physical plan") {
@@ -49,6 +50,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters"), plan)
     assert(plan.contains("LessThan(ts"), s"ts upper bound not pushed:\n$plan")
     assert(plan.contains("GreaterThanOrEqual(ts"), s"trunc lower bound not pushed:\n$plan")
+  }
+
+  test("d8_decontaminate: benchmark shingle side broadcasts (corpus never shuffles for the join)") {
+    val plan = SparkEntry.queries("d8_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side should broadcast:\n$plan")
+  }
+
+  test("t8_bm25: term frequencies are map-side (no Generate) and only the stats row exchanges") {
+    val plan = SparkEntry.queries("t8_bm25")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"tf should come from array filter, not explode:\n$plan")
+    // one Exchange pair for the 1-row stats aggregate (partial → single),
+    // none keyed on the corpus — the scan side stays map-side.
+    val corpusExchanges = "Exchange hashpartitioning\\(doc_id".r
+      .findAllIn(plan).size
+    assert(corpusExchanges == 0,
+      s"corpus side must not shuffle on doc_id:\n$plan")
   }
 
   test("q1_pricing_summary: scan reads only the referenced columns") {
