@@ -195,6 +195,67 @@ object CorpusEtl {
         LEFT JOIN comp ON exk.doc_id = comp.doc_id
         LEFT JOIN cs ON COALESCE(comp.component, exk.doc_id) = cs.component
         WHERE COALESCE(comp.component, exk.doc_id) = exk.doc_id
-        ORDER BY exk.doc_id"""))
+        ORDER BY exk.doc_id""")),
+
+    // Deterministic train/val/test split: bucket = first byte of
+    // md5(doc_id), train < 230 (~89.8%), val < 243 (~5.1%), test
+    // otherwise. Hash-based assignment is the production shape — stable
+    // under re-runs, shard-count changes, and late-arriving data (no
+    // row_number over a global sort, which would be a single-partition
+    // bottleneck and reshuffle membership whenever the corpus grows).
+    // Map-side bucket + one tiny 3-group aggregate; per-split stats
+    // make the gate verify every membership without emitting 100 TB.
+    Q("c2_train_split",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("bucket",
+          expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int)"))
+        .withColumn("split",
+          when(col("bucket") < 230, "train")
+            .when(col("bucket") < 243, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(col("doc_id")).cast("long").as("id_sig"))
+        .orderBy("split"),
+      Some("""WITH b AS (
+          SELECT doc_id, n_chars,
+            (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*16 +
+            (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1) AS bucket
+          FROM documents)
+        SELECT CASE WHEN bucket < 230 THEN 'train'
+                    WHEN bucket < 243 THEN 'val' ELSE 'test' END AS split,
+          COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          CAST(SUM(doc_id) AS BIGINT) AS id_sig
+        FROM b GROUP BY 1 ORDER BY split""")),
+
+    // Source-mixing weights: the per-source resampling factor that makes
+    // the corpus mixture uniform across sources (the "data mixing" step
+    // a training pipeline runs after dedup — weight > 1 means upsample /
+    // repeat epochs, < 1 means downsample). One groupBy on the
+    // low-cardinality source key (partial aggregation collapses it
+    // map-side at any scale), then the 1-row totals broadcast back —
+    // the weight is a single division of exact longs, so it hash-matches
+    // bit-exactly cross-engine.
+    Q("c3_source_mix",
+      (s, d) => {
+        val per = Tables.documents(s, d).groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+        val totals = per.agg(sum(col("n_docs")).as("n_total"),
+          count(lit(1)).as("k_sources"))
+        per.crossJoin(broadcast(totals))
+          .select(col("source"), col("n_docs"), col("sum_chars"),
+            (col("n_total") / (col("k_sources") * col("n_docs")))
+              .as("mix_weight"))
+          .orderBy("source")
+      },
+      Some("""WITH per AS (
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM documents GROUP BY source),
+        totals AS (SELECT SUM(n_docs) AS n_total, COUNT(*) AS k_sources FROM per)
+        SELECT source, n_docs, sum_chars,
+          n_total / (k_sources * n_docs) AS mix_weight
+        FROM per, totals ORDER BY source"""))
   )
 }

@@ -496,6 +496,30 @@ object Relational {
             |ORDER BY user_id, ts DESC, event_id LIMIT 200""".stripMargin)
       },
       Some("""SELECT event_id, user_id, ts, event_type FROM events
-        ORDER BY user_id, ts DESC, event_id LIMIT 200"""))
+        ORDER BY user_id, ts DESC, event_id LIMIT 200""")),
+
+    // A1 generalized — multi-level ROLLUP in one pass (per-group, per-flag
+    // subtotal, grand total). Spark's rollup lowers to a single Expand +
+    // hash aggregate: one scan, one shuffle regardless of how many
+    // grouping levels, which is the 100 TB shape (vs unioning three
+    // GROUP BYs = three scans). NULL grouping cells are coalesced to a
+    // sentinel on both sides (the driver compare can't sort mixed
+    // NULL/str columns), which also keeps the output unambiguous since
+    // 'ALL' collides with no TPC-H flag value.
+    Q("q25_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(centsSum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+          COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          COUNT(*) AS n_rows
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus"""))
   )
 }

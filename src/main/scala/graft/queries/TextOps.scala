@@ -240,6 +240,41 @@ object TextOps {
           col("top_tok_frac") <= 0.2)
       .drop("__rs")
 
+  /** BM25 (k1=1.2, b=0.75) scores for a fixed keyword query over a
+    * `(doc_id, text, …)` corpus — one row per document with per-term
+    * frequencies and the summed score. Uses the rational Robertson idf
+    * `(N − df + 0.5)/(df + 0.5)` instead of the classic log form so the
+    * score is pure +,*,/ over int-derived doubles: bit-exact across
+    * engines AND across this function and the driver-side reference
+    * interpreter (Bm25FuzzSpec). Scale shape: tf per term is a map-side
+    * array `filter` (no explode, no per-term shuffle); the corpus stats
+    * (N, Σdl, per-term df) are ONE aggregate row broadcast back over the
+    * scan, so the only exchanges at any scale are the 1-row stats
+    * aggregation and whatever the caller does with the scores. */
+  def bm25(input: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.map(_.toLowerCase).distinct.size == terms.size,
+      "terms must be non-empty and distinct")
+    require(terms.forall(_.matches("[a-z0-9_]+")),
+      s"terms must be bare lowercase tokens, got $terms")
+    def tf(term: String): Column =
+      size(filter(tokens, x => x === lit(term))).cast("int")
+    val perDoc = input.select(
+      col("doc_id") +: size(tokens).cast("int").as("dl") +:
+        terms.map(t => tf(t).as(s"tf_$t")): _*)
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl") +:
+        terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+    def part(term: String): String =
+      s"""((n_docs - df_$term + 0.5e0) / (df_$term + 0.5e0)) *
+          (tf_$term * 2.2e0) /
+          (tf_$term + 1.2e0 * (0.25e0 + 0.75e0 * (dl / (sum_dl / n_docs))))"""
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id") +: terms.map(t => col(s"tf_$t")) :+
+        expr(terms.map(part).mkString(" + ")).as("bm25"): _*)
+  }
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: hash-groupBy on content digest. At 100 TB this is one
@@ -624,31 +659,10 @@ object TextOps {
     // so doubles hash-match bit-exactly (no transcendentals, whose
     // libm/JVM bits differ).
     Q("t8_bm25",
-      (s, d) => {
-        def tf(term: String): Column =
-          size(filter(tokens, x => x === lit(term))).cast("int")
-        val perDoc = Tables.documents(s, d).select(col("doc_id"),
-          size(tokens).cast("int").as("dl"),
-          tf("spark").as("tf_spark"), tf("join").as("tf_join"),
-          tf("vector").as("tf_vector"))
-        val stats = perDoc.agg(
-          count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
-          sum(when(col("tf_spark") > 0, 1L).otherwise(0L)).as("df_spark"),
-          sum(when(col("tf_join") > 0, 1L).otherwise(0L)).as("df_join"),
-          sum(when(col("tf_vector") > 0, 1L).otherwise(0L)).as("df_vector"))
-        def part(term: String): String =
-          s"""((n_docs - df_$term + 0.5e0) / (df_$term + 0.5e0)) *
-              (tf_$term * 2.2e0) /
-              (tf_$term + 1.2e0 * (0.25e0 + 0.75e0 * (dl / (sum_dl / n_docs))))"""
-        perDoc.crossJoin(broadcast(stats))
-          .select(col("doc_id"), col("tf_spark"), col("tf_join"),
-            col("tf_vector"),
-            expr(s"${part("spark")} + ${part("join")} + ${part("vector")}")
-              .as("bm25"))
-          .where(col("bm25") > 0d)
-          .orderBy(col("bm25").desc, col("doc_id"))
-          .limit(25)
-      },
+      (s, d) => bm25(Tables.documents(s, d), Seq("spark", "join", "vector"))
+        .where(col("bm25") > 0d)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(25),
       Some("""WITH per_doc AS (
           SELECT doc_id, CAST(len(t) AS INT) AS dl,
             CAST(len(list_filter(t, x -> x = 'spark')) AS INT) AS tf_spark,
