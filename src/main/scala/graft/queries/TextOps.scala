@@ -477,6 +477,41 @@ object TextOps {
         GROUP BY c.doc_id, b.doc_id HAVING COUNT(*) >= 2
         ORDER BY doc_id, bench_id""")),
 
+    // Substring-level duplication (the Lee-et-al "deduplicating training
+    // data" modality — doc-level dedup misses long shared passages inside
+    // otherwise-distinct documents): slide a 40-char window at stride 20
+    // over each document, digest each window, and report windows seen in
+    // more than one document. Stride trades recall for volume (stride 1 =
+    // the full suffix-overlap scan at 40× the rows; a production run picks
+    // stride ≈ window/2 exactly as here so any shared passage ≥ 2 windows
+    // long is caught at some alignment). Scale shape: explode factor is
+    // len/stride per doc (bounded), then ONE groupBy on the 128-bit
+    // window digest with map-side partial aggregation — hot boilerplate
+    // windows collapse before the shuffle, so skew is bounded.
+    Q("d9_substring_dup",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN length(text) >= 40
+             THEN transform(sequence(1, length(text) - 39, 20),
+                            p -> md5(substring(lower(text), p, 40)))
+             ELSE CAST(array() AS array<string>) END""")).as("gram_md5"))
+        .groupBy("gram_md5")
+        .agg(countDistinct(col("doc_id")).cast("int").as("n_docs"),
+          count(lit(1)).cast("int").as("n_occurrences"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .where(col("n_docs") >= 2)
+        .orderBy("gram_md5"),
+      Some("""WITH g AS (
+          SELECT doc_id,
+            unnest(list_transform(range(1, greatest(length(text) - 38, 1), 20),
+              p -> md5(substr(lower(text), p, 40)))) AS gram_md5
+          FROM documents WHERE length(text) >= 40)
+        SELECT gram_md5, CAST(COUNT(DISTINCT doc_id) AS INT) AS n_docs,
+          CAST(COUNT(*) AS INT) AS n_occurrences,
+          MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM g GROUP BY gram_md5 HAVING COUNT(DISTINCT doc_id) >= 2
+        ORDER BY gram_md5""")),
+
     // Language-ID: n-gram/stopword marker heuristic → argmax with a
     // deterministic tiebreak.
     Q("t1_langid",
