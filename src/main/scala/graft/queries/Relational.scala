@@ -520,6 +520,65 @@ object Relational {
           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
           COUNT(*) AS n_rows
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        ORDER BY l_returnflag, l_linestatus"""))
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // W-family completion — frame-based rolling aggregate (ROWS BETWEEN),
+    // the one window shape w1-w5 don't exercise (they use rank /
+    // unbounded fills). Partitioned by user → scales with user
+    // cardinality; (ts, event_id) makes the frame order total, so both
+    // engines see identical frame contents; the rolling sum rides the
+    // exact long-cents form. The user filter is a pushed scan predicate,
+    // not a post-window filter.
+    Q("q26_moving_avg",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-3, Window.currentRow)
+        Tables.events(s, d)
+          .where(col("user_id") % 97 === 0)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            (sum(cents(col("value"))).over(w) / 100.0).as("mov_sum"),
+            count(lit(1)).over(w).as("mov_n"))
+          .orderBy("user_id", "ts", "event_id")
+      },
+      Some("""SELECT event_id, user_id, ts,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum,
+          COUNT(*) OVER w AS mov_n
+        FROM events WHERE user_id % 97 = 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, ts, event_id""")),
+
+    // J-family completion — LEFT ANTI join (NOT EXISTS): customers with
+    // no big-ticket order. Plans as a shuffle-keyed anti hash join (or
+    // broadcast when the right side is small): existence is decided at
+    // the join, no aggregate-then-filter detour over the big side, and
+    // the price predicate prunes the orders scan before the join.
+    Q("q27_anti_join",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).where(col("o_totalprice") > 300000d),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000)
+        ORDER BY c_custkey""")),
+
+    // J-family completion — LEFT SEMI join (EXISTS): suppliers with at
+    // least one shipped lineitem. Semi stops at first match per key and
+    // never duplicates the left side — the correct shape for existence
+    // filters against a fact table (an inner-join-distinct would shuffle
+    // every matching fact row).
+    Q("q28_semi_join",
+      (s, d) => Tables.supplier(s, d)
+        .join(Tables.lineitem(s, d),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_suppkey"),
+      Some("""SELECT s_suppkey, s_name FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+        ORDER BY s_suppkey"""))
   )
 }
