@@ -579,6 +579,78 @@ object Relational {
         .orderBy("s_suppkey"),
       Some("""SELECT s_suppkey, s_name FROM supplier s
         WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
-        ORDER BY s_suppkey"""))
+        ORDER BY s_suppkey""")),
+
+    // ANALYZE-style statistics collection — the per-column
+    // ndv / null-count / min / max pass a cost-based optimizer (and any
+    // data-quality monitor) runs over every table. One scan, one
+    // aggregate; countDistinct plans as a two-phase partial-distinct
+    // aggregate (dedup map-side per partition, exact merge after — not a
+    // naive global set). At 100 TB the exact ndv is what you'd swap for
+    // the HLL sketch gated separately as x1_approx_ndv.
+    Q("q29_table_stats",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        def statsFor(c: String) = li.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col(c)).as("ndv"),
+          min(col(c)).cast("string").as("min_str"),
+          max(col(c)).cast("string").as("max_str"))
+          .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+            col("ndv"), col("min_str"), col("max_str"))
+        statsFor("l_suppkey").unionAll(statsFor("l_quantity"))
+          .unionAll(statsFor("l_returnflag"))
+          .orderBy("column_name")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'l_suppkey' AS column_name, COUNT(*) AS n_rows,
+            SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+            COUNT(DISTINCT l_suppkey) AS ndv,
+            CAST(MIN(l_suppkey) AS VARCHAR) AS min_str,
+            CAST(MAX(l_suppkey) AS VARCHAR) AS max_str
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_quantity', COUNT(*),
+            SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+            COUNT(DISTINCT l_quantity),
+            CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR)
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_returnflag', COUNT(*),
+            SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+            COUNT(DISTINCT l_returnflag),
+            CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+          FROM lineitem)
+        ORDER BY column_name""")),
+
+    // The 100 TB forms of the two expensive exact statistics: HLL++
+    // distinct-count and GK-sketch quantiles — fixed-size mergeable
+    // sketch state per partition instead of a distinct shuffle / global
+    // sort. No DuckDB oracle (sketch internals are engine-specific;
+    // driver records the rows-only check); ApproxSpec bounds both
+    // against their exact counterparts (≤5% relative ndv error,
+    // quantile rank within the documented ε).
+    Q("x1_approx_ndv",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_ndv"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+      None),
+
+    Q("x2_approx_quantile",
+      (s, d) => {
+        val q = Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("qs"))
+        q.select(col("l_returnflag"),
+          col("qs").getItem(0).as("p50"),
+          col("qs").getItem(1).as("p95"),
+          col("qs").getItem(2).as("p99"))
+          .orderBy("l_returnflag")
+      },
+      None)
   )
 }
