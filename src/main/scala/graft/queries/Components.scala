@@ -36,17 +36,24 @@ object Components {
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      // each node's new label: min of its own and every neighbor's label
+      // Each node's new label: min of its own and every neighbor's label.
+      // The node's OWN previous label rides the same aggregate (tagged
+      // rows + conditional min — every node has exactly one own row), so
+      // convergence detection is a filter over the checkpointed result
+      // instead of a second shuffle join per round: one shuffle job per
+      // round total.
       val neighborLabels = edges
         .join(labels.withColumnRenamed("node", "v"), Seq("v"))
-        .select(col("u").as("node"), col("label"))
-      val next = labels.unionByName(neighborLabels)
-        .groupBy("node").agg(min("label").as("label"))
+        .select(col("u").as("node"), col("label"), lit(false).as("own"))
+      val next = labels.withColumn("own", lit(true))
+        .unionByName(neighborLabels)
+        .groupBy("node")
+        .agg(min("label").as("label"),
+          min(when(col("own"), col("label"))).as("old_label"))
         .localCheckpoint(true)
-      val changed = labels.select(col("node"), col("label").as("old_label"))
-        .join(next, Seq("node"))
-        .where(col("old_label") =!= col("label")).limit(1).count()
-      labels = next
+      val changed = next.where(col("label") =!= col("old_label"))
+        .limit(1).count()
+      labels = next.select("node", "label")
       converged = changed == 0
       iter += 1
     }
