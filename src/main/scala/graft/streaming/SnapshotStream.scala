@@ -81,4 +81,30 @@ object SnapshotStream {
       obs("station_id") === fc("station_id") &&
         obs("obs_time") >= fc("begin_time") && obs("obs_time") < fc("end_time"))
       .drop(fc("station_id"))
+
+  /** Event-time session windows — the streaming twin of the batch
+    * gap-sessionization (q20_session_gap): per key, events closer than
+    * `gap` merge into one session, a quiet period longer than `gap`
+    * starts the next. `session_window` keeps ONE merging window per open
+    * session in the state store (not one per event), and the watermark
+    * both closes sessions (append mode emits a session only once its end
+    * + gap is past the watermark — exactly-once, no retractions) and
+    * evicts their state, so state is O(keys × open sessions), bounded by
+    * the watermark horizon at any scale.
+    *
+    * @param keyCols      session identity (e.g. user_id)
+    * @param eventTimeCol watermarked event-time column (caller sets the
+    *                     watermark with the schema, like the read
+    *                     contract)
+    */
+  def sessionRollup(
+      df: DataFrame,
+      keyCols: Seq[String],
+      eventTimeCol: String,
+      gap: String): DataFrame =
+    df.groupBy(
+        keyCols.map(col) :+ session_window(col(eventTimeCol), gap).as("session"): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select(keyCols.map(col) :+ col("session.start").as("session_start") :+
+        col("session.end").as("session_end") :+ col("n_events"): _*)
 }

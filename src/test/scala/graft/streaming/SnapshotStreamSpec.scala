@@ -113,6 +113,48 @@ class SnapshotStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionRollup merges within-gap events, splits on quiet periods, emits on watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(String, Timestamp)](spark)
+    val sessions = SnapshotStream.sessionRollup(
+      input.toDS().toDF("user_id", "ts").withWatermark("ts", "10 minutes"),
+      Seq("user_id"), "ts", "30 minutes")
+    val q = sessions.writeStream.format("memory").queryName("session_stream")
+      .outputMode("append").start()
+    try {
+      // user A: two events 10 min apart (one session), then 40 min of
+      // quiet (split); user B: one event
+      input.addData(
+        ("A", ts("2024-08-12T00:00:00Z")), ("A", ts("2024-08-12T00:10:00Z")),
+        ("A", ts("2024-08-12T00:50:00Z")), ("B", ts("2024-08-12T00:05:00Z")))
+      q.processAllAvailable()
+      // the watermark (max ts − 10 min = 00:40) has not passed the open
+      // session's end (00:50 + 30 min): it must not have emitted yet
+      assert(!spark.table("session_stream").collect()
+        .exists(_.getTimestamp(1) == ts("2024-08-12T00:50:00Z")))
+      input.addData(("C", ts("2024-08-12T03:00:00Z")))
+      q.processAllAvailable()
+      val rows = spark.table("session_stream").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3))).toSet
+      assert(rows == Set(
+        ("A", ts("2024-08-12T00:00:00Z"), ts("2024-08-12T00:40:00Z"), 2L),
+        ("A", ts("2024-08-12T00:50:00Z"), ts("2024-08-12T01:20:00Z"), 1L),
+        ("B", ts("2024-08-12T00:05:00Z"), ts("2024-08-12T00:35:00Z"), 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionRollup matches the batch q20 gap-sessionization on the same data") {
+    val df = Seq(
+      ("A", ts("2024-08-12T00:00:00Z")), ("A", ts("2024-08-12T00:10:00Z")),
+      ("A", ts("2024-08-12T00:50:00Z")), ("B", ts("2024-08-12T00:05:00Z"))
+    ).toDF("user_id", "ts")
+    val out = SnapshotStream.sessionRollup(df, Seq("user_id"), "ts", "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getString(0), r.getLong(3)))
+    assert(out.toSeq == Seq(("A", 2L), ("A", 1L), ("B", 1L)))
+  }
+
   test("dailyRollup matches the batch A1 shape on the same data") {
     val df = Seq(
       ("A", ts("2024-08-12T00:00:00Z"), Some(10L), Some(30L), Some(5L)),
