@@ -590,35 +590,42 @@ object Relational {
     // the HLL sketch gated separately as x1_approx_ndv.
     Q("q29_table_stats",
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-        def statsFor(c: String) = li.agg(
+        val cols = Seq("l_suppkey", "l_quantity", "l_returnflag")
+        // ONE aggregate over ONE scan for every column's stats — Spark
+        // plans the multiple countDistincts as a single Expand over the
+        // same scan (each input row fans out once per distinct-column),
+        // not as per-column passes. The per-column rows then unpivot
+        // from the single result row, so adding columns never adds scans.
+        val agged = Tables.lineitem(s, d).agg(
           count(lit(1)).as("n_rows"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
-          countDistinct(col(c)).as("ndv"),
-          min(col(c)).cast("string").as("min_str"),
-          max(col(c)).cast("string").as("max_str"))
-          .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
-            col("ndv"), col("min_str"), col("max_str"))
-        statsFor("l_suppkey").unionAll(statsFor("l_quantity"))
-          .unionAll(statsFor("l_returnflag"))
+          cols.flatMap(c => Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+            countDistinct(col(c)).as(s"ndv_$c"),
+            min(col(c)).cast("string").as(s"min_$c"),
+            max(col(c)).cast("string").as(s"max_$c"))): _*)
+        agged.select(explode(array(cols.map(c => struct(
+            lit(c).as("column_name"), col("n_rows"), col(s"nulls_$c").as("n_nulls"),
+            col(s"ndv_$c").as("ndv"), col(s"min_$c").as("min_str"),
+            col(s"max_$c").as("max_str"))): _*)).as("st"))
+          .select("st.*")
           .orderBy("column_name")
       },
       Some("""SELECT * FROM (
           SELECT 'l_suppkey' AS column_name, COUNT(*) AS n_rows,
-            SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+            CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
             COUNT(DISTINCT l_suppkey) AS ndv,
             CAST(MIN(l_suppkey) AS VARCHAR) AS min_str,
             CAST(MAX(l_suppkey) AS VARCHAR) AS max_str
           FROM lineitem
           UNION ALL
           SELECT 'l_quantity', COUNT(*),
-            SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+            CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
             COUNT(DISTINCT l_quantity),
             CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR)
           FROM lineitem
           UNION ALL
           SELECT 'l_returnflag', COUNT(*),
-            SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+            CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
             COUNT(DISTINCT l_returnflag),
             CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
           FROM lineitem)

@@ -256,11 +256,20 @@ object TextOps {
       "terms must be non-empty and distinct")
     require(terms.forall(_.matches("[a-z0-9_]+")),
       s"terms must be bare lowercase tokens, got $terms")
-    def tf(term: String): Column =
-      size(filter(tokens, x => x === lit(term))).cast("int")
-    val perDoc = input.select(
-      col("doc_id") +: size(tokens).cast("int").as("dl") +:
-        terms.map(t => tf(t).as(s"tf_$t")): _*)
+    // One tokenization per document per pass: the token array binds once
+    // via aggregate(array(...)) (HOF args bypass codegen subexpression
+    // elimination — dl + one filter per term would otherwise re-split the
+    // text per derived column), and the stats struct crosses a Generate
+    // fence so downstream consumers reference the generated attribute
+    // instead of re-inlining the chain (the d2/t6 lesson).
+    val tfStruct = expr(s"""aggregate(array(split(lower(text), ' ')),
+        cast(null as struct<dl:int${terms.map(t => s",tf_$t:int").mkString}>),
+        (z, t) -> struct(size(t) as dl${terms.map(tm =>
+          s", size(filter(t, x -> x = '$tm')) as tf_$tm").mkString}))""")
+    val perDoc = input
+      .select(col("doc_id"), explode(array(tfStruct)).as("__tf"))
+      .select(col("doc_id") +: col("__tf.dl").as("dl") +:
+        terms.map(t => col(s"__tf.tf_$t").as(s"tf_$t")): _*)
     val stats = perDoc.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl") +:
@@ -444,7 +453,7 @@ object TextOps {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         ORDER BY doc_a, doc_b""")),
 
-    // Benchmark decontamination: flag corpus documents sharing ≥3 word
+    // Benchmark decontamination: flag corpus documents sharing ≥2 word
     // 3-gram shingles with any held-out benchmark document (the standard
     // n-gram-overlap decontamination pass an LLM training pipeline runs
     // before training; benchmark membership is a deterministic doc_id
@@ -481,10 +490,14 @@ object TextOps {
     // data" modality — doc-level dedup misses long shared passages inside
     // otherwise-distinct documents): slide a 40-char window at stride 20
     // over each document, digest each window, and report windows seen in
-    // more than one document. Stride trades recall for volume (stride 1 =
-    // the full suffix-overlap scan at 40× the rows; a production run picks
-    // stride ≈ window/2 exactly as here so any shared passage ≥ 2 windows
-    // long is caught at some alignment). Scale shape: explode factor is
+    // more than one document. Stride trades recall for volume: windows
+    // anchor on each document's own 20-char grid, so a shared passage is
+    // detected only when its occurrences agree on start offset mod 20 —
+    // which full-document copies, copies sharing a prefix, and
+    // grid-aligned boilerplate all do. Arbitrary-offset passage recall
+    // needs stride 1 on one side (20× the rows) or the Lee-et-al suffix
+    // construction; this strided form is the cheap screening pass run
+    // before either. Scale shape: explode factor is
     // len/stride per doc (bounded), then ONE groupBy on the 128-bit
     // window digest with map-side partial aggregation — hot boilerplate
     // windows collapse before the shuffle, so skew is bounded.

@@ -87,10 +87,11 @@ object SnapshotStream {
     * `gap` merge into one session, a quiet period longer than `gap`
     * starts the next. `session_window` keeps ONE merging window per open
     * session in the state store (not one per event), and the watermark
-    * both closes sessions (append mode emits a session only once its end
-    * + gap is past the watermark — exactly-once, no retractions) and
-    * evicts their state, so state is O(keys × open sessions), bounded by
-    * the watermark horizon at any scale.
+    * both closes sessions (append mode emits a session only once the
+    * watermark passes its end — which already includes the gap after the
+    * last event — exactly-once, no retractions) and evicts their state,
+    * so state is O(keys × open sessions), bounded by the watermark
+    * horizon at any scale.
     *
     * @param keyCols      session identity (e.g. user_id)
     * @param eventTimeCol watermarked event-time column (caller sets the

@@ -59,11 +59,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"benchmark side should broadcast:\n$plan")
   }
 
-  test("t8_bm25: term frequencies are map-side (no Generate) and only the stats row exchanges") {
+  test("t8_bm25: one tokenization per pass and only the stats row exchanges") {
     val plan = SparkEntry.queries("t8_bm25")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Generate"),
-      s"tf should come from array filter, not explode:\n$plan")
+    // the token array binds once behind the Generate fence: each of the
+    // two passes over documents (stats agg, scoring side) tokenizes
+    // exactly once — dl + per-term tf all read the generated struct
+    val tokenizations = "split\\(lower\\(text".r.findAllIn(plan).size
+    assert(tokenizations <= 2,
+      s"tokenization re-inlined ($tokenizations sites):\n$plan")
     // one Exchange pair for the 1-row stats aggregate (partial → single),
     // none keyed on the corpus — the scan side stays map-side.
     val corpusExchanges = "Exchange hashpartitioning\\(doc_id".r
