@@ -256,6 +256,33 @@ object CorpusEtl {
         totals AS (SELECT SUM(n_docs) AS n_total, COUNT(*) AS k_sources FROM per)
         SELECT source, n_docs, sum_chars,
           n_total / (k_sources * n_docs) AS mix_weight
-        FROM per, totals ORDER BY source"""))
+        FROM per, totals ORDER BY source""")),
+
+    // Corpus composition report: per-language AND per-source document
+    // counts in ONE pass — GROUPING SETS ((lang),(source)) lowers to a
+    // single Expand over a single scan (each row fans out once per
+    // grouping set), where the naive report would scan the corpus once
+    // per dimension. The dim discriminator comes from GROUPING(), the
+    // portable way to tell which set a row belongs to.
+    Q("c4_corpus_report",
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("c4_documents")
+        s.sql("""SELECT
+            CASE WHEN GROUPING(lang) = 0 THEN 'lang' ELSE 'source' END AS dim,
+            COALESCE(lang, source) AS key, COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+            CAST(MIN(n_chars) AS INT) AS min_chars,
+            CAST(MAX(n_chars) AS INT) AS max_chars
+          FROM c4_documents GROUP BY GROUPING SETS ((lang), (source))
+          ORDER BY dim, key""")
+      },
+      Some("""SELECT
+          CASE WHEN GROUPING(lang) = 0 THEN 'lang' ELSE 'source' END AS dim,
+          COALESCE(lang, source) AS key, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          CAST(MIN(n_chars) AS INT) AS min_chars,
+          CAST(MAX(n_chars) AS INT) AS max_chars
+        FROM documents GROUP BY GROUPING SETS ((lang), (source))
+        ORDER BY dim, key"""))
   )
 }

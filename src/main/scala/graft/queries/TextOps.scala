@@ -736,6 +736,62 @@ object TextOps {
         FROM per_doc, stats
         WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 25""")),
 
+    // Bigram-LM quality scoring (the CCNet-style "score documents by a
+    // corpus language model" pass): train bigram conditional counts over
+    // the corpus, then score each document by its weakest/strongest
+    // bigram and its rare-bigram count. Statistics are deliberately
+    // order-independent (min / max / int counts — never an agg-sum of
+    // true doubles, whose addition order differs across engines);
+    // p(w2|w1) = c(w1 w2)/c(w1 ·) is a single division of exact longs.
+    // Scale shape: the model is a count aggregate on the bigram key; the
+    // scoring join is shuffle-keyed on the same bigram (a corpus-sized
+    // model is NOT broadcastable — this is the co-partitioned form), and
+    // per-doc reduction is one groupBy on doc_id.
+    Q("t9_bigram_lm",
+      (s, d) => {
+        val bigrams = expr(
+          """aggregate(array(split(lower(text), ' ')), CAST(array() AS array<string>),
+             (z, t) -> CASE WHEN size(t) >= 2
+               THEN transform(sequence(0, size(t) - 2),
+                 i -> concat_ws(' ', element_at(t, i+1), element_at(t, i+2)))
+               ELSE z END)""")
+        val docBg = Tables.documents(s, d)
+          .select(col("doc_id"), explode(bigrams).as("bigram"))
+        val model = docBg.groupBy("bigram").agg(count(lit(1)).as("c_bg"))
+          .withColumn("w1", expr("element_at(split(bigram, ' '), 1)"))
+        val prefix = model.groupBy("w1").agg(sum(col("c_bg")).cast("long").as("c_w1"))
+        val scored = docBg
+          .join(model.join(prefix, Seq("w1")).select("bigram", "c_bg", "c_w1"),
+            Seq("bigram"))
+          .withColumn("p", col("c_bg").cast("double") / col("c_w1").cast("double"))
+        scored.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(when(col("c_bg") <= 1, 1L).otherwise(0L)).as("n_rare"),
+            min(col("p")).as("min_p"), max(col("p")).as("max_p"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        bg AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(t)),
+            i -> t[i] || ' ' || t[i+1])) AS bigram
+          FROM tok WHERE len(t) >= 2),
+        model AS (
+          SELECT bigram, COUNT(*) AS c_bg,
+            string_split(bigram, ' ')[1] AS w1
+          FROM bg GROUP BY bigram),
+        prefix AS (
+          SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_w1 FROM model GROUP BY w1),
+        scored AS (
+          SELECT doc_id, m.c_bg,
+            CAST(m.c_bg AS DOUBLE) / CAST(p.c_w1 AS DOUBLE) AS p
+          FROM bg JOIN model m ON bg.bigram = m.bigram
+                  JOIN prefix p ON m.w1 = p.w1)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          CAST(SUM(CASE WHEN c_bg <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+          MIN(p) AS min_p, MAX(p) AS max_p
+        FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
     // Multimodal plumbing: opaque binary payload column + typed metadata
     // (the schema/partitioning side of image/audio handling; decode is
     // stubbed in graft.llm.Multimodal).
