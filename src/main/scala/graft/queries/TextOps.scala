@@ -284,6 +284,35 @@ object TextOps {
         expr(terms.map(part).mkString(" + ")).as("bm25"): _*)
   }
 
+  /** Bigram-LM quality scores over a `(doc_id, text, …)` corpus — the
+    * model is trained on the same corpus (bigram conditional counts),
+    * every document is scored by its weakest/strongest bigram and its
+    * rare-bigram count. Per-doc statistics are deliberately
+    * order-independent (min/max/int-counts — never an agg-sum of true
+    * doubles), so results are bit-exact across engines and against the
+    * driver-side reference in BigramLmFuzzSpec. Documents with fewer
+    * than 2 tokens have no bigrams and are absent from the output. */
+  def bigramLm(input: DataFrame): DataFrame = {
+    val bigrams = expr(
+      """aggregate(array(split(lower(text), ' ')), CAST(array() AS array<string>),
+         (z, t) -> CASE WHEN size(t) >= 2
+           THEN transform(sequence(0, size(t) - 2),
+             i -> concat_ws(' ', element_at(t, i+1), element_at(t, i+2)))
+           ELSE z END)""")
+    val docBg = input.select(col("doc_id"), explode(bigrams).as("bigram"))
+    val model = docBg.groupBy("bigram").agg(count(lit(1)).as("c_bg"))
+      .withColumn("w1", expr("element_at(split(bigram, ' '), 1)"))
+    val prefix = model.groupBy("w1").agg(sum(col("c_bg")).cast("long").as("c_w1"))
+    val scored = docBg
+      .join(model.join(prefix, Seq("w1")).select("bigram", "c_bg", "c_w1"),
+        Seq("bigram"))
+      .withColumn("p", col("c_bg").cast("double") / col("c_w1").cast("double"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c_bg") <= 1, 1L).otherwise(0L)).as("n_rare"),
+        min(col("p")).as("min_p"), max(col("p")).as("max_p"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: hash-groupBy on content digest. At 100 TB this is one
@@ -748,28 +777,7 @@ object TextOps {
     // model is NOT broadcastable — this is the co-partitioned form), and
     // per-doc reduction is one groupBy on doc_id.
     Q("t9_bigram_lm",
-      (s, d) => {
-        val bigrams = expr(
-          """aggregate(array(split(lower(text), ' ')), CAST(array() AS array<string>),
-             (z, t) -> CASE WHEN size(t) >= 2
-               THEN transform(sequence(0, size(t) - 2),
-                 i -> concat_ws(' ', element_at(t, i+1), element_at(t, i+2)))
-               ELSE z END)""")
-        val docBg = Tables.documents(s, d)
-          .select(col("doc_id"), explode(bigrams).as("bigram"))
-        val model = docBg.groupBy("bigram").agg(count(lit(1)).as("c_bg"))
-          .withColumn("w1", expr("element_at(split(bigram, ' '), 1)"))
-        val prefix = model.groupBy("w1").agg(sum(col("c_bg")).cast("long").as("c_w1"))
-        val scored = docBg
-          .join(model.join(prefix, Seq("w1")).select("bigram", "c_bg", "c_w1"),
-            Seq("bigram"))
-          .withColumn("p", col("c_bg").cast("double") / col("c_w1").cast("double"))
-        scored.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            sum(when(col("c_bg") <= 1, 1L).otherwise(0L)).as("n_rare"),
-            min(col("p")).as("min_p"), max(col("p")).as("max_p"))
-          .orderBy("doc_id")
-      },
+      (s, d) => bigramLm(Tables.documents(s, d)).orderBy("doc_id"),
       Some("""WITH tok AS (
           SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
         bg AS (
