@@ -638,6 +638,51 @@ object Relational {
     // driver records the rows-only check); ApproxSpec bounds both
     // against their exact counterparts (≤5% relative ndv error,
     // quantile rank within the documented ε).
+    // Set operations — EXCEPT/INTERSECT as first-class operators (Spark
+    // plans both as aggregate-free left-anti / left-semi joins over
+    // distinct inputs — the same keyed-shuffle shape as q27/q28, not a
+    // full materialize-and-diff). Both branches ride one output with a
+    // discriminator column.
+    Q("q30_set_ops",
+      (s, d) => {
+        val custN = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        val suppN = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+        custN.except(suppN).withColumn("op", lit("except"))
+          .unionByName(custN.intersect(suppN).withColumn("op", lit("intersect")))
+          .select("op", "nationkey")
+          .orderBy("op", "nationkey")
+      },
+      Some("""SELECT 'except' AS op, nationkey FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          EXCEPT SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'intersect' AS op, nationkey FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          INTERSECT SELECT s_nationkey FROM supplier)
+        ORDER BY op, nationkey""")),
+
+    // PIVOT — long-to-wide reshaping with an EXPLICIT value list (an
+    // inferred list would mean an extra distinct pass over the fact
+    // table AND a nondeterministic column order; at scale the domain is
+    // always declared). Plans as one aggregate with per-value
+    // conditional counts — one scan, one shuffle on the grouping key.
+    Q("q31_pivot",
+      (s, d) => Tables.events(s, d)
+        .where(col("user_id") % 29 === 0)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+          COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+          COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+          COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+          COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+          COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        FROM events WHERE user_id % 29 = 0
+        GROUP BY user_id ORDER BY user_id""")),
+
     Q("x1_approx_ndv",
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")

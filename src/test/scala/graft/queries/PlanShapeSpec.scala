@@ -76,6 +76,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus side must not shuffle on doc_id:\n$plan")
   }
 
+  test("SparkEntry registry: names are unique and every oracle has a query") {
+    val names = SparkEntry.allQs.map(_.name)
+    assert(names.distinct.size == names.size,
+      s"duplicate query names: ${names.diff(names.distinct)}")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("q1_pricing_summary: scan reads only the referenced columns") {
     val plan = SparkEntry.queries("q1_pricing_summary")(spark, sf)
       .queryExecution.executedPlan.toString
