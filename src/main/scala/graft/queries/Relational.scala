@@ -638,11 +638,11 @@ object Relational {
     // driver records the rows-only check); ApproxSpec bounds both
     // against their exact counterparts (≤5% relative ndv error,
     // quantile rank within the documented ε).
-    // Set operations — EXCEPT/INTERSECT as first-class operators (Spark
-    // plans both as aggregate-free left-anti / left-semi joins over
-    // distinct inputs — the same keyed-shuffle shape as q27/q28, not a
-    // full materialize-and-diff). Both branches ride one output with a
-    // discriminator column.
+    // Set operations — EXCEPT/INTERSECT as first-class operators. Spark
+    // plans both as a left-anti / left-semi join plus distinct hash
+    // aggregates — every stage keyed on the set column (the q27/q28
+    // shuffle shape), nothing materializes-and-diffs row bags. Both
+    // branches ride one output with a discriminator column.
     Q("q30_set_ops",
       (s, d) => {
         val custN = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
@@ -683,6 +683,13 @@ object Relational {
         FROM events WHERE user_id % 29 = 0
         GROUP BY user_id ORDER BY user_id""")),
 
+    // The 100 TB forms of the two expensive exact statistics: HLL++
+    // distinct-count and GK-sketch quantiles — fixed-size mergeable
+    // sketch state per partition instead of a distinct shuffle / global
+    // sort. No DuckDB oracle (sketch internals are engine-specific;
+    // driver records the rows-only check); ApproxSpec bounds both
+    // against their exact counterparts (≤5% relative ndv error,
+    // quantile rank within the documented ε).
     Q("x1_approx_ndv",
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")

@@ -25,21 +25,26 @@ object TextOps {
     * string_split). */
   private val tokens: Column = split(lower(col("text")), " ")
 
-  /** Distinct word 3-gram shingles; empty (not decreasing-sequence!) when
-    * under 3 tokens.
+  /** Word n-grams of the lowercased text; empty (not
+    * decreasing-sequence!) when under n tokens.
     *
     * Perf note: higher-order functions bypass codegen subexpression
     * elimination, so a naive `element_at(split(...), i)` inside the
     * lambda re-splits the text per element — O(tokens²) per document.
     * Wrapping the token array in `aggregate(array(...), ...)` binds it
-    * to a lambda variable exactly once (~70× faster at bench scale). */
-  private val shingles: Column = {
-    expr("""aggregate(array(split(lower(text), ' ')), CAST(array() AS array<string>),
-      (z, t) -> CASE WHEN size(t) >= 3
-        THEN array_distinct(transform(sequence(0, size(t) - 3),
-          i -> concat_ws(' ', element_at(t, i+1), element_at(t, i+2), element_at(t, i+3))))
-        ELSE z END)""")
+    * to a lambda variable exactly once (~70× faster at bench scale).
+    * Every n-gram consumer (shingles, bigram LM) shares this one fence. */
+  private def ngramsExpr(n: Int, distinct: Boolean): Column = {
+    val gram = (1 to n).map(j => s"element_at(t, i+$j)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    val grams = s"transform(sequence(0, size(t) - $n), i -> $gram)"
+    val body = if (distinct) s"array_distinct($grams)" else grams
+    expr(s"""aggregate(array(split(lower(text), ' ')), CAST(array() AS array<string>),
+      (z, t) -> CASE WHEN size(t) >= $n THEN $body ELSE z END)""")
   }
+
+  /** Distinct word 3-gram shingles. */
+  private val shingles: Column = ngramsExpr(3, distinct = true)
 
   /** DuckDB equivalent of [[shingles]] over alias `t` (token list).
     * `private[graft]` so the composed corpus pipeline's oracle
@@ -293,13 +298,12 @@ object TextOps {
     * driver-side reference in BigramLmFuzzSpec. Documents with fewer
     * than 2 tokens have no bigrams and are absent from the output. */
   def bigramLm(input: DataFrame): DataFrame = {
-    val bigrams = expr(
-      """aggregate(array(split(lower(text), ' ')), CAST(array() AS array<string>),
-         (z, t) -> CASE WHEN size(t) >= 2
-           THEN transform(sequence(0, size(t) - 2),
-             i -> concat_ws(' ', element_at(t, i+1), element_at(t, i+2)))
-           ELSE z END)""")
-    val docBg = input.select(col("doc_id"), explode(bigrams).as("bigram"))
+    // ONE tokenize+explode pass feeds the model aggregate, the prefix
+    // aggregate, and the scoring-join side — without the cache Catalyst
+    // inlines the HOF chain into all three consumers (the dominant cost
+    // at corpus scale), exactly the d2/t8 recompute class.
+    val docBg = input.select(col("doc_id"),
+      explode(ngramsExpr(2, distinct = false)).as("bigram")).cache()
     val model = docBg.groupBy("bigram").agg(count(lit(1)).as("c_bg"))
       .withColumn("w1", expr("element_at(split(bigram, ' '), 1)"))
     val prefix = model.groupBy("w1").agg(sum(col("c_bg")).cast("long").as("c_w1"))

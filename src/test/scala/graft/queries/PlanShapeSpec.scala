@@ -76,11 +76,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus side must not shuffle on doc_id:\n$plan")
   }
 
-  test("SparkEntry registry: names are unique and every oracle has a query") {
+  test("SparkEntry registry: names unique, well-formed, oracles non-blank") {
     val names = SparkEntry.allQs.map(_.name)
     assert(names.distinct.size == names.size,
       s"duplicate query names: ${names.diff(names.distinct)}")
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // a dup would silently collapse in the queries Map the driver uses
+    assert(SparkEntry.queries.size == names.size)
+    assert(names.forall(_.matches("[a-z0-9_]+")), s"ill-formed name in $names")
+    assert(SparkEntry.allQs.flatMap(_.oracle).forall(_.trim.nonEmpty),
+      "blank oracle SQL would crash the driver compare")
   }
 
   test("q1_pricing_summary: scan reads only the referenced columns") {
