@@ -298,14 +298,19 @@ object TextOps {
     * driver-side reference in BigramLmFuzzSpec. Documents with fewer
     * than 2 tokens have no bigrams and are absent from the output. */
   def bigramLm(input: DataFrame): DataFrame = {
-    // ONE tokenize+explode pass feeds the model aggregate, the prefix
-    // aggregate, and the scoring-join side — without the cache Catalyst
-    // inlines the HOF chain into all three consumers (the dominant cost
-    // at corpus scale), exactly the d2/t8 recompute class.
+    // Two tokenize+explode passes over the corpus (model training,
+    // scoring) — and only two: the MODEL is cached, so the prefix
+    // aggregate derives from it instead of re-tokenizing a third time
+    // (Catalyst would otherwise inline the HOF chain into every
+    // consumer). The cache deliberately holds the aggregated model, not
+    // the exploded bigram stream: the model is vocabulary-bounded while
+    // the stream is corpus-sized × tokens — the one you could never pin
+    // at 100 TB.
     val docBg = input.select(col("doc_id"),
-      explode(ngramsExpr(2, distinct = false)).as("bigram")).cache()
+      explode(ngramsExpr(2, distinct = false)).as("bigram"))
     val model = docBg.groupBy("bigram").agg(count(lit(1)).as("c_bg"))
       .withColumn("w1", expr("element_at(split(bigram, ' '), 1)"))
+      .cache()
     val prefix = model.groupBy("w1").agg(sum(col("c_bg")).cast("long").as("c_w1"))
     val scored = docBg
       .join(model.join(prefix, Seq("w1")).select("bigram", "c_bg", "c_w1"),
