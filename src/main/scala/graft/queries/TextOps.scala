@@ -401,6 +401,61 @@ object TextOps {
         SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
         ORDER BY doc_id""")),
 
+    // Dedup-graph QA metrics: per-node degree and incident-triangle
+    // counts over the verified near-dup graph — the health check a
+    // production dedup run reports (dense triangle-rich clusters are
+    // true duplicate families; high-degree low-triangle stars are LSH
+    // false-positive hubs worth auditing). Triangle enumeration uses the
+    // ordered-edge join (a<b<c: (a,b)⋈(b,c)⋈(a,c)) — every step an
+    // equi-join keyed on node ids, the standard distributed shape, never
+    // an all-pairs product; the verified pair set is cached because five
+    // consumers would otherwise each re-run the full LSH-verify
+    // pipeline.
+    Q("d10_dup_graph_metrics",
+      (s, d) => {
+        val pairs = jaccardPairs(s, d).select("doc_a", "doc_b").cache()
+        val deg = pairs.select(col("doc_a").as("doc_id"))
+          .unionByName(pairs.select(col("doc_b").as("doc_id")))
+          .groupBy("doc_id").agg(count(lit(1)).cast("int").as("degree"))
+        val tri = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+          .join(pairs.select(col("doc_a").as("b"), col("doc_b").as("c")), Seq("b"))
+          .join(pairs.select(col("doc_a").as("a"), col("doc_b").as("c")), Seq("a", "c"))
+        val triPerNode = tri
+          .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_triangles"))
+        deg.join(triPerNode, Seq("doc_id"), "left")
+          .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0)))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sig AS ($duckSigs),
+          bands AS (SELECT doc_id, k AS band, sigs[k + 1] AS mh FROM sig, range(0, 8) t(k)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+          sh AS (SELECT doc_id, $duckShingles AS s
+                 FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)),
+          pairs AS (SELECT doc_a, doc_b FROM (
+              SELECT doc_a, doc_b,
+                CAST(CAST(len(list_intersect(a.s, b.s)) AS INT) AS DOUBLE) /
+                  CAST(len(a.s) + len(b.s) - CAST(len(list_intersect(a.s, b.s)) AS INT) AS DOUBLE) AS jaccard
+              FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+                        JOIN sh b ON cand.doc_b = b.doc_id)
+            WHERE jaccard >= 0.05),
+          deg AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS degree FROM (
+              SELECT doc_a AS doc_id FROM pairs
+              UNION ALL SELECT doc_b FROM pairs) GROUP BY doc_id),
+          tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+                  FROM pairs e1
+                  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+                  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+          tpn AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_triangles FROM (
+              SELECT a AS doc_id FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri) GROUP BY doc_id)
+        SELECT deg.doc_id AS doc_id, degree, COALESCE(n_triangles, 0) AS n_triangles
+        FROM deg LEFT JOIN tpn ON deg.doc_id = tpn.doc_id
+        ORDER BY deg.doc_id""")),
+
     // MinHash signatures (8 hashes): the per-doc half of MinHash-LSH.
     // Surfaced as a comma-joined string (the driver's pandas compare can't
     // sort array columns); nulls (empty shingle sets) map to "-" so both

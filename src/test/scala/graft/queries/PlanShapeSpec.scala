@@ -23,7 +23,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "d2_dedup_ngram_jaccard", "d4_minhash_pairs", "d6_simhash_pairs",
     "v2_knn_lsh", "v4_embed_near_dup", "q12_bucket_join", "q14_range_join",
     "q22_asof_join", "q23_salted_agg", "t6_repetition", "c1_corpus_prep",
-    "d8_decontaminate", "t9_bigram_lm")
+    "d8_decontaminate", "t9_bigram_lm", "d10_dup_graph_metrics")
 
   for (name <- pairJoinQueries)
     test(s"$name: no cartesian / nested-loop join in the physical plan") {
