@@ -322,6 +322,31 @@ object TextOps {
         min(col("p")).as("min_p"), max(col("p")).as("max_p"))
   }
 
+  /** Per-node degree + incident-triangle counts over a canonical
+    * (doc_a < doc_b, distinct) undirected edge set — the dedup-graph QA
+    * metric behind d10. Triangle enumeration is the ordered-edge join
+    * (a<b<c: (a,b)⋈(b,c)⋈(a,c)), every step an equi-join on node ids;
+    * the input is cached because it feeds five consumers. Canonical
+    * edges are the caller's contract — a reversed or duplicate edge
+    * would silently double-count (all in-repo producers emit
+    * doc_a < doc_b distinct). Fuzzed against brute-force enumeration in
+    * DupGraphFuzzSpec. */
+  def dupGraphMetrics(pairsIn: DataFrame): DataFrame = {
+    val Seq(ca, cb) = pairsIn.columns.toSeq.take(2)
+    val pairs = pairsIn.select(col(ca).as("doc_a"), col(cb).as("doc_b")).cache()
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).cast("int").as("degree"))
+    val tri = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .join(pairs.select(col("doc_a").as("b"), col("doc_b").as("c")), Seq("b"))
+      .join(pairs.select(col("doc_a").as("a"), col("doc_b").as("c")), Seq("a", "c"))
+    val triPerNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_triangles"))
+    deg.join(triPerNode, Seq("doc_id"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0)))
+  }
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: hash-groupBy on content digest. At 100 TB this is one
@@ -412,21 +437,8 @@ object TextOps {
     // consumers would otherwise each re-run the full LSH-verify
     // pipeline.
     Q("d10_dup_graph_metrics",
-      (s, d) => {
-        val pairs = jaccardPairs(s, d).select("doc_a", "doc_b").cache()
-        val deg = pairs.select(col("doc_a").as("doc_id"))
-          .unionByName(pairs.select(col("doc_b").as("doc_id")))
-          .groupBy("doc_id").agg(count(lit(1)).cast("int").as("degree"))
-        val tri = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-          .join(pairs.select(col("doc_a").as("b"), col("doc_b").as("c")), Seq("b"))
-          .join(pairs.select(col("doc_a").as("a"), col("doc_b").as("c")), Seq("a", "c"))
-        val triPerNode = tri
-          .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
-          .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_triangles"))
-        deg.join(triPerNode, Seq("doc_id"), "left")
-          .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0)))
-          .orderBy("doc_id")
-      },
+      (s, d) => dupGraphMetrics(
+        jaccardPairs(s, d).select("doc_a", "doc_b")).orderBy("doc_id"),
       Some(s"""WITH sig AS ($duckSigs),
           bands AS (SELECT doc_id, k AS band, sigs[k + 1] AS mh FROM sig, range(0, 8) t(k)),
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
