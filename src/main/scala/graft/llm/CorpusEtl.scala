@@ -283,6 +283,38 @@ object CorpusEtl {
           CAST(MIN(n_chars) AS INT) AS min_chars,
           CAST(MAX(n_chars) AS INT) AS max_chars
         FROM documents GROUP BY GROUPING SETS ((lang), (source))
-        ORDER BY dim, key"""))
+        ORDER BY dim, key""")),
+
+    // Deterministic weighted stratified sampling: per language, keep the
+    // 3 documents with the smallest hash-priority u/w (u = first 8 md5
+    // hex digits of doc_id as an integer, w = n_chars) — longer
+    // documents are proportionally favored, selection is a pure function
+    // of the row (re-runs, shard moves, and appends never reshuffle the
+    // kept set, unlike rand()-based sampling), and the fixed-size pick
+    // is a partitioned top-k window, never a global sort. The priority
+    // is one division of exact ints so both engines rank identically.
+    Q("c5_stratified_sample",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("priority"), col("doc_id"))
+        Tables.documents(s, d)
+          .withColumn("priority", expr(
+            """cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)
+               / n_chars"""))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+          .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"),
+            col("priority"))
+          .orderBy("lang", "rk")
+      },
+      Some("""SELECT lang, CAST(rk AS INT) AS rk, doc_id, n_chars, priority FROM (
+          SELECT lang, doc_id, n_chars,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              / n_chars AS priority,
+            ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                                        / n_chars, doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 3 ORDER BY lang, rk"""))
   )
 }
