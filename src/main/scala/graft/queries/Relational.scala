@@ -710,6 +710,59 @@ object Relational {
           col("qs").getItem(2).as("p99"))
           .orderBy("l_returnflag")
       },
-      None)
+      None),
+
+    // CUBE + GROUPING() — all 2^k grouping-set aggregates in ONE pass:
+    // Spark plans cube as a single Expand + hash aggregate (each input
+    // row fans out to its 4 grouping sets before the shuffle, partials
+    // combine map-side), not 4 scans. gid disambiguates a real NULL key
+    // from a subtotal row — the reason GROUPING() exists.
+    Q("q32_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(centsSum(col("o_totalprice")).as("sum_price"),
+          count(lit(1)).as("n_orders"),
+          // grouping() is only resolvable inside the cube's own Aggregate
+          (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+            .cast("int").as("gid"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("gid"), col("sum_price"), col("n_orders"))
+        .orderBy("gid", "o_orderstatus", "o_orderpriority"),
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+          COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+          CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          COUNT(*) AS n_orders
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY gid, o_orderstatus, o_orderpriority""")),
+
+    // W-family completion — LAG/LEAD/NTILE over per-user event streams
+    // (the "previous/next reading" and quartile-bucketing shapes).
+    // One window spec ⇒ one sort within each user partition serves all
+    // three functions; the partition key is the shuffle key, so the
+    // plan is a single hash exchange + in-partition sort at any scale.
+    // lag/lead copy values bit-for-bit (no arithmetic), ntile is
+    // deterministic under the (ts, event_id) total order.
+    Q("q33_lead_lag",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            lead(col("value"), 1).over(w).as("next_value"),
+            ntile(4).over(w).cast("int").as("quartile"))
+          .orderBy("user_id", "ts", "event_id")
+      },
+      Some("""SELECT event_id, user_id, ts, value,
+          LAG(value, 1) OVER w AS prev_value,
+          LEAD(value, 1) OVER w AS next_value,
+          CAST(NTILE(4) OVER w AS INT) AS quartile
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, ts, event_id"""))
   )
 }

@@ -34,7 +34,7 @@ object TextOps {
     * Wrapping the token array in `aggregate(array(...), ...)` binds it
     * to a lambda variable exactly once (~70× faster at bench scale).
     * Every n-gram consumer (shingles, bigram LM) shares this one fence. */
-  private def ngramsExpr(n: Int, distinct: Boolean): Column = {
+  private[queries] def ngramsExpr(n: Int, distinct: Boolean): Column = {
     val gram = (1 to n).map(j => s"element_at(t, i+$j)")
       .mkString("concat_ws(' ', ", ", ", ")")
     val grams = s"transform(sequence(0, size(t) - $n), i -> $gram)"

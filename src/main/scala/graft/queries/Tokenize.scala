@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Tokenizer-training (BPE) and cross-source contamination operators —
+  * the corpus-preparation steps that sit between raw text and a trained
+  * tokenizer in an LLM data pipeline.
+  *
+  * Scale notes (100 TB):
+  *  - BPE pair statistics are computed over the *word-count vocabulary*,
+  *    not the raw corpus: the first `groupBy(word)` is the classic BPE
+  *    trick that collapses a corpus-sized problem to a vocab-sized one
+  *    (the corpus contributes only word frequencies; pair extraction
+  *    runs once per DISTINCT word). The corpus-sized shuffle carries
+  *    (word, partial-count) pairs with map-side combine; everything
+  *    after is vocab-sized.
+  *  - the source-overlap matrix joins on the shingle (the blocked key),
+  *    never on documents: a shingle shared by k sources contributes
+  *    k·(k−1)/2 pair rows, bounded by the (small, fixed) source count —
+  *    a per-key fan-out of ≤ |sources|², independent of corpus size.
+  */
+object Tokenize {
+
+  /** Space-split tokens of the lowercased text (matches DuckDB
+    * `string_split(lower(text), ' ')`). */
+  private val tokens: Column = split(lower(col("text")), " ")
+
+  /** Word frequencies over the corpus: the map-side-combined groupBy
+    * that turns corpus scale into vocabulary scale. */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok")
+      .agg(count(lit(1)).as("wc"))
+
+  /** Adjacent-symbol pair counts over a (symbols, wc) vocabulary frame —
+    * one BPE iteration's statistics. `symbols` is an array<string>
+    * column; each adjacent pair is weighted by the word's corpus count. */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .where(size(col("symbols")) >= 2)
+      .select(col("wc"), explode(expr(
+        """transform(sequence(0, size(symbols) - 2),
+           i -> concat_ws(' ', element_at(symbols, i + 1), element_at(symbols, i + 2)))"""))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(sum(col("wc")).as("n"))
+
+  /** Initial character-symbol vocabulary from word counts. The empty
+    * strings Spark's `split(tok, '')` can emit are filtered so the
+    * symbol list matches DuckDB's `string_split(tok, '')` exactly. */
+  def charVocab(words: DataFrame): DataFrame =
+    words.select(col("wc"),
+      expr("filter(split(tok, ''), x -> x <> '')").as("symbols"))
+
+  /** Apply one merge (a, b) → a||b to every word's symbol array,
+    * greedy leftmost-first and non-overlapping — the standard BPE merge
+    * rule — as a single left fold, so one plan handles every word.
+    *
+    * The fold keeps the invariant "last element of the accumulator is
+    * never the left half of an already-applied merge at this position":
+    * when the previous element is `a` and the current is `b` they fuse;
+    * the fused `a||b` differs from `a` (b is non-empty), so it cannot
+    * fuse again — which is exactly the non-overlapping semantics
+    * ("aaa" + merge (a,a) → [aa, a], not [aa, aa]). */
+  def applyMerge(vocab: DataFrame, a: String, b: String): DataFrame = {
+    val aLit = lit(a)
+    val bLit = lit(b)
+    vocab.withColumn("symbols",
+      aggregate(
+        col("symbols"),
+        array().cast("array<string>"),
+        (acc, x) =>
+          when(size(acc) > 0 &&
+              element_at(acc, -1) === aLit && x === bLit,
+            concat(slice(acc, lit(1), size(acc) - 1), array(concat(aLit, bLit))))
+            .otherwise(concat(acc, array(x)))))
+  }
+
+  /** Train `nMerges` BPE merges over the corpus. Each iteration is one
+    * vocab-sized Spark job: count pairs, take the argmax on the driver
+    * (a single `head` of a 1-row sorted limit — the merge table IS
+    * driver-sized by construction; real tokenizers ship it as a file),
+    * rewrite the symbol arrays. Ties break lexicographically so the
+    * result is deterministic across partitionings.
+    *
+    * Returns the ordered merge list and the final vocabulary frame. */
+  def bpeTrain(docs: DataFrame, nMerges: Int): (Seq[(String, String)], DataFrame) = {
+    var vocab = charVocab(wordCounts(docs)).cache()
+    vocab.count() // materialize once; every iteration reuses it
+    val merges = Seq.newBuilder[(String, String)]
+    var i = 0
+    var done = false
+    while (i < nMerges && !done) {
+      val top = pairCounts(vocab)
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val Array(a, b) = top(0).getString(0).split(" ", 2) match {
+          case Array(x, y) => Array(x, y)
+          case other       => other
+        }
+        merges += ((a, b))
+        val next = applyMerge(vocab, a, b).cache()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+      }
+      i += 1
+    }
+    (merges.result(), vocab)
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // t10 — BPE first-iteration pair statistics: the top-50 adjacent
+    // character pairs by corpus frequency, the exact quantity a BPE
+    // trainer maximizes each round. Shape: corpus-sized word-count
+    // groupBy (map-side combined) → vocab-sized pair explode → pair
+    // groupBy. At 100 TB the only corpus-sized exchange carries
+    // (word, count) partials; pair work is per-distinct-word.
+    Q("t10_bpe_pairs",
+      (s, d) => pairCounts(charVocab(wordCounts(Tables.documents(s, d))))
+        .select(col("pair"), col("n").cast("long").as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(50),
+      Some("""WITH words AS (
+          SELECT tok, COUNT(*) AS wc FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+          WHERE tok <> '' GROUP BY tok),
+        sym AS (SELECT wc, string_split(tok, '') AS c FROM words),
+        p AS (SELECT wc, unnest(list_transform(range(1, len(c)),
+                i -> c[i] || ' ' || c[i+1])) AS pair
+              FROM sym WHERE len(c) >= 2)
+        SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+        FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""")),
+
+    // d11 — cross-source contamination matrix: distinct-shingle Jaccard
+    // overlap between every pair of corpus sources (the "is my web crawl
+    // leaking into my books split?" QA report). The pair join is keyed
+    // on the shingle — a shingle present in k sources emits C(k,2) rows,
+    // k ≤ |sources| — so the shuffle is shingle-blocked, never a
+    // document cross join. Jaccard = |A∩B| / (|A|+|B|−|A∩B|), one
+    // division of exact longs.
+    Q("d11_source_overlap",
+      (s, d) => {
+        // (source, shingle) distinct pairs; per-doc duplicates collapse in
+        // the same global distinct, so the cheaper non-distinct gram form
+        // is used per document (TextOps' aggregate-fenced expression — a
+        // naive per-element split would be O(tokens²) per doc).
+        val sh = Tables.documents(s, d)
+          .select(col("source"),
+            explode(TextOps.ngramsExpr(3, distinct = false)).as("shingle"))
+          .distinct()
+        val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+        val a = sh.select(col("source").as("src_a"), col("shingle"))
+        val b = sh.select(col("source").as("src_b"), col("shingle").as("shingle_b"))
+        a.join(b, col("shingle") === col("shingle_b") && col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(count(lit(1)).as("n_common"))
+          .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+          .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+          .select(col("src_a"), col("src_b"),
+            col("n_common").cast("long").as("n_common"),
+            col("n_a").cast("long").as("n_a"),
+            col("n_b").cast("long").as("n_b"),
+            (col("n_common").cast("double") /
+              (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH tok AS (
+          SELECT source, string_split(lower(text), ' ') AS t FROM documents),
+        sh AS (SELECT DISTINCT source, unnest(list_transform(range(1, len(t)-1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+               FROM tok WHERE len(t) >= 3),
+        sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+        inter AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+                  GROUP BY 1, 2)
+        SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+          sa.n AS n_a, sb.n AS n_b,
+          CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        FROM inter
+        JOIN sizes sa ON src_a = sa.source
+        JOIN sizes sb ON src_b = sb.source
+        ORDER BY src_a, src_b"""))
+  )
+}
