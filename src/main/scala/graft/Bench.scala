@@ -41,8 +41,15 @@ object Bench {
 
     /** Warm-in run (compile codegen for this plan/scale, touch inputs),
       * then the measured steady-state run. A failed warm-in still gets a
-      * measured attempt so the failure is visible in the output. */
-    def measure(name: String): Double = { runOnce(name); runOnce(name) }
+      * measured attempt so the failure is visible in the output.
+      *
+      * The System.gc() between queries matters at this query count: the
+      * ContextCleaner only releases finished queries' shuffle files and
+      * broadcast blocks after a driver GC, so without it ~79 queries of
+      * state pile up and late queries pay the memory pressure (measured:
+      * queries that run <1 s in isolation took 2-5 s late in the sweep).
+      * The GC runs before the warm-in — outside any measured window. */
+    def measure(name: String): Double = { System.gc(); runOnce(name); runOnce(name) }
 
     // executor/JVM spin-up so the first warm-in isn't also paying that
     spark.range(1000000L).selectExpr("sum(id)").collect()
