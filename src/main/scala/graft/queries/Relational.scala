@@ -590,24 +590,45 @@ object Relational {
     // the HLL sketch gated separately as x1_approx_ndv.
     Q("q29_table_stats",
       (s, d) => {
-        val cols = Seq("l_suppkey", "l_quantity", "l_returnflag")
-        // ONE aggregate over ONE scan for every column's stats — Spark
-        // plans the multiple countDistincts as a single Expand over the
-        // same scan (each input row fans out once per distinct-column),
-        // not as per-column passes. The per-column rows then unpivot
-        // from the single result row, so adding columns never adds scans.
-        val agged = Tables.lineitem(s, d).agg(
-          count(lit(1)).as("n_rows"),
-          cols.flatMap(c => Seq(
-            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
-            countDistinct(col(c)).as(s"ndv_$c"),
-            min(col(c)).cast("string").as(s"min_$c"),
-            max(col(c)).cast("string").as(s"max_$c"))): _*)
-        agged.select(explode(array(cols.map(c => struct(
-            lit(c).as("column_name"), col("n_rows"), col(s"nulls_$c").as("n_nulls"),
-            col(s"ndv_$c").as("ndv"), col(s"min_$c").as("min_str"),
-            col(s"max_$c").as("max_str"))): _*)).as("st"))
-          .select("st.*")
+        // ONE scan for every column's stats, via group-by-value
+        // pre-aggregation: each row fans out once per profiled column
+        // into a (column_name, typed-value) key, and the FIRST aggregate
+        // is a plain count — a HashAggregate whose map-side combine
+        // collapses the stream to the per-column distinct values. All
+        // order-sensitive work (ndv, min/max — min over a STRING has an
+        // immutable agg buffer, which would force the whole corpus
+        // through SortAggregate in the naive multi-countDistinct plan;
+        // measured 6× slower) then runs over that ndv-sized remnant.
+        // Values stay typed (one nullable slot per type class) so
+        // min/max order numerically, not lexicographically.
+        val perValue = Tables.lineitem(s, d)
+          .select(explode(array(
+            struct(lit("l_suppkey").as("column_name"),
+              col("l_suppkey").as("lv"),
+              lit(null).cast("double").as("dv"),
+              lit(null).cast("string").as("sv")),
+            struct(lit("l_quantity").as("column_name"),
+              lit(null).cast("bigint").as("lv"),
+              col("l_quantity").as("dv"),
+              lit(null).cast("string").as("sv")),
+            struct(lit("l_returnflag").as("column_name"),
+              lit(null).cast("bigint").as("lv"),
+              lit(null).cast("double").as("dv"),
+              col("l_returnflag").as("sv")))).as("v"))
+          .select(col("v.column_name"), col("v.lv"), col("v.dv"), col("v.sv"))
+          .groupBy("column_name", "lv", "dv", "sv")
+          .agg(count(lit(1)).as("cnt"))
+        val isNullRow =
+          col("lv").isNull && col("dv").isNull && col("sv").isNull
+        perValue.groupBy("column_name")
+          .agg(
+            sum(col("cnt")).as("n_rows"),
+            coalesce(sum(when(isNullRow, col("cnt"))), lit(0L)).as("n_nulls"),
+            count(when(!isNullRow, lit(1))).as("ndv"),
+            coalesce(min(col("lv")).cast("string"),
+              min(col("dv")).cast("string"), min(col("sv"))).as("min_str"),
+            coalesce(max(col("lv")).cast("string"),
+              max(col("dv")).cast("string"), max(col("sv"))).as("max_str"))
           .orderBy("column_name")
       },
       Some("""SELECT * FROM (
