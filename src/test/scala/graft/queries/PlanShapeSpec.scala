@@ -23,7 +23,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "d2_dedup_ngram_jaccard", "d4_minhash_pairs", "d6_simhash_pairs",
     "v2_knn_lsh", "v4_embed_near_dup", "q12_bucket_join", "q14_range_join",
     "q22_asof_join", "q23_salted_agg", "t6_repetition", "c1_corpus_prep",
-    "d8_decontaminate", "t9_bigram_lm", "d10_dup_graph_metrics")
+    "d8_decontaminate", "t9_bigram_lm", "d10_dup_graph_metrics",
+    "d11_source_overlap")
 
   for (name <- pairJoinQueries)
     test(s"$name: no cartesian / nested-loop join in the physical plan") {
@@ -91,5 +92,34 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = SparkEntry.queries("q1_pricing_summary")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("l_comment"), s"column pruning lost l_comment:\n$plan")
+  }
+
+  test("q29_table_stats: corpus-side aggregate is a hash aggregate (no Expand)") {
+    // the group-by-value shape: Generate(explode) feeding HashAggregate.
+    // The multi-countDistinct alternative shows up as an Expand whose
+    // whole output goes through SortAggregate (string min/max buffer) —
+    // measured 4-6× slower; lock it out.
+    val plan = SparkEntry.queries("q29_table_stats")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"q29 regressed to the Expand plan:\n$plan")
+    assert(plan.contains("HashAggregate"), s"q29 lost the hash aggregate:\n$plan")
+  }
+
+  test("t10_bpe_pairs: pair explode runs over the word-count aggregate, not the corpus") {
+    // two aggregates (word counts, then pair counts) with the Generate
+    // between them — the BPE vocab trick. A Generate directly over the
+    // file scan would mean per-occurrence pair explosion.
+    val qe = SparkEntry.queries("t10_bpe_pairs")(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("Generate"), s"t10 lost the explode:\n$plan")
+    // tree prints root-first, so the PAIR explode is the first Generate
+    // and the token explode (over the scan) is the last; the word-count
+    // aggregate must sit between the pair explode and the corpus scan
+    val gen = plan.linesIterator.zipWithIndex.filter(_._1.contains("Generate")).map(_._2).toSeq
+    val aggs = plan.linesIterator.zipWithIndex.filter(_._1.contains("HashAggregate")).map(_._2).toSeq
+    val scan = plan.linesIterator.zipWithIndex.find(_._1.contains("Scan parquet")).map(_._2).getOrElse(-1)
+    assert(gen.nonEmpty && scan >= 0 &&
+      aggs.exists(a => a > gen.head && a < scan),
+      s"t10: no aggregate between the pair explode and the corpus scan:\n$plan")
   }
 }
