@@ -315,6 +315,61 @@ object CorpusEtl {
                                ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                                         / n_chars, doc_id) AS rk
           FROM documents)
-        WHERE rk <= 3 ORDER BY lang, rk"""))
+        WHERE rk <= 3 ORDER BY lang, rk""")),
+
+    // c6 — sequence packing (concatenate-and-chunk): lay each source's
+    // token stream end-to-end and record, per document, its start
+    // offset and the fixed-length (512-token here) training sequences it spans — the last
+    // packaging step before tokenized shards are written.
+    //
+    // The cumulative sum is HIERARCHICAL, not one window per source: a
+    // single source at 100 TB would otherwise become one window
+    // partition on one task. Documents bucket by `doc_id div 10000`;
+    // the in-bucket cumsum window is bounded (≤10k rows per partition
+    // at any corpus size), bucket totals are a tiny aggregate whose
+    // own prefix-sum window is one row per bucket, and the final start
+    // offset is in-bucket prefix + bucket base — same numbers as the
+    // global window, bounded partitions everywhere. Offsets are exact
+    // longs; chunk ids are integer division.
+    Q("c6_sequence_pack",
+      (s, d) => {
+        val L = 512
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(split(lower(col("text")), " ")).cast("long").as("n_tokens"),
+            expr("doc_id div 10000").as("bucket"))
+        val wIn = Window.partitionBy("source", "bucket").orderBy("doc_id")
+        val within = docs.withColumn("cum_in",
+          sum(col("n_tokens")).over(wIn))
+        val wBk = Window.partitionBy("source").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val base = within.groupBy("source", "bucket")
+          .agg(sum(col("n_tokens")).as("tot"))
+          .withColumn("bucket_base", coalesce(sum(col("tot")).over(wBk), lit(0L)))
+          .select("source", "bucket", "bucket_base")
+        within.join(base, Seq("source", "bucket"))
+          .withColumn("start_off", col("bucket_base") + col("cum_in") - col("n_tokens"))
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("start_off"),
+            expr(s"start_off div $L").as("first_seq"),
+            expr(s"(start_off + n_tokens - 1) div $L").as("last_seq"),
+            (expr(s"(start_off + n_tokens - 1) div $L") -
+              expr(s"start_off div $L") + 1L).as("n_seqs"))
+          .orderBy("source", "doc_id")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, source,
+            CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (SELECT doc_id, source, n_tokens,
+            -- SUM(BIGINT) OVER is HUGEINT in DuckDB; pin the schema
+            CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              - n_tokens AS start_off
+          FROM d)
+        SELECT doc_id, source, n_tokens, start_off,
+          start_off // 512 AS first_seq,
+          (start_off + n_tokens - 1) // 512 AS last_seq,
+          (start_off + n_tokens - 1) // 512 - start_off // 512 + 1 AS n_seqs
+        FROM c ORDER BY source, doc_id"""))
   )
 }
