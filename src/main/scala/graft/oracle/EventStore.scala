@@ -266,6 +266,29 @@ final class EventStore(spark: SparkSession, root: String,
     sys.error("unreachable")
   }
 
+  /** Committed versions of `table`, oldest → newest — the time-travel
+    * surface the versioned-swap layout provides for free (the last
+    * [[EventStore.KeepVersions]] swaps are retained; older dirs are
+    * reaped). A zero-cost analog of Delta/Iceberg snapshot listing. */
+  def tableVersions(table: String): Seq[String] = {
+    val dir = new Path(path(table))
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName).toSeq
+      .filter(_.startsWith(CommitPrefix)).sorted
+      .map(_.stripPrefix(CommitPrefix))
+  }
+
+  /** Time-travel read of `events_entries` at a committed `version` (from
+    * [[tableVersions]]): the pre-merge state of the scores table — e.g.
+    * for auditing what a J5 score merge changed. Fails if the version
+    * has been reaped (older than KeepVersions swaps). */
+  def entriesAsOf(version: String): Dataset[EntryRow] = {
+    val p = new Path(path("events_entries"), version)
+    require(fs.exists(p), s"version $version is not retained " +
+      s"(KeepVersions=${EventStore.KeepVersions})")
+    spark.read.parquet(p.toString).as[EntryRow]
+  }
+
   def events: Dataset[EventRow] = readOr[EventRow]("events")
   def entries: Dataset[EntryRow] = readOr[EntryRow]("events_entries")
   def choices: Dataset[ChoiceRow] = readOr[ChoiceRow]("expected_observations")

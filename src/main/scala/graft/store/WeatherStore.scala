@@ -84,6 +84,55 @@ final class WeatherStore(spark: SparkSession, root: String) {
     fs.exists(p) && fs.listStatus(p).exists(s => !s.getPath.getName.startsWith("_"))
   }
 
+  /** Merge one (kind, date) partition's many small snapshot files into
+    * `targetFiles` — the maintenance job the reference's one-file-per-
+    * hourly-run layout (parquet_handler.rs:26-36) makes necessary at
+    * scale: a year of hourly ingest is ~8,760 tiny files per kind whose
+    * listing + footer cost dominates the scan.
+    *
+    * Safety: the compacted output is written to a dot-prefixed temp dir
+    * (invisible to Spark's file listing), fully materialized, then
+    * renamed into the partition file-by-file (rename is atomic per
+    * file) before the old files are deleted. A reader overlapping the
+    * swap window can observe a row twice — exactly the duplication the
+    * store's read discipline already tolerates by design: snapshots
+    * overlap across files and every consumer dedups or re-aggregates
+    * (A1's level-1 GROUP BY, streaming dropDuplicates; SURVEY §2.8).
+    * The data rows (snapshot_ts included) are byte-identical, so every
+    * deduped/re-aggregated result is unchanged.
+    *
+    * @return (filesBefore, filesAfter) for observability */
+  def compactPartition(kind: String, date: java.time.LocalDate,
+      targetFiles: Int = 1): (Int, Int) = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val dir = new org.apache.hadoop.fs.Path(s"$root/kind=$kind/date=$date")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) (0, 0)
+    else {
+      val isData = (n: String) => !n.startsWith("_") && !n.startsWith(".")
+      val old = fs.listStatus(dir).map(_.getPath).filter(p => isData(p.getName))
+      if (old.length <= targetFiles) (old.length, old.length)
+      else {
+        // read the partition dir directly: partition columns live in the
+        // dir name, so the rewritten files carry exactly the data columns
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          ".compact-" + java.util.UUID.randomUUID().toString)
+        spark.read.option("mergeSchema", "true").parquet(dir.toString)
+          .repartition(targetFiles)
+          .write.parquet(tmp.toString)
+        val parts = fs.listStatus(tmp).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet"))
+        parts.zipWithIndex.foreach { case (p, i) =>
+          fs.rename(p, new org.apache.hadoop.fs.Path(dir,
+            s"compact-${tmp.getName.stripPrefix(".compact-")}-part$i.parquet"))
+        }
+        old.foreach(p => fs.delete(p, false))
+        fs.delete(tmp, true)
+        (old.length, parts.length)
+      }
+    }
+  }
+
   /** S9 — land an externally-produced parquet file (the reference's upload
     * endpoint, routes/files/upload.rs:22-91, minus the HTTP shell): the
     * name must be exactly one normal path component ending in `.parquet`

@@ -62,6 +62,22 @@ class EventStoreSpec extends AnyFunSuite {
     assert(scores(n2) == 7L)
   }
 
+  test("time travel: entriesAsOf reads the pre-merge scores") {
+    val store = newStore()
+    val e = Uuid7.generate()
+    store.insertEvents(Seq(mkEvent(e)))
+    val n1 = Uuid7.generate()
+    store.insertEntries(Seq(EntryRow(n1, e, 5L, t0, t0)), Nil)
+    val before = store.tableVersions("events_entries").last
+    store.updateScores(Seq((n1, 409899L)).toDF("entry_id", "score"))
+    val versions = store.tableVersions("events_entries")
+    assert(versions.contains(before) && versions.last != before)
+    // current read sees the merge; the retained pre-merge version doesn't
+    assert(store.entries.collect().head.score == 409899L)
+    assert(store.entriesAsOf(before).collect().head.score == 5L)
+    intercept[IllegalArgumentException](store.entriesAsOf("v99999999"))
+  }
+
   test("updateAttestation removes the event from the active set") {
     val store = newStore()
     val e1 = Uuid7.generate(); val e2 = Uuid7.generate()

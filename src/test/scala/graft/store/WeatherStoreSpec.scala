@@ -99,4 +99,37 @@ class WeatherStoreSpec extends AnyFunSuite {
     val df = store.read(Kinds.Observations, ts("2024-08-12T00:00:00Z"), ts("2024-08-12T12:00:00Z")).get
     assert(df.select("value").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("compactPartition merges a day's snapshot files; every read is unchanged") {
+    val (store, dir) = newStore()
+    for (h <- 1 to 5)
+      store.write(Seq((s"S$h", h.toLong)).toDF("station_id", "value"),
+        Kinds.Observations, ts(f"2024-08-12T$h%02d:00:00Z"))
+    def snapshot() = store
+      .read(Kinds.Observations, ts("2024-08-12T00:00:00Z"), ts("2024-08-12T23:00:00Z")).get
+      .select("station_id", "value", "snapshot_ts", "date", "kind")
+      .collect().map(_.toSeq).toSet
+    val before = snapshot()
+
+    val (nOld, nNew) = store.compactPartition(Kinds.Observations,
+      java.time.LocalDate.parse("2024-08-12"))
+    assert(nOld == 5 && nNew == 1)
+    val files = new java.io.File(s"$dir/kind=observations/date=2024-08-12")
+      .listFiles().filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(files.length == 1)
+
+    // rows (snapshot_ts included) and the pruned time-window read survive
+    assert(snapshot() == before)
+    val pruned = store
+      .read(Kinds.Observations, ts("2024-08-12T00:00:00Z"), ts("2024-08-12T03:00:00Z")).get
+      .select("value").collect().map(_.getLong(0)).toSet
+    assert(pruned == Set(1L, 2L, 3L))
+
+    // idempotent: already at target
+    assert(store.compactPartition(Kinds.Observations,
+      java.time.LocalDate.parse("2024-08-12")) == (1, 1))
+    // missing partition is a no-op
+    assert(store.compactPartition(Kinds.Observations,
+      java.time.LocalDate.parse("1999-01-01")) == (0, 0))
+  }
 }
