@@ -733,6 +733,34 @@ object Relational {
       },
       None),
 
+    // x3 — heavy hitters via a count-min sketch: the fixed-size mergeable
+    // state that replaces t7's exact (token, count) shuffle at 100 TB.
+    // The corpus pass is ONE sketch aggregate (partials merge in the
+    // combiner, ε=0.001 ⇒ ~27 KB of state regardless of corpus size);
+    // probing is the top-20 exact tokens joined against the broadcast
+    // one-row sketch through the native CmsEstimate expression, so the
+    // output carries exact vs estimated side by side (ApproxSpec bounds
+    // the error: exact ≤ estimate ≤ exact + ε·N at 99% confidence). No
+    // SQL oracle — sketch internals are engine-specific (same as x1/x2).
+    Q("x3_cms_heavy_hitters",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(explode(split(lower(col("text")), " ")).as("tok"))
+        val sketch = toks.agg(
+          expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").as("cms"))
+        val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("tok")).limit(20)
+        top.crossJoin(broadcast(sketch))
+          .select(col("tok"), col("exact_n"),
+            org.apache.spark.sql.graft.ColumnBridge.column(
+              graft.functions.CmsEstimate(
+                org.apache.spark.sql.graft.ColumnBridge.expression(col("cms")),
+                org.apache.spark.sql.graft.ColumnBridge.expression(col("tok"))))
+              .as("est_n"))
+          .orderBy(col("exact_n").desc, col("tok"))
+      },
+      None),
+
     // CUBE + GROUPING() — all 2^k grouping-set aggregates in ONE pass:
     // Spark plans cube as a single Expand + hash aggregate (each input
     // row fans out to its 4 grouping sets before the shuffle, partials

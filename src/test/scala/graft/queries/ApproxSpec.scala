@@ -50,4 +50,19 @@ class ApproxSpec extends AnyFunSuite {
         s"flag $flag p$target: value $q has rank $rank of $n (ε=$eps)")
     }
   }
+
+  test("x3_cms_heavy_hitters: exact <= estimate <= exact + eps*N") {
+    val rows = SparkEntry.queries("x3_cms_heavy_hitters")(spark, sf).collect()
+    assert(rows.length == 20)
+    val totalTokens = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .count()
+    val epsN = 0.001 * totalTokens
+    for (r <- rows) {
+      val (tok, exact, est) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"$tok: estimate $est below exact $exact")
+      assert(est <= exact + epsN,
+        s"$tok: estimate $est exceeds exact $exact + ε·N ($epsN)")
+    }
+  }
 }
