@@ -449,6 +449,33 @@ object WeatherGate {
         ) e(id, signing_date, observation_date, locations, total_allowed_entries,
             number_of_places_win, number_of_values_per_entry, attestation_signature, nonce)
         LEFT JOIN counts c ON e.id = c.event_id
-        ORDER BY e.id LIMIT 3"""))
+        ORDER BY e.id LIMIT 3""")),
+
+    // §2.8 — the streaming session-window operator, gated in batch mode
+    // on the real events table: `session_window(ts, gap)` (the state-
+    // store merging-window op, one window per OPEN session) must agree
+    // with the classic lag/cumsum gap-sessionization a warehouse runs.
+    // Session end is last event + gap, per the operator's contract.
+    Q("w11_session_window",
+      (s, d) => graft.streaming.SnapshotStream
+        .sessionRollup(
+          graft.Tables.events(s, d).where(col("user_id") % 31 === 0),
+          Seq("user_id"), "ts", "30 minutes")
+        .orderBy("user_id", "session_start"),
+      Some("""WITH e AS (
+          SELECT user_id, ts FROM events WHERE user_id % 31 = 0),
+        m AS (SELECT user_id, ts,
+            CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+          FROM e),
+        s AS (SELECT user_id, ts,
+            SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m)
+        SELECT user_id, MIN(ts) AS session_start,
+          MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+          COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, session_start"""))
   )
 }
