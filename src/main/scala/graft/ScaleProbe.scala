@@ -31,19 +31,28 @@ object ScaleProbe {
 
     def scaledDir(m: Int): String = {
       val dir = s"/tmp/graft-scale/${m}x"
-      val docs = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-      if (!fs.exists(docs)) {
+      // the marker is written LAST, so a crashed half-built dir is
+      // rebuilt instead of silently accepted
+      val done = new org.apache.hadoop.fs.Path(s"$dir/_built")
+      if (!fs.exists(done)) {
         val src = spark.read.parquet(s"$base/documents.parquet")
         val n = src.agg(max("doc_id")).collect()(0).getLong(0) + 1
         // replica k: ids offset by k*n; consonant rotation keyed by k
-        // makes every token (hence every shingle/hash) replica-specific
+        // makes every token (hence every shingle/hash) replica-specific.
+        // Rotations alias with period |abc| — past that, replicas would
+        // duplicate byte-for-byte and fabricate dense dup clusters, so
+        // the multiplier is capped rather than silently wrapping.
         val abc = "bcdfghjklmnpqrstvwz"
+        require(m <= abc.length,
+          s"multiplier $m exceeds ${abc.length} distinct rotations — " +
+            "replicas would alias into exact duplicates")
         val rep = (0 until m).map { k =>
-          val rot = abc.drop(k % abc.length) + abc.take(k % abc.length)
+          val rot = abc.drop(k) + abc.take(k)
           src.withColumn("doc_id", col("doc_id") + lit(k.toLong * n))
             .withColumn("text", translate(col("text"), abc, rot))
         }.reduce(_ unionByName _)
-        rep.repartition(32).write.mode("overwrite").parquet(docs.toString)
+        rep.repartition(32).write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
         // the other tables come straight from sf0.1
         for (t <- Seq("region", "nation", "customer", "supplier", "part",
             "orders", "lineitem", "events", "embeddings")) {
@@ -53,6 +62,7 @@ object ScaleProbe {
               new org.apache.hadoop.fs.Path(s"$base/$t.parquet"),
               fs, link, false, spark.sparkContext.hadoopConfiguration)
         }
+        fs.create(done, true).close()
       }
       dir
     }

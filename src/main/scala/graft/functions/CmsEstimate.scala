@@ -15,12 +15,14 @@ import org.apache.spark.util.sketch.CountMinSketch
   * (`addBinary`), so the probe hashes the same way; estimates are exact
   * upper bounds within the sketch's (ε, δ) contract.
   *
-  * The deserialized sketch is memoized per expression instance keyed on
-  * the incoming array reference: in the intended shape (a one-row sketch
-  * broadcast against a small probe set) deserialization happens once per
-  * task, not once per row. `CodegenFallback` is fine here — the probe
-  * side is sketch-sized, never corpus-sized (the corpus pass is the
-  * aggregate itself, which is codegen'd by Spark).
+  * The deserialized sketch is memoized per expression instance by
+  * CONTENT equality (UnsafeRow.getBinary hands back a fresh copy per
+  * row, so a reference check would never hit): re-parsing the sketch
+  * costs allocation + header/array decoding per row, while the byte
+  * compare is a single branchy scan that exits on the first differing
+  * byte. `CodegenFallback` is fine here — the probe side is
+  * sketch-sized, never corpus-sized (the corpus pass is the aggregate
+  * itself, which is codegen'd by Spark).
   */
 case class CmsEstimate(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -37,14 +39,14 @@ case class CmsEstimate(left: Expression, right: Expression)
         s"cms_estimate expects (binary, string), got (${l.simpleString}, ${r.simpleString})")
     }
 
-  @transient private var cachedBytes: AnyRef = _
+  @transient private var cachedBytes: Array[Byte] = _
   @transient private var cachedSketch: CountMinSketch = _
 
   override def nullSafeEval(sketchBytes: Any, item: Any): Any = {
     val bytes = sketchBytes.asInstanceOf[Array[Byte]]
-    if (!(bytes eq cachedBytes)) {
+    if (cachedBytes == null || !java.util.Arrays.equals(bytes, cachedBytes)) {
       cachedSketch = CountMinSketch.readFrom(bytes)
-      cachedBytes = bytes
+      cachedBytes = bytes.clone()
     }
     cachedSketch.estimateCount(item.asInstanceOf[UTF8String].getBytes)
   }

@@ -278,11 +278,18 @@ final class EventStore(spark: SparkSession, root: String,
       .map(_.stripPrefix(CommitPrefix))
   }
 
-  /** Time-travel read of `events_entries` at a committed `version` (from
+  /** Time-travel read of `events_entries` at a RETIRED `version` (from
     * [[tableVersions]]): the pre-merge state of the scores table — e.g.
-    * for auditing what a J5 score merge changed. Fails if the version
-    * has been reaped (older than KeepVersions swaps). */
+    * for auditing what a J5 score merge changed. Only non-current
+    * versions are immutable snapshots — `append()` writes new files
+    * into the live version's dir, so reading the current version here
+    * would NOT be a point-in-time view (use [[entries]] for "now").
+    * Fails if the version has been reaped (older than KeepVersions
+    * swaps) or is the live one. */
   def entriesAsOf(version: String): Dataset[EntryRow] = {
+    require(!currentVersion("events_entries").contains(version),
+      s"version $version is live (appends mutate it in place) — " +
+        "time travel reads retired versions; use `entries` for the current state")
     val p = new Path(path("events_entries"), version)
     require(fs.exists(p), s"version $version is not retained " +
       s"(KeepVersions=${EventStore.KeepVersions})")

@@ -745,7 +745,7 @@ object Relational {
     Q("x3_cms_heavy_hitters",
       (s, d) => {
         val toks = Tables.documents(s, d)
-          .select(explode(split(lower(col("text")), " ")).as("tok"))
+          .select(explode(TextOps.tokens).as("tok"))
         val sketch = toks.agg(
           expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").as("cms"))
         val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))

@@ -22,8 +22,10 @@ import graft.Tables
 object TextOps {
 
   /** Tokens of the lowercased text (space-split, matches DuckDB
-    * string_split). */
-  private val tokens: Column = split(lower(col("text")), " ")
+    * string_split) — THE tokenization definition; every text operator
+    * (Tokenize, x3, the specs) reuses this one expression so a future
+    * change cannot silently diverge across gates. */
+  private[queries] val tokens: Column = split(lower(col("text")), " ")
 
   /** Word n-grams of the lowercased text; empty (not
     * decreasing-sequence!) when under n tokens.

@@ -24,9 +24,8 @@ import graft.Tables
   */
 object Tokenize {
 
-  /** Space-split tokens of the lowercased text (matches DuckDB
-    * `string_split(lower(text), ' ')`). */
-  private val tokens: Column = split(lower(col("text")), " ")
+  /** The engine-wide tokenization (TextOps.tokens). */
+  private val tokens: Column = TextOps.tokens
 
   /** Word frequencies over the corpus: the map-side-combined groupBy
     * that turns corpus scale into vocabulary scale. */

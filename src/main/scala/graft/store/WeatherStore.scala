@@ -93,13 +93,17 @@ final class WeatherStore(spark: SparkSession, root: String) {
     * Safety: the compacted output is written to a dot-prefixed temp dir
     * (invisible to Spark's file listing), fully materialized, then
     * renamed into the partition file-by-file (rename is atomic per
-    * file) before the old files are deleted. A reader overlapping the
-    * swap window can observe a row twice — exactly the duplication the
-    * store's read discipline already tolerates by design: snapshots
-    * overlap across files and every consumer dedups or re-aggregates
-    * (A1's level-1 GROUP BY, streaming dropDuplicates; SURVEY §2.8).
-    * The data rows (snapshot_ts included) are byte-identical, so every
-    * deduped/re-aggregated result is unchanged.
+    * file; a failed rename aborts BEFORE any original file is deleted,
+    * leaving the partition intact plus an ignorable temp dir). A scan
+    * that resolves its file listing after any rename and before the
+    * deletes can observe a row twice — the duplication the store's read
+    * discipline already tolerates (A1's level-1 GROUP BY, streaming
+    * dropDuplicates; SURVEY §2.8). A scan holding a listing resolved
+    * BEFORE the swap can fail on the deleted files, like any vacuum —
+    * run compaction where in-flight scans either retry or don't overlap
+    * the maintenance window (the reference's store has the same
+    * single-maintainer discipline; the event store, whose readers are
+    * continuous, uses versioned swaps instead).
     *
     * @return (filesBefore, filesAfter) for observability */
   def compactPartition(kind: String, date: java.time.LocalDate,
@@ -122,9 +126,16 @@ final class WeatherStore(spark: SparkSession, root: String) {
           .write.parquet(tmp.toString)
         val parts = fs.listStatus(tmp).map(_.getPath)
           .filter(p => p.getName.endsWith(".parquet"))
+        // FileSystem.rename reports failure by RETURNING false — abort
+        // before touching any original file, or a failed rename would be
+        // followed by deleting both the originals and the only compacted
+        // copy
         parts.zipWithIndex.foreach { case (p, i) =>
-          fs.rename(p, new org.apache.hadoop.fs.Path(dir,
-            s"compact-${tmp.getName.stripPrefix(".compact-")}-part$i.parquet"))
+          val dest = new org.apache.hadoop.fs.Path(dir,
+            s"compact-${tmp.getName.stripPrefix(".compact-")}-part$i.parquet")
+          if (!fs.rename(p, dest))
+            sys.error(s"compaction aborted: rename $p -> $dest failed; " +
+              "originals left untouched")
         }
         old.foreach(p => fs.delete(p, false))
         fs.delete(tmp, true)

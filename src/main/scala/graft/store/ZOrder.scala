@@ -59,14 +59,14 @@ object ZOrder {
   def writeZOrdered(df: DataFrame, zCols: Seq[String], path: String,
       numFiles: Int, bits: Int = 16): Unit = {
     require(zCols.nonEmpty, "need at least one z column")
-    val stats = df.agg(
-      zCols.flatMap(c => Seq(min(col(c)).cast("double").as(s"min_$c"),
-        max(col(c)).cast("double").as(s"max_$c"))).head,
-      zCols.flatMap(c => Seq(min(col(c)).cast("double").as(s"min_$c"),
-        max(col(c)).cast("double").as(s"max_$c"))).tail: _*)
-      .collect()(0)
-    val mins = zCols.indices.map(i => stats.getDouble(2 * i))
-    val maxs = zCols.indices.map(i => stats.getDouble(2 * i + 1))
+    val aggs = zCols.flatMap(c => Seq(min(col(c)).cast("double").as(s"min_$c"),
+      max(col(c)).cast("double").as(s"max_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // empty input / all-null column: min/max are null — degrade to a
+    // constant z (layout is irrelevant when there is nothing to order)
+    def statAt(i: Int): Double = if (stats.isNullAt(i)) 0.0 else stats.getDouble(i)
+    val mins = zCols.indices.map(i => statAt(2 * i))
+    val maxs = zCols.indices.map(i => statAt(2 * i + 1))
     val z = zValue(zCols.map(col), mins, maxs, bits)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))

@@ -76,6 +76,8 @@ class EventStoreSpec extends AnyFunSuite {
     assert(store.entries.collect().head.score == 409899L)
     assert(store.entriesAsOf(before).collect().head.score == 5L)
     intercept[IllegalArgumentException](store.entriesAsOf("v99999999"))
+    // the live version is append-mutable, not a snapshot — rejected
+    intercept[IllegalArgumentException](store.entriesAsOf(versions.last))
   }
 
   test("updateAttestation removes the event from the active set") {

@@ -55,7 +55,7 @@ class ApproxSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("x3_cms_heavy_hitters")(spark, sf).collect()
     assert(rows.length == 20)
     val totalTokens = Tables.documents(spark, sf)
-      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .select(explode(TextOps.tokens).as("tok"))
       .count()
     val epsN = 0.001 * totalTokens
     for (r <- rows) {
