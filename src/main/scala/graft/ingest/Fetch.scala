@@ -159,16 +159,21 @@ object Fetch {
       if (!bucket.tryAcquire(1.0)) throw RateLimitExceeded(url)
       withRetry(url) { () =>
         val rsp = client.send(request(url), HttpResponse.BodyHandlers.ofInputStream())
-        // checked() throws on 5xx/429/non-2xx — close the body stream first
-        // or every failed attempt of the retry loop leaks a connection.
-        try checked(url, rsp)
-        catch {
-          case e: Throwable =>
-            try rsp.body().close() catch { case _: Throwable => () }
-            throw e
-        }
-        val reader = new BufferedReader(new InputStreamReader(
-          new GZIPInputStream(rsp.body()), StandardCharsets.UTF_8))
+        // Anything that throws before `reader` exists must close the body
+        // stream, or every failed attempt of the retry loop leaks a
+        // connection: checked() on a bad status, AND the GZIPInputStream
+        // constructor itself (it reads the 10-byte gzip header, so a
+        // 200 with a truncated/non-gzip body throws right there).
+        val reader =
+          try {
+            checked(url, rsp)
+            new BufferedReader(new InputStreamReader(
+              new GZIPInputStream(rsp.body()), StandardCharsets.UTF_8))
+          } catch {
+            case e: Throwable =>
+              try rsp.body().close() catch { case _: Throwable => () }
+              throw e
+          }
         try {
           val sb = new StringBuilder
           var line = reader.readLine()

@@ -236,9 +236,20 @@ final class EventStore(spark: SparkSession, root: String,
   private def currentVersion(table: String): Option[String] = {
     val dir = new Path(path(table))
     if (!fs.exists(dir)) None
-    else fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.startsWith(CommitPrefix))
-      .sorted.lastOption.map(_.stripPrefix(CommitPrefix))
+    else {
+      val names = fs.listStatus(dir).map(_.getPath.getName)
+      val cur = names.filter(_.startsWith(CommitPrefix))
+        .sorted.lastOption.map(_.stripPrefix(CommitPrefix))
+      // A table dir holding bare parquet files but no commit marker is
+      // the pre-versioning flat layout — reading it as "empty" would
+      // silently vanish the data (and restart id sequences on top of
+      // it). Refuse loudly instead.
+      if (cur.isEmpty && names.exists(_.endsWith(".parquet")))
+        sys.error(s"table '$table' at ${path(table)} uses the legacy flat " +
+          "layout; migrate by moving its files into a 'v00000001' subdir " +
+          s"and creating an empty '${CommitPrefix}v00000001' marker")
+      cur
+    }
   }
 
   /** Commit `version`: create its marker file. Readers see the new

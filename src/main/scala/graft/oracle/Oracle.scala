@@ -3,6 +3,7 @@ package graft.oracle
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.queries.WeatherQueries
@@ -114,14 +115,28 @@ object Oracle {
     val perEventScores: Seq[DataFrame] = active.toSeq.map { ev =>
       val id = ev.getAs[String]("id")
       val wr = eventStore.eventWeatherRows(id)
-      val f = wr.where(col("forecasted").isNotNull)
-        .select(col("station_id"), col("forecasted.temp_low").as("temp_low"),
-          col("forecasted.temp_high").as("temp_high"),
-          col("forecasted.wind_speed").as("wind_speed"))
-      val o = wr.where(col("observed").isNotNull)
-        .select(col("station_id"), col("observed.temp_low").as("temp_low"),
-          col("observed.temp_high").as("temp_high"),
-          col("observed.wind_speed").as("wind_speed"))
+      // Every ETL tick appends fresh weather rows for a still-active
+      // event (step 1, mirroring the reference's acknowledged
+      // re-inserts, oracle.rs:315-316) — so scoring MUST reduce to one
+      // row per station or re-ticks multiply each choice's points
+      // through the join. The reference's Rust `.find()` picks whichever
+      // row its unordered Vec yields first; here latest-wins is pinned
+      // explicitly (weather ids are UUIDv7 — time-ordered), per side, so
+      // an observation that only materialized on a later tick is used
+      // even when the earliest row predates it. Re-running the ETL is
+      // then idempotent (OracleEtlSpec locks this).
+      def latestPerStation(side: String) = {
+        val w = Window.partitionBy(col("station_id"))
+          .orderBy(col("weather_id").desc)
+        wr.where(col(side).isNotNull)
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1)
+          .select(col("station_id"), col(s"$side.temp_low").as("temp_low"),
+            col(s"$side.temp_high").as("temp_high"),
+            col(s"$side.wind_speed").as("wind_speed"))
+      }
+      val f = latestPerStation("forecasted")
+      val o = latestPerStation("observed")
       val entryIds = eventStore.entries.toDF()
         .where(col("event_id") === id).select(col("id").as("entry_id"))
       val evChoices = eventStore.choices.toDF()

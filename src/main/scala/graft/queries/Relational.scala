@@ -652,13 +652,6 @@ object Relational {
           FROM lineitem)
         ORDER BY column_name""")),
 
-    // The 100 TB forms of the two expensive exact statistics: HLL++
-    // distinct-count and GK-sketch quantiles — fixed-size mergeable
-    // sketch state per partition instead of a distinct shuffle / global
-    // sort. No DuckDB oracle (sketch internals are engine-specific;
-    // driver records the rows-only check); ApproxSpec bounds both
-    // against their exact counterparts (≤5% relative ndv error,
-    // quantile rank within the documented ε).
     // Set operations — EXCEPT/INTERSECT as first-class operators. Spark
     // plans both as a left-anti / left-semi join plus distinct hash
     // aggregates — every stage keyed on the set column (the q27/q28

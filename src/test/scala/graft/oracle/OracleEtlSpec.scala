@@ -132,6 +132,60 @@ class OracleEtlSpec extends AnyFunSuite {
     assert(second.activeEvents == 0 && second.signedEventIds.isEmpty)
   }
 
+  test("runEtl re-ticks are idempotent: appended weather rows don't multiply scores") {
+    // a still-active event (signing date in the future) scored across
+    // THREE ticks: each tick appends fresh weather rows (the reference's
+    // acknowledged re-inserts), and scoring must reduce latest-per-
+    // station instead of joining every historical row — or points
+    // multiply with the tick count
+    val root = Files.createTempDirectory("graft-etl-retick").toString
+    val weatherStore = new WeatherStore(spark, s"$root/weather")
+    val eventStore = new EventStore(spark, s"$root/events")
+    val now = ts("2024-08-13T00:00:00Z")
+    val created = ts("2024-08-11T00:00:00Z")
+
+    val slots = Seq(
+      ("PFNO", ts("2024-08-12T00:00:00Z"), ts("2024-08-12T12:00:00Z"), 9L, 35L, 8L),
+      ("KSAW", ts("2024-08-12T00:00:00Z"), ts("2024-08-12T12:00:00Z"), 17L, 25L, 3L),
+      ("KWMC", ts("2024-08-12T00:00:00Z"), ts("2024-08-12T12:00:00Z"), 31L, 33L, 11L)
+    ).toDF("station_id", "begin_time", "end_time", "min_temp", "max_temp", "wind_speed")
+    weatherStore.write(slots, Kinds.Forecasts, ts("2024-08-12T01:00:00Z"))
+    val obs = Seq(
+      ("PFNO", ts("2024-08-12T02:00:00Z"), 9.4, 11L),
+      ("KSAW", ts("2024-08-12T02:00:00Z"), 22.0, 10L),
+      ("KWMC", ts("2024-08-12T02:00:00Z"), 32.8, 11L)
+    ).toDF("station_id", "generated_at", "temperature_value", "wind_speed")
+    weatherStore.write(obs, Kinds.Observations, ts("2024-08-12T15:00:00Z"))
+
+    val seckey = Schnorr.taggedHash("graft/etl-retick-key", Array(3.toByte))
+    val eventId = Uuid7.generateDeterministic(Instant.parse("2024-08-10T01:00:00Z"), 0, 0)
+    eventStore.insertEvents(Seq(EventRow(
+      id = eventId, total_allowed_entries = 2, number_of_places_win = 1,
+      number_of_values_per_entry = 6,
+      signing_date = ts("2024-08-20T00:00:00Z"), // future: stays active
+      observation_date = ts("2024-08-12T00:00:00Z"),
+      locations = Seq("PFNO", "KSAW", "KWMC"),
+      coordinator_pubkey = "pk", nonce = None, event_announcement = None,
+      attestation_signature = None, created_at = created, updated_at = created)))
+    eventStore.insertEntries(
+      Seq(e1, e2).map(id => EntryRow(id, eventId, 0L, created, created)),
+      Seq(ChoiceRow(1L, e1, "PFNO", Some("under"), None, Some("over")),
+        ChoiceRow(2L, e1, "KWMC", Some("par"), Some("under"), Some("par")),
+        ChoiceRow(3L, e2, "PFNO", Some("par"), None, Some("par"))))
+
+    Oracle.runEtl(spark, weatherStore, eventStore, seckey, now)
+    val first = eventStore.entries.collect().map(r => r.id -> r.score).toMap
+    assert(first.values.forall(_ > 0L), s"tick 1 produced no scores: $first")
+
+    for (_ <- 2 to 3) Oracle.runEtl(spark, weatherStore, eventStore, seckey, now)
+    val third = eventStore.entries.collect().map(r => r.id -> r.score).toMap
+    assert(third == first,
+      s"re-ticks changed scores: tick1 $first vs tick3 $third")
+    // the appended history is real (3 ticks × 3 stations) — only the
+    // scoring reduction keeps it from leaking into the points
+    assert(eventStore.eventWeatherRows(eventId).count() == 9)
+  }
+
   test("runEtl handles many concurrent events: per-event scores and signatures") {
     // the reference's operating regime (~10 concurrent active events,
     // oracle.rs:315) — scores must not bleed across events and only
