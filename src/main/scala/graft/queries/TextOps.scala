@@ -168,6 +168,27 @@ object TextOps {
     when(tot === 0, lit(0.0))
       .otherwise((tot - dis).cast("double") / tot.cast("double"))
 
+  /** Heuristic document quality (type-token ratio, stop-word ratio,
+    * mean token length — 0.4/0.3/0.3 weighted). All ratios are single
+    * double divisions of exact ints and the blend is evaluated in
+    * identical operand order on both engines, so the score is bit-exact
+    * cross-engine — which is what lets d12 ORDER BY it for keeper
+    * selection. Shared by the t2 gate and d12. */
+  def qualityScores(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("t", tokens)
+      .select(col("doc_id"), col("n_chars"),
+        size(col("t")).cast("int").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("int").as("n_distinct"),
+        size(filter(col("t"), t => t.isin("the", "a", "and", "of"))).cast("int").as("n_stop"))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("mean_tok_len",
+        (col("n_chars").cast("double") / col("n_tokens").cast("double")))
+      .withColumn("quality",
+        lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.3) * least(lit(1.0), col("mean_tok_len") / lit(10.0)))
+
   /** Every gram-count stat in ONE expression with the token array bound
     * once (`includeTop` adds the map-side top-token count). Consumers
     * must materialize it through `explode(array(…))`: a Generate is a
@@ -470,6 +491,75 @@ object TextOps {
         FROM deg LEFT JOIN tpn ON deg.doc_id = tpn.doc_id
         ORDER BY deg.doc_id""")),
 
+    // Quality-aware keeper selection: per near-dup cluster, keep the
+    // HIGHEST-QUALITY member (ties → lowest doc_id) — the canonicali-
+    // zation policy production dedup actually runs (min-id keeping, d7/
+    // c1's default, discards the best copy whenever a cleaner duplicate
+    // has a higher id). Composes the verified pair graph (d2), hash-min
+    // clustering (d7), and the t2 quality score; the argmax is one
+    // window over the component key, and singletons ride the same left
+    // join + coalesce instead of a union pass. ORDER BY a double is
+    // cross-engine-safe here because t2's gate proves the quality
+    // blend bit-exact on both engines.
+    Q("d12_quality_keeper",
+      (s, d) => {
+        val comp = Components
+          .connectedComponents(jaccardPairs(s, d).select("doc_a", "doc_b"))
+          .withColumnRenamed("node", "doc_id")
+        val clustered = qualityScores(Tables.documents(s, d))
+          .select("doc_id", "quality")
+          .join(comp, Seq("doc_id"), "left")
+          .withColumn("component", coalesce(col("component"), col("doc_id")))
+        val byComp = org.apache.spark.sql.expressions.Window.partitionBy("component")
+        clustered
+          .withColumn("rk", row_number().over(
+            byComp.orderBy(col("quality").desc, col("doc_id"))))
+          .withColumn("cluster_size", count(lit(1)).over(byComp).cast("int"))
+          .where(col("rk") === 1)
+          .select(col("component"), col("doc_id").as("keeper_id"),
+            col("cluster_size"), col("quality"))
+          .orderBy("component")
+      },
+      Some(s"""WITH RECURSIVE sig AS ($duckSigs),
+          bands AS (SELECT doc_id, k AS band, sigs[k + 1] AS mh FROM sig, range(0, 8) t(k)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+          sh AS (SELECT doc_id, $duckShingles AS s
+                 FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)),
+          pairs AS (SELECT doc_a, doc_b FROM (
+              SELECT doc_a, doc_b,
+                CAST(CAST(len(list_intersect(a.s, b.s)) AS INT) AS DOUBLE) /
+                  CAST(len(a.s) + len(b.s) - CAST(len(list_intersect(a.s, b.s)) AS INT) AS DOUBLE) AS jaccard
+              FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+                        JOIN sh b ON cand.doc_b = b.doc_id)
+            WHERE jaccard >= 0.05),
+          edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+          reach(u, v) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+          comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
+          q AS (SELECT doc_id,
+              0.4 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) +
+              0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) +
+              0.3 * least(1.0, (CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 10.0) AS quality
+            FROM (SELECT doc_id, n_chars,
+                CAST(len(t) AS INT) AS n_tokens,
+                CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+                CAST(len(list_filter(t, x -> x IN ('the','a','and','of'))) AS INT) AS n_stop
+              FROM (SELECT doc_id, n_chars, string_split(lower(text), ' ') AS t FROM documents))),
+          cl AS (SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS component, quality
+                 FROM q LEFT JOIN comp c ON q.doc_id = c.doc_id)
+        SELECT component, doc_id AS keeper_id, cluster_size, quality FROM (
+            SELECT component, doc_id, quality,
+              ROW_NUMBER() OVER (PARTITION BY component
+                                 ORDER BY quality DESC, doc_id) AS rk,
+              CAST(COUNT(*) OVER (PARTITION BY component) AS INT) AS cluster_size
+            FROM cl)
+        WHERE rk = 1 ORDER BY component""")),
+
     // MinHash signatures (8 hashes): the per-doc half of MinHash-LSH.
     // Surfaced as a comma-joined string (the driver's pandas compare can't
     // sort array columns); nulls (empty shingle sets) map to "-" so both
@@ -658,20 +748,7 @@ object TextOps {
     // Quality scoring: length / type-token ratio / stopword ratio /
     // mean token length composite.
     Q("t2_quality_score",
-      (s, d) => Tables.documents(s, d)
-        .withColumn("t", tokens)
-        .select(col("doc_id"), col("n_chars"),
-          size(col("t")).cast("int").as("n_tokens"),
-          size(array_distinct(col("t"))).cast("int").as("n_distinct"),
-          size(filter(col("t"), t => t.isin("the", "a", "and", "of"))).cast("int").as("n_stop"))
-        .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens").cast("double"))
-        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens").cast("double"))
-        .withColumn("mean_tok_len",
-          (col("n_chars").cast("double") / col("n_tokens").cast("double")))
-        .withColumn("quality",
-          lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
-            lit(0.3) * least(lit(1.0), col("mean_tok_len") / lit(10.0)))
-        .orderBy("doc_id"),
+      (s, d) => qualityScores(Tables.documents(s, d)).orderBy("doc_id"),
       Some("""SELECT doc_id, n_chars, n_tokens, n_distinct, n_stop,
           CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
           CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
