@@ -780,6 +780,30 @@ object Relational {
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         ORDER BY gid, o_orderstatus, o_orderpriority""")),
 
+    // Semi-structured extraction — the JSON-properties column every
+    // event stream carries (the reference serializes nonce/announcement
+    // blobs as JSON, F15; `events.props` is the query-side twin).
+    // `from_json` with a DECLARED schema parses once into a struct
+    // (Catalyst prunes unreferenced fields from the parse), vs
+    // get_json_object re-walking the document per extraction. Stays a
+    // map-side projection feeding a normal aggregate at any scale.
+    Q("q34_json_extract",
+      (s, d) => Tables.events(s, d)
+        .where(col("user_id") % 7 === 0)
+        .select(col("event_type"),
+          from_json(col("props"), "k BIGINT", Map.empty[String, String])
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+          CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        FROM events WHERE user_id % 7 = 0
+        GROUP BY event_type ORDER BY event_type""")),
+
     // W-family completion — LAG/LEAD/NTILE over per-user event streams
     // (the "previous/next reading" and quartile-bucketing shapes).
     // One window spec ⇒ one sort within each user partition serves all
