@@ -780,6 +780,35 @@ object Relational {
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         ORDER BY gid, o_orderstatus, o_orderpriority""")),
 
+    // UNPIVOT (wide → long), the inverse of q31's PIVOT: Spark's native
+    // unpivot plans as ONE Expand pass over the wide frame (each row
+    // fans out once per measure) — no per-measure rescan, no union of N
+    // subplans. Measures share a type by contract (all cast to double
+    // via the exact-cents path first, so values hash-match). The oracle
+    // expresses the same reshape as a UNION ALL, which is what unpivot
+    // means relationally.
+    Q("q35_unpivot",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(centsSum(col("l_quantity")).as("sum_qty"),
+          centsSum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).cast("double").as("n_rows"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure"),
+      Some("""WITH w AS (
+          SELECT l_returnflag,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+            CAST(COUNT(*) AS DOUBLE) AS n_rows
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+        UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+        UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM w
+        ORDER BY l_returnflag, measure""")),
+
     // Semi-structured extraction — the JSON-properties column every
     // event stream carries (the reference serializes nonce/announcement
     // blobs as JSON, F15; `events.props` is the query-side twin).
