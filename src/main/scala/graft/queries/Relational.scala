@@ -780,6 +780,32 @@ object Relational {
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         ORDER BY gid, o_orderstatus, o_orderpriority""")),
 
+    // LATERAL correlated subquery — top-2 orders PER customer written
+    // the way an analyst writes it. Exercises a genuinely distinct
+    // planner path: Catalyst DECORRELATES the per-row subquery (limit
+    // and all) into a partitioned window/join plan instead of executing
+    // it per outer row — per-row re-execution is exactly what cannot
+    // scale. Gated through the ad-hoc SQL surface (SURVEY §3.3), same
+    // SQL on both engines.
+    Q("q36_lateral_topk",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          WHERE c.c_custkey % 11 = 0
+          ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+      },
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey % 11 = 0
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")),
+
     // UNPIVOT (wide → long), the inverse of q31's PIVOT: Spark's native
     // unpivot plans as ONE Expand pass over the wide frame (each row
     // fans out once per measure) — no per-measure rescan, no union of N
