@@ -88,23 +88,30 @@ object TextOps {
     * survivors. Candidates are floored at jaccard ≥ 0.05 (below that a
     * pair must still share a minhash band to be seen at all, so lower
     * thresholds would be LSH-recall-limited anyway). */
-  def jaccardPairsOf(input: DataFrame): DataFrame = {
+  /** Per-document dedup signature frame: `(doc_id, h sorted-xxhash64
+    * shingles, n, sigs minhash array)` — the unit both the batch pair
+    * pipeline and the incremental index ([[graft.llm.DedupIndex]])
+    * persist/join on. */
+  private[graft] def sigFrame(input: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    val docs = input.select(col("doc_id"), shingles.as("s")).select(col("doc_id"),
+    input.select(col("doc_id"), shingles.as("s")).select(col("doc_id"),
       sort_array(transform(col("s"), x => xxhash64(x))).as("h"),
       size(col("s")).cast("int").as("n"),
       ColumnBridge.column(graft.functions.MinHashSigs(
-        ColumnBridge.expression(col("s")))).as("sigs")).cache()
-    val bands = docs.select(col("doc_id"), col("sigs"),
-      posexplode(col("sigs")).as(Seq("band", "mh")))
-    val cand = bands.select(col("doc_id").as("doc_a"), col("sigs").as("sig_a"),
-        col("band"), col("mh"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("sigs").as("sig_b"),
-        col("band"), col("mh")), Seq("band", "mh"))
-      .where(col("doc_a") < col("doc_b"))
-      .where(col("band") ===
-        expr("array_position(zip_with(sig_a, sig_b, (x, y) -> x = y), true) - 1"))
-      .select("doc_a", "doc_b")
+        ColumnBridge.expression(col("s")))).as("sigs"))
+  }
+
+  /** First index (0-based) where two minhash signature arrays agree —
+    * the decide-per-row band dedup both pair pipelines share. */
+  private[graft] val firstSharedBand =
+    expr("array_position(zip_with(sig_a, sig_b, (x, y) -> x = y), true) - 1")
+
+  /** Exact-verify LSH candidate pairs: join back the shingle-hash
+    * arrays, fused merge-scan intersection, jaccard ≥ `minJaccard`.
+    * `cand` must carry (doc_a, doc_b); `docs` is a [[sigFrame]]. */
+  private[graft] def verifyPairs(cand: DataFrame, docs: DataFrame,
+      minJaccard: Double): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
     val nCommon = ColumnBridge.column(graft.functions.SortedIntersectCount(
       ColumnBridge.expression(col("ha")), ColumnBridge.expression(col("hb"))))
     cand
@@ -112,16 +119,28 @@ object TextOps {
         col("h").as("ha"), col("n").as("na")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"),
         col("h").as("hb"), col("n").as("nb")), Seq("doc_b"))
-      // explode(array(…)) fence: the threshold filter below would
-      // otherwise inline the merge-scan kernel a second time per pair
-      // (filter eval + project eval) — the verify stage is the hot loop
-      // at corpus scale, so it runs exactly once per candidate
+      // explode(array(…)) fence: the threshold filter would otherwise
+      // inline the merge-scan kernel a second time per pair
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
         explode(array(nCommon)).as("n_common"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common")).cast("double"))
-      .where(col("jaccard") >= 0.05)
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  def jaccardPairsOf(input: DataFrame): DataFrame = {
+    val docs = sigFrame(input).cache()
+    val bands = docs.select(col("doc_id"), col("sigs"),
+      posexplode(col("sigs")).as(Seq("band", "mh")))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("sigs").as("sig_a"),
+        col("band"), col("mh"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("sigs").as("sig_b"),
+        col("band"), col("mh")), Seq("band", "mh"))
+      .where(col("doc_a") < col("doc_b"))
+      .where(col("band") === firstSharedBand)
+      .select("doc_a", "doc_b")
+    verifyPairs(cand, docs, 0.05)
   }
 
   /** All 8 md5 MinHash values packed into ONE array column — a single

@@ -1,0 +1,55 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, Tables, TestSpark}
+
+/** The incremental index's exactness contract: streaming a corpus
+  * through successive checkAndAdd batches must emit, across all
+  * batches, EXACTLY the batch pipeline's verified pair set — every
+  * within-batch and cross-batch pair once, with identical n_common and
+  * jaccard values.
+  */
+class DedupIndexSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  test("three incremental batches reproduce the batch pair set exactly") {
+    val dir = Files.createTempDirectory("graft-dedup-index").toString
+    val docs = Tables.documents(spark, sf)
+
+    val emitted = (0 until 3).flatMap { part =>
+      DedupIndex.checkAndAdd(spark, dir,
+        docs.where(col("doc_id") % 3 === part))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    }
+    // each pair exactly once across all batches
+    assert(emitted.size == emitted.toSet.size, "a pair was emitted twice")
+
+    val batch = SparkEntry.queries("d2_dedup_ngram_jaccard")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(emitted.toSet == batch,
+      s"incremental ${emitted.size} pairs vs batch ${batch.size}: " +
+        s"missing=${(batch -- emitted.toSet).take(3)} " +
+        s"extra=${(emitted.toSet -- batch).take(3)}")
+
+    assert(DedupIndex.size(spark, dir) == docs.count())
+
+    // a batch of already-known content (new ids, duplicate text) is
+    // flagged against the index, not silently admitted as novel
+    val dupBatch = docs.where(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    val flagged = DedupIndex.checkAndAdd(spark, dir, dupBatch).collect()
+    val exactDups = flagged.filter(_.getDouble(3) == 1.0)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 3L).forall(id => exactDups.contains((id, id + 100000L))),
+      s"exact re-submissions not flagged: $exactDups")
+  }
+}
