@@ -79,4 +79,40 @@ object DocStream {
     Redact.scrub(deduped)
       .drop("text")
   }
+
+  /** Streaming near-dup screening against the accumulated corpus: each
+    * micro-batch is checked against (and appended to) the persistent
+    * [[graft.llm.DedupIndex]] via `foreachBatch`, and the pairs it
+    * completes land in `pairsOutDir` — the streaming half of the
+    * dedup-service pattern (the exact in-flight dedup above handles
+    * byte-identical copies; this catches near-duplicates against
+    * EVERYTHING ingested so far, not just the watermark horizon).
+    *
+    * foreachBatch is the right harness: the index join needs the
+    * on-disk postings (arbitrary-past state, beyond any watermark), and
+    * checkpointed batch ids make the append idempotent under retries —
+    * a batch re-run after a crash re-checks against the same index
+    * prefix. */
+  def nearDupScreen(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      indexDir: String,
+      pairsOutDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 100): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.DedupIndex.checkAndAdd(batch.sparkSession, indexDir, batch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(pairsOutDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -86,4 +86,33 @@ class DocStreamSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("nearDupScreen accumulates index state across streaming runs") {
+    val base = Files.createTempDirectory("graft-neardup-stream").toString
+    val landing = s"$base/landing"; val index = s"$base/index"
+    val pairs = s"$base/pairs"; val ckpt = s"$base/ckpt"
+
+    val aText = good
+    val bText = good + " with one extra clause appended at the end"
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val schema = docs((0L, "x")).schema
+
+    // run 1: two unrelated-ish docs — near-dup pair (1,2) found in-batch
+    docs((1L, aText), (2L, bText)).coalesce(1).write.parquet(s"$landing/w1")
+    DocStream.nearDupScreen(spark, s"$landing/*", schema, index, pairs, ckpt)
+      .awaitTermination()
+    val p1 = spark.read.parquet(pairs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(p1 == Set((1L, 2L)))
+
+    // run 2 (separate query, same checkpoint): a doc near-dup of run 1's
+    // content — caught against the PERSISTED index, beyond any watermark
+    docs((7L, aText + " trailing")).coalesce(1).write.parquet(s"$landing/w2")
+    DocStream.nearDupScreen(spark, s"$landing/*", schema, index, pairs, ckpt)
+      .awaitTermination()
+    val p2 = spark.read.parquet(pairs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(p2.contains((1L, 7L)) && p2.contains((2L, 7L)), p2.toString)
+    assert(graft.llm.DedupIndex.size(spark, index) == 3L)
+  }
 }
