@@ -112,4 +112,38 @@ object DedupIndex {
   def size(spark: SparkSession, dir: String): Long =
     if (!exists(spark, sigsPath(dir))) 0L
     else spark.read.parquet(sigsPath(dir)).count()
+
+  /** Compact the append-only index (each checkAndAdd batch appends its
+    * own files; a long-lived service accumulates thousands). Maintenance
+    * op for a quiet window — same single-maintainer discipline as
+    * `WeatherStore.compactPartition`: rewrite to `numFiles`, swap via
+    * temp dir + rename. Returns (filesBefore, filesAfter) per table. */
+  def compact(spark: SparkSession, dir: String,
+      numFiles: Int = 8): Map[String, (Int, Int)] =
+    Seq("sigs" -> sigsPath(dir), "bands" -> bandsPath(dir)).map { case (name, p) =>
+      if (!exists(spark, p)) name -> (0, 0)
+      else {
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val old = fs.listStatus(path).map(_.getPath)
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        if (old.length <= numFiles) name -> (old.length, old.length)
+        else {
+          val tmp = new org.apache.hadoop.fs.Path(path,
+            ".compact-" + java.util.UUID.randomUUID().toString)
+          spark.read.parquet(p).repartition(numFiles).write.parquet(tmp.toString)
+          val parts = fs.listStatus(tmp).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+          parts.zipWithIndex.foreach { case (f, i) =>
+            val dest = new org.apache.hadoop.fs.Path(path,
+              s"compact-${tmp.getName.stripPrefix(".compact-")}-part$i.parquet")
+            if (!fs.rename(f, dest))
+              sys.error(s"index compaction aborted: rename $f -> $dest failed")
+          }
+          old.foreach(f => fs.delete(f, false))
+          fs.delete(tmp, true)
+          name -> (old.length, parts.length)
+        }
+      }
+    }.toMap
 }

@@ -51,5 +51,18 @@ class DedupIndexSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert((0L until 3L).forall(id => exactDups.contains((id, id + 100000L))),
       s"exact re-submissions not flagged: $exactDups")
+
+    // compaction shrinks the per-batch file accumulation; the next
+    // batch still sees the identical index
+    val before = DedupIndex.size(spark, dir)
+    val res = DedupIndex.compact(spark, dir, numFiles = 2)
+    assert(res("sigs")._2 <= 2 && res("bands")._2 <= 2, res.toString)
+    assert(res("sigs")._1 > res("sigs")._2, s"nothing compacted: $res")
+    assert(DedupIndex.size(spark, dir) == before)
+    val after = DedupIndex.checkAndAdd(spark, dir,
+      docs.where(col("doc_id") === 0L)
+        .withColumn("doc_id", col("doc_id") + 200000L)).collect()
+    assert(after.exists(r => r.getDouble(3) == 1.0 && r.getLong(0) == 0L),
+      "post-compaction index lost content")
   }
 }
