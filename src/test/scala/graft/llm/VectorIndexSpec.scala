@@ -1,0 +1,63 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** The persistent IVF index lifecycle: full-probe search must equal the
+  * exact brute-force ranking; appended vectors are immediately
+  * retrievable without retraining.
+  */
+class VectorIndexSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.01"
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("full-probe search equals brute force; added vectors are retrievable") {
+    val dir = Files.createTempDirectory("graft-vec-index").toString
+    val embeddings = Tables.embeddings(spark, sf)
+    val k = 8
+    assert(VectorIndex.build(spark, dir, embeddings, k) == k)
+
+    val vecs = embeddings.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val qids = vecs.keys.toSeq.sorted.take(5)
+    val queries = qids.map(q => (q, vecs(q).toSeq)).toDF("qid", "qe")
+
+    // full probe ⇒ exact: every cell is scanned
+    val got = VectorIndex.search(spark, dir, queries, k = 5, nprobe = k)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
+    for (q <- qids) {
+      val exact = vecs.keySet.filter(_ != q).toSeq
+        .sortBy(n => (-cos(vecs(q), vecs(n)), n)).take(5)
+      assert(got(q) == exact, s"query $q: ${got(q)} vs $exact")
+    }
+
+    // append a near-copy of query 0's vector under a fresh id: top-1 for
+    // that query must become the planted neighbor, no retrain needed
+    val planted = 900000L
+    val plantedVec = vecs(qids.head).map(x => x * 1.0001f)
+    VectorIndex.add(spark, dir,
+      Seq((planted, plantedVec.toSeq)).toDF("vec_id", "embedding"))
+    val after = VectorIndex.search(spark, dir,
+      queries.where(col("qid") === qids.head), k = 1, nprobe = k).collect()
+    assert(after.head.getLong(1) == planted,
+      s"planted neighbor not found: ${after.mkString}")
+  }
+}
