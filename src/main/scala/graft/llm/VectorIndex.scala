@@ -66,6 +66,14 @@ object VectorIndex {
       .write.mode(SaveMode.Append).parquet(vectorsPath(dir))
   }
 
+  /** Per-cell inverted-list sizes — the index-health report (heavily
+    * skewed lists mean the centroids have drifted from the data and a
+    * scheduled rebuild is due). */
+  def cellStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(vectorsPath(dir))
+      .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("cell")
+
   /** Top-`k` cosine neighbors per query vector, probing the `nprobe`
     * nearest cells. `queries` carries (qid, qe array<float>). Returns
     * (qid, nid, rnk, cos_sim), deterministic ties by id. */

@@ -59,5 +59,10 @@ class VectorIndexSpec extends AnyFunSuite {
       queries.where(col("qid") === qids.head), k = 1, nprobe = k).collect()
     assert(after.head.getLong(1) == planted,
       s"planted neighbor not found: ${after.mkString}")
+
+    // index health: every vector (incl. the append) is in exactly one cell
+    val stats = VectorIndex.cellStats(spark, dir).collect()
+    assert(stats.map(_.getLong(1)).sum == vecs.size + 1)
+    assert(stats.forall(_.getInt(0) < k))
   }
 }
