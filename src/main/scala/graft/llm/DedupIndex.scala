@@ -12,10 +12,24 @@ import graft.queries.TextOps
   *
   * On-disk layout under `dir` (plain parquet, append-only):
   *  - `sigs/`  — one row per indexed document: (doc_id, h sorted
-  *    xxhash64 shingle hashes, n, sigs minhash array); the verify side.
+  *    xxhash64 shingle hashes, n, sigs minhash array); the verify side
+  *    AND the membership ledger (written LAST — the batch's commit
+  *    point).
   *  - `bands/` — the exploded LSH postings: (band, mh, doc_id); the
   *    candidate-join side, keyed exactly like the batch pipeline's
   *    bucket join.
+  *
+  * Re-delivery safety (foreachBatch retries, at-least-once feeds):
+  * already-indexed doc ids are dropped from the batch up front by an
+  * anti-join against `sigs/`, so re-running a batch whose sigs append
+  * committed is a no-op. A crash BETWEEN the bands append and the sigs
+  * append leaves orphan postings; the retry then reprocesses those docs
+  * (they are absent from the ledger) and appends their postings again —
+  * duplicate postings only ever duplicate CANDIDATES, which the
+  * explicit `distinct` on candidate pairs collapses, and `sigs/` itself
+  * stays exactly-once. A batch that crashes before its pair output is
+  * consumed loses that report, never index integrity (the pairs are
+  * recomputable).
   *
   * Scale shape of [[checkAndAdd]]: the NEW batch's postings join the
   * index postings on (band, mh) — shuffle keyed on the bucket, index
@@ -23,8 +37,7 @@ import graft.queries.TextOps
   * nothing ever rescans the corpus text. Verification joins only the
   * candidate doc ids back to `sigs/`. At 100 TB the postings table is
   * what you'd bucket-partition by (band, mh) so the batch join is
-  * co-located; the append-only layout is compatible with
-  * `WeatherStore.compactPartition`-style maintenance.
+  * co-located.
   *
   * Exactness contract (DedupIndexSpec): feeding any partition of a
   * corpus through successive checkAndAdd calls emits, across all
@@ -39,48 +52,68 @@ object DedupIndex {
   private def sigsPath(dir: String) = s"$dir/sigs"
   private def bandsPath(dir: String) = s"$dir/bands"
 
+  private def fsOf(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def exists(spark: SparkSession, p: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(p)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, p)
     fs.exists(path) && fs.listStatus(path).exists(s =>
       !s.getPath.getName.startsWith("_"))
   }
 
+  private def guardCompaction(spark: SparkSession, dir: String): Unit =
+    for (t <- Seq("sigs", "bands")) {
+      val old = new org.apache.hadoop.fs.Path(s"$dir/$t.old")
+      if (fsOf(spark, dir).exists(old))
+        sys.error(s"interrupted compaction detected ($dir/$t.old exists); " +
+          s"recover by renaming it back to $dir/$t (or deleting it if " +
+          s"$dir/$t is complete) before using the index")
+    }
+
   /** Check `newDocs` (doc_id, text, …) against the index AND against
     * each other, append them to the index, and return the verified
     * near-dup pairs this batch completes: (doc_a, doc_b, n_common,
-    * jaccard), doc_a < doc_b. Ids must be globally unique and unseen
-    * (the caller's corpus contract). */
+    * jaccard), doc_a < doc_b. Re-delivered doc ids are skipped (see the
+    * class doc's re-delivery contract). */
   def checkAndAdd(spark: SparkSession, dir: String, newDocs: DataFrame): DataFrame = {
-    val newSigs = TextOps.sigFrame(newDocs).localCheckpoint(true)
-    val newBands = newSigs.select(col("doc_id"),
+    guardCompaction(spark, dir)
+    val hasSigs = exists(spark, sigsPath(dir))
+    val hasBands = exists(spark, bandsPath(dir))
+
+    val fresh =
+      if (!hasSigs) newDocs
+      else newDocs.join(
+        spark.read.parquet(sigsPath(dir)).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    val newSigs = TextOps.sigFrame(fresh).localCheckpoint(true)
+    // sigs ride the posexplode — no join-back to re-attach them
+    val newBands = newSigs.select(col("doc_id"), col("sigs"),
       posexplode(col("sigs")).as(Seq("band", "mh")))
 
-    val hasIndex = exists(spark, bandsPath(dir))
     // within-batch candidates (both sides new)
-    val a = newBands.join(newSigs.select(col("doc_id"), col("sigs").as("sig_a")), "doc_id")
-      .select(col("doc_id").as("doc_a"), col("sig_a"), col("band"), col("mh"))
-    val b = newBands.join(newSigs.select(col("doc_id"), col("sigs").as("sig_b")), "doc_id")
-      .select(col("doc_id").as("doc_b"), col("sig_b"), col("band"), col("mh"))
-    val within = a.join(b, Seq("band", "mh"))
+    val within = newBands
+      .select(col("doc_id").as("doc_a"), col("sigs").as("sig_a"),
+        col("band"), col("mh"))
+      .join(newBands.select(col("doc_id").as("doc_b"), col("sigs").as("sig_b"),
+        col("band"), col("mh")), Seq("band", "mh"))
       .where(col("doc_a") < col("doc_b"))
       .where(col("band") === TextOps.firstSharedBand)
       .select("doc_a", "doc_b")
 
-    // cross-generation candidates (new × indexed) — the index side of
-    // the join carries its sigs by a postings→sigs join on doc_id
+    // cross-generation candidates (new × indexed)
     val cross =
-      if (!hasIndex) within.limit(0)
+      if (!hasBands || !hasSigs) within.limit(0)
       else {
-        val idxSigs = spark.read.parquet(sigsPath(dir))
         val idxBands = spark.read.parquet(bandsPath(dir))
-          .join(idxSigs.select(col("doc_id"), col("sigs")), "doc_id")
-        val newSide = newBands
-          .join(newSigs.select(col("doc_id"), col("sigs")), "doc_id")
-        newSide.select(col("doc_id").as("new_id"), col("sigs").as("new_sigs"),
+          .join(spark.read.parquet(sigsPath(dir)).select(col("doc_id"), col("sigs")),
+            "doc_id")
+        newBands.select(col("doc_id").as("new_id"), col("sigs").as("new_sigs"),
             col("band"), col("mh"))
           .join(idxBands.select(col("doc_id").as("old_id"), col("sigs").as("old_sigs"),
             col("band"), col("mh")), Seq("band", "mh"))
+          .where(col("new_id") =!= col("old_id"))
           // normalize to doc_a < doc_b BEFORE the first-band rule so the
           // (sig_a, sig_b) orientation matches the batch pipeline's
           .select(
@@ -96,15 +129,22 @@ object DedupIndex {
       }
 
     val allSigs =
-      if (!hasIndex) newSigs
+      if (!hasSigs) newSigs
       else newSigs.unionByName(spark.read.parquet(sigsPath(dir)))
-    val pairs = TextOps.verifyPairs(within.unionByName(cross), allSigs, MinJaccard)
+    // distinct: the candidate set is small (post-LSH) and this is what
+    // makes orphan postings from a torn append harmless — duplicated
+    // postings duplicate candidates, never verified pairs
+    val pairs = TextOps.verifyPairs(
+        within.unionByName(cross).distinct(), allSigs, MinJaccard)
       .select("doc_a", "doc_b", "n_common", "jaccard")
-      .localCheckpoint(true) // materialize before the index append below
+      .localCheckpoint(true) // materialize before the index appends below
 
-    newSigs.write.mode(SaveMode.Append).parquet(sigsPath(dir))
+    // bands first, sigs LAST: sigs is the membership ledger the anti-join
+    // keys on, so a crash between the two reprocesses the batch instead
+    // of silently skipping docs whose postings were never written
     newBands.select("band", "mh", "doc_id")
       .write.mode(SaveMode.Append).parquet(bandsPath(dir))
+    newSigs.write.mode(SaveMode.Append).parquet(sigsPath(dir))
     pairs
   }
 
@@ -114,36 +154,44 @@ object DedupIndex {
     else spark.read.parquet(sigsPath(dir)).count()
 
   /** Compact the append-only index (each checkAndAdd batch appends its
-    * own files; a long-lived service accumulates thousands). Maintenance
-    * op for a quiet window — same single-maintainer discipline as
-    * `WeatherStore.compactPartition`: rewrite to `numFiles`, swap via
-    * temp dir + rename. Returns (filesBefore, filesAfter) per table. */
+    * own files; a long-lived service accumulates thousands). Unlike
+    * `WeatherStore.compactPartition` — whose readers tolerate duplicate
+    * rows by design — index readers do NOT, so this swap is per-TABLE
+    * directory renames (atomic on HDFS/local), never a state where old
+    * and compacted rows coexist: write `t.compacting`, rename `t` →
+    * `t.old`, rename `t.compacting` → `t`, delete `t.old`. A crash
+    * mid-swap leaves `t.old` behind; [[checkAndAdd]] refuses to run
+    * until it is recovered (guardCompaction) rather than reading a
+    * half-swapped index. Maintenance op for a quiet window (single
+    * maintainer, no concurrent checkAndAdd). */
   def compact(spark: SparkSession, dir: String,
-      numFiles: Int = 8): Map[String, (Int, Int)] =
+      numFiles: Int = 8): Map[String, (Int, Int)] = {
+    guardCompaction(spark, dir)
     Seq("sigs" -> sigsPath(dir), "bands" -> bandsPath(dir)).map { case (name, p) =>
       if (!exists(spark, p)) name -> (0, 0)
       else {
         val path = new org.apache.hadoop.fs.Path(p)
-        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val old = fs.listStatus(path).map(_.getPath)
-          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
-        if (old.length <= numFiles) name -> (old.length, old.length)
+        val fs = fsOf(spark, p)
+        val nOld = fs.listStatus(path).count(s =>
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        if (nOld <= numFiles) name -> (nOld, nOld)
         else {
-          val tmp = new org.apache.hadoop.fs.Path(path,
-            ".compact-" + java.util.UUID.randomUUID().toString)
-          spark.read.parquet(p).repartition(numFiles).write.parquet(tmp.toString)
-          val parts = fs.listStatus(tmp).map(_.getPath)
-            .filter(_.getName.endsWith(".parquet"))
-          parts.zipWithIndex.foreach { case (f, i) =>
-            val dest = new org.apache.hadoop.fs.Path(path,
-              s"compact-${tmp.getName.stripPrefix(".compact-")}-part$i.parquet")
-            if (!fs.rename(f, dest))
-              sys.error(s"index compaction aborted: rename $f -> $dest failed")
+          val compacting = new org.apache.hadoop.fs.Path(p + ".compacting")
+          val old = new org.apache.hadoop.fs.Path(p + ".old")
+          fs.delete(compacting, true) // leftovers from an aborted WRITE are safe to drop
+          spark.read.parquet(p).repartition(numFiles)
+            .write.parquet(compacting.toString)
+          val nNew = fs.listStatus(compacting).count(_.getPath.getName.endsWith(".parquet"))
+          if (!fs.rename(path, old))
+            sys.error(s"index compaction aborted: rename $path -> $old failed")
+          if (!fs.rename(compacting, path)) {
+            fs.rename(old, path) // restore; both renames on one local fs
+            sys.error(s"index compaction aborted: rename $compacting -> $path failed")
           }
-          old.foreach(f => fs.delete(f, false))
-          fs.delete(tmp, true)
-          name -> (old.length, parts.length)
+          fs.delete(old, true)
+          name -> (nOld, nNew)
         }
       }
     }.toMap
+  }
 }

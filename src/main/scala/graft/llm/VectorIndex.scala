@@ -83,16 +83,22 @@ object VectorIndex {
     require(nprobe >= 1 && nprobe <= cs.length, s"nprobe must be in [1, ${cs.length}]")
     // rank cells per query on the driver-sized centroid list: explode a
     // literal (cent_id, centroid) array against the (small) query set —
-    // map-side, no corpus involvement
+    // map-side, no corpus involvement. Ranked by SQUARED L2, the same
+    // metric KMeans.assignCell used to place the vectors — probing under
+    // a different metric (e.g. cosine) would rank loose small-norm
+    // centroids differently than assignment did and silently skip the
+    // cell holding a query's true neighbor.
     val centLit = array(cs.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("cell"), array(c.map(lit(_)): _*).as("ce"))
     }: _*)
     val probes = queries
       .select(col("qid"), col("qe"), explode(centLit).as("c"))
       .select(col("qid"), col("qe"), col("c.cell").as("cell"),
-        cosine(col("qe"), col("c.ce").cast("array<float>")).as("ccos"))
+        expr("""aggregate(zip_with(c.ce, qe,
+          (x, y) -> (x - cast(y as double)) * (x - cast(y as double))),
+          0d, (a, v) -> a + v)""").as("dist"))
       .withColumn("crn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("ccos").desc, col("cell"))))
+        Window.partitionBy("qid").orderBy(col("dist"), col("cell"))))
       .where(col("crn") <= nprobe)
       .select("qid", "qe", "cell")
     val cand = probes

@@ -90,9 +90,11 @@ object DocStream {
     *
     * foreachBatch is the right harness: the index join needs the
     * on-disk postings (arbitrary-past state, beyond any watermark), and
-    * checkpointed batch ids make the append idempotent under retries —
-    * a batch re-run after a crash re-checks against the same index
-    * prefix. */
+    * re-delivery is safe because [[graft.llm.DedupIndex.checkAndAdd]]
+    * drops already-indexed doc ids up front (its membership ledger is
+    * the commit point) — a replayed batch re-checks only the docs whose
+    * index append never committed. The pairs output is at-least-once
+    * per batch id (the batch_id column lets a consumer dedup). */
   def nearDupScreen(
       spark: SparkSession,
       landingDir: String,

@@ -52,6 +52,13 @@ class DedupIndexSpec extends AnyFunSuite {
     assert((0L until 3L).forall(id => exactDups.contains((id, id + 100000L))),
       s"exact re-submissions not flagged: $exactDups")
 
+    // re-delivery: replaying an already-committed batch drops every doc
+    // at the membership ledger — no pairs, no growth, no self-pairs
+    val replay = DedupIndex.checkAndAdd(spark, dir,
+      docs.where(col("doc_id") % 3 === 0)).collect()
+    assert(replay.isEmpty, s"replayed batch emitted: ${replay.take(3).mkString}")
+    assert(DedupIndex.size(spark, dir) == docs.count() + 3)
+
     // compaction shrinks the per-batch file accumulation; the next
     // batch still sees the identical index
     val before = DedupIndex.size(spark, dir)

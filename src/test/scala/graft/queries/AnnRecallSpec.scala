@@ -47,20 +47,23 @@ class AnnRecallSpec extends AnyFunSuite {
         .sortBy(n => (-cos(vecs(q), vecs(n)), n)).take(topK).toSet
     }.toMap
 
-    def centCos(q: Array[Float], c: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
+    // probe ranking uses SQUARED L2 — the same metric KMeans.assignCell
+    // used to place the vectors (a mismatched probe metric would rank
+    // loose small-norm centroids differently than assignment did)
+    def centL2sq(q: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0
       var i = 0
       while (i < q.length) {
-        dot += q(i).toDouble * c(i); na += q(i).toDouble * q(i); nb += c(i) * c(i)
+        val d = q(i).toDouble - c(i); s += d * d
         i += 1
       }
-      dot / (math.sqrt(na) * math.sqrt(nb))
+      s
     }
 
     def recallAt(nprobe: Int): Double = {
       val r = queries.map { q =>
         val probeCells = centroids.indices
-          .sortBy(ci => (-centCos(vecs(q), centroids(ci)), ci)).take(nprobe).toSet
+          .sortBy(ci => (centL2sq(vecs(q), centroids(ci)), ci)).take(nprobe).toSet
         val cand = vecs.keySet.filter(n => n != q && probeCells.contains(cells(n)))
         val got = cand.toSeq.sortBy(n => (-cos(vecs(q), vecs(n)), n)).take(topK).toSet
         (got intersect exact(q)).size.toDouble / topK
