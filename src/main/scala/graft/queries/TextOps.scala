@@ -974,6 +974,50 @@ object TextOps {
           MIN(p) AS min_p, MAX(p) AS max_p
         FROM scored GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Feature-hashing vectorizer (the hashing trick): tokens hash into a
+    // FIXED 16-bucket count vector per document — the cheap, stateless,
+    // vocabulary-free "embedding" a pipeline computes when model
+    // inference is too expensive for a first pass (and the deterministic
+    // stand-in for an FFI embedder: same schema/partitioning plumbing).
+    // Shape: two-level groupBy — (doc, bucket) counts combine map-side,
+    // the per-doc assembly is a 16-entry map; no shuffle carries more
+    // than (doc_id, bucket, partial). The csv surface + one sqrt keeps
+    // the hash compare engine-portable (sqrt is correctly rounded IEEE
+    // on both sides).
+    Q("t12_feature_hash",
+      (s, d) => {
+        val bucketed = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens).as("tok"))
+          .withColumn("bucket",
+            expr("cast(conv(substring(md5(tok), 1, 4), 16, 10) as int) % 16"))
+          .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+        bucketed.groupBy("doc_id")
+          .agg(map_from_entries(collect_list(struct(col("bucket"), col("c")))).as("m"))
+          .select(col("doc_id"),
+            expr("transform(sequence(0, 15), i -> coalesce(element_at(m, i), 0L))")
+              .as("vec"))
+          .select(col("doc_id"),
+            concat_ws(",", expr("transform(vec, x -> cast(x as string))")).as("vec_csv"),
+            sqrt(expr("aggregate(vec, 0D, (a, x) -> a + cast(x as double) * cast(x as double))"))
+              .as("l2_norm"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        b AS (SELECT doc_id,
+            CAST(('0x' || substr(md5(tok), 1, 4))::BIGINT % 16 AS INT) AS bucket,
+            COUNT(*) AS c
+          FROM tok GROUP BY doc_id, bucket),
+        e AS (SELECT doc_id, list({'bucket': bucket, 'c': c}) AS entries
+          FROM b GROUP BY doc_id),
+        v AS (SELECT doc_id, list_transform(range(0, 16), i ->
+            coalesce(list_sum(list_transform(
+              list_filter(entries, x -> x.bucket = i), x -> x.c)), 0)) AS vec
+          FROM e)
+        SELECT doc_id, array_to_string(vec, ',') AS vec_csv,
+          sqrt(CAST(list_sum(list_transform(vec, x -> x * x)) AS DOUBLE)) AS l2_norm
+        FROM v ORDER BY doc_id""")),
+
     // Multimodal plumbing: opaque binary payload column + typed metadata
     // (the schema/partitioning side of image/audio handling; decode is
     // stubbed in graft.llm.Multimodal).
