@@ -780,6 +780,32 @@ object Relational {
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         ORDER BY gid, o_orderstatus, o_orderpriority""")),
 
+    // Explicit GROUPING SETS — two INDEPENDENT groupings (by status, by
+    // priority) in one pass; not expressible as a rollup/cube prefix
+    // chain. Same single-Expand plan family as q25/q32: each row fans
+    // out once per set before the shuffle, partials combine map-side.
+    Q("q37_grouping_sets",
+      (s, d) => Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          centsSum(col("o_totalprice")).as("sum_price"),
+          (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+            .cast("int").as("gid"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("gid"), col("n_orders"), col("sum_price"))
+        .orderBy("gid", "o_orderstatus", "o_orderpriority"),
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+          COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+          CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY gid, o_orderstatus, o_orderpriority""")),
+
     // LATERAL correlated subquery — top-2 orders PER customer written
     // the way an analyst writes it. Exercises a genuinely distinct
     // planner path: Catalyst DECORRELATES the per-row subquery (limit
