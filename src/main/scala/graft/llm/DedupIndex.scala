@@ -27,9 +27,10 @@ import graft.queries.TextOps
   * (they are absent from the ledger) and appends their postings again —
   * duplicate postings only ever duplicate CANDIDATES, which the
   * explicit `distinct` on candidate pairs collapses, and `sigs/` itself
-  * stays exactly-once. A batch that crashes before its pair output is
-  * consumed loses that report, never index integrity (the pairs are
-  * recomputable).
+  * stays exactly-once. Durable pair consumers attach via `onPairs`,
+  * which fires before the ledger commit — so pair delivery is
+  * at-least-once, never silently lost (once the ledger commits, a
+  * replay drops the docs and cannot recompute their pairs).
   *
   * Scale shape of [[checkAndAdd]]: the NEW batch's postings join the
   * index postings on (band, mh) — shuffle keyed on the bucket, index
@@ -76,8 +77,16 @@ object DedupIndex {
     * each other, append them to the index, and return the verified
     * near-dup pairs this batch completes: (doc_a, doc_b, n_common,
     * jaccard), doc_a < doc_b. Re-delivered doc ids are skipped (see the
-    * class doc's re-delivery contract). */
-  def checkAndAdd(spark: SparkSession, dir: String, newDocs: DataFrame): DataFrame = {
+    * class doc's re-delivery contract).
+    *
+    * `onPairs` runs over the materialized pairs BEFORE the ledger
+    * append commits — a durable pair sink must hang here, not on the
+    * returned frame: once the ledger commits, a replay drops the docs
+    * and can never recompute their pairs. Delivery through `onPairs` is
+    * at-least-once (a crash between the sink write and the ledger
+    * commit replays the batch and re-emits). */
+  def checkAndAdd(spark: SparkSession, dir: String, newDocs: DataFrame,
+      onPairs: DataFrame => Unit = _ => ()): DataFrame = {
     guardCompaction(spark, dir)
     val hasSigs = exists(spark, sigsPath(dir))
     val hasBands = exists(spark, bandsPath(dir))
@@ -138,6 +147,7 @@ object DedupIndex {
         within.unionByName(cross).distinct(), allSigs, MinJaccard)
       .select("doc_a", "doc_b", "n_common", "jaccard")
       .localCheckpoint(true) // materialize before the index appends below
+    onPairs(pairs) // durable sinks commit before the ledger does
 
     // bands first, sigs LAST: sigs is the membership ledger the anti-join
     // keys on, so a crash between the two reprocesses the batch instead

@@ -7,27 +7,51 @@ import org.apache.spark.sql.functions._
 import graft.queries.KMeans
 
 /** Persistent IVF similarity index — the ANN service lifecycle next to
-  * [[DedupIndex]]: build once (k-means centroids + cell assignments on
-  * disk), append new vectors by assigning them to the EXISTING
-  * centroids (no retrain per batch — the standard IVF posture; retrain
-  * is a scheduled rebuild), search by probing the nprobe nearest cells.
+  * [[DedupIndex]]: build (k-means centroids + cell assignments), append
+  * new vectors by assigning them to the EXISTING centroids (no retrain
+  * per batch — the standard IVF posture; retrain is a scheduled
+  * REBUILD), search by probing the nprobe nearest cells.
   *
-  * On-disk layout under `dir`:
-  *  - `centroids/` — (cent_id, centroid array<double>); k rows, the
-  *    driver-sized model.
-  *  - `vectors/`   — (vec_id, embedding, cell); append-only, the
-  *    inverted lists. At scale this is what you partition BY `cell` so
-  *    a probe reads only its lists.
+  * Storage is VERSIONED (the event store's zero-byte commit-marker
+  * scheme): each build writes a complete `vNNNNNNNN/{centroids,
+  * vectors}` directory and then creates its `_commit_` marker — readers
+  * resolve the highest marker, so a rebuild is atomic: centroids and
+  * assignments flip TOGETHER or not at all (a two-table overwrite-in-
+  * place would have a window of new centroids over old assignments —
+  * silently wrong probes, no error). `add` appends into the LIVE
+  * version's vectors dir after an anti-join against its vec_id ledger,
+  * so re-delivered batches are no-ops instead of duplicate rows eating
+  * top-k slots. The previous version is retained for in-flight readers
+  * and reaped on the next build.
   *
-  * Search shape: queries × broadcast centroids (map-side cell ranking)
-  * → equi-join on `cell` against the vectors table → per-query top-k
+  * Search shape: queries × plan-baked centroid literal (map-side cell
+  * ranking, squared L2 — the SAME metric that assigned the vectors) →
+  * equi-join on `cell` against the vectors table → per-query top-k
   * window. The corpus never cross-joins the queries; the only shuffle
-  * is keyed on the probed cells.
+  * is keyed on the probed cells. At scale `vectors` is what you
+  * partition BY `cell` so a probe reads only its inverted lists.
   */
 object VectorIndex {
 
-  private def centroidsPath(dir: String) = s"$dir/centroids"
-  private def vectorsPath(dir: String) = s"$dir/vectors"
+  private val CommitPrefix = "_commit_"
+  private val KeepVersions = 2
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def currentVersion(spark: SparkSession, dir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith(CommitPrefix))
+      .sorted.lastOption.map(_.stripPrefix(CommitPrefix))
+  }
+
+  private def live(spark: SparkSession, dir: String): String =
+    currentVersion(spark, dir).map(v => s"$dir/$v")
+      .getOrElse(sys.error(s"no committed index at $dir — run build() first"))
 
   /** Fused cosine via the native expression (same kernel as v1/v5). */
   private def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -35,42 +59,66 @@ object VectorIndex {
       org.apache.spark.sql.graft.ColumnBridge.expression(a),
       org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
-  /** Train k-means on `embeddings` (vec_id, embedding) and persist the
-    * index. Returns the centroid count actually used. */
+  /** Train k-means on `embeddings` (vec_id, embedding) and commit a new
+    * index version (atomic flip; see class doc). Returns the centroid
+    * count. */
   def build(spark: SparkSession, dir: String, embeddings: DataFrame, k: Int): Int = {
-    val (centroids, assigned) = KMeans.fit(embeddings, k)
+    val (centroids, _) = KMeans.fit(embeddings, k)
+    val fs = fsOf(spark, dir)
+    val curNum = currentVersion(spark, dir)
+      .map(_.drop(1).toInt).getOrElse(0)
+    val next = f"v${curNum + 1}%08d"
     import spark.implicits._
     centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("cent_id", "centroid")
       .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(centroidsPath(dir))
-    embeddings.join(assigned, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("cell"))
-      .write.mode(SaveMode.Overwrite).parquet(vectorsPath(dir))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$next/centroids")
+    // assignment is map-side (the centroid literal is plan-baked) — the
+    // same shape add() uses; no shuffle, no join back to the fit output
+    embeddings
+      .select(col("vec_id"), col("embedding"),
+        KMeans.assignCell(centroids, col("embedding")).as("cell"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$next/vectors")
+    // the commit point: readers see the new version exactly here
+    fs.create(new org.apache.hadoop.fs.Path(dir, CommitPrefix + next), true).close()
+    // reap versions beyond the retention window (in-flight readers)
+    fsOf(spark, dir).listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith(CommitPrefix))
+      .sorted.dropRight(KeepVersions)
+      .foreach { m =>
+        val v = m.stripPrefix(CommitPrefix)
+        fs.delete(new org.apache.hadoop.fs.Path(dir, m), false)
+        fs.delete(new org.apache.hadoop.fs.Path(dir, v), true)
+      }
     centroids.length
   }
 
   private def loadCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
-    spark.read.parquet(centroidsPath(dir))
+    spark.read.parquet(s"${live(spark, dir)}/centroids")
       .orderBy("cent_id").collect()
       .map(_.getSeq[Double](1).toArray)
 
-  /** Append new vectors, assigned to the existing centroids — one
-    * map-side pass (the centroid literal is plan-baked, like KMeans
-    * assignment), one append. */
+  /** Append new vectors to the LIVE version, assigned to its centroids
+    * map-side. Already-indexed vec_ids are dropped (anti-join against
+    * the version's own ledger), so re-delivered batches are no-ops —
+    * duplicate rows would otherwise tie at identical cos_sim and eat
+    * top-k slots. */
   def add(spark: SparkSession, dir: String, newVectors: DataFrame): Unit = {
     val cs = loadCentroids(spark, dir)
+    val vecDir = s"${live(spark, dir)}/vectors"
     newVectors
+      .join(spark.read.parquet(vecDir).select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("embedding"),
         KMeans.assignCell(cs, col("embedding")).as("cell"))
-      .write.mode(SaveMode.Append).parquet(vectorsPath(dir))
+      .write.mode(SaveMode.Append).parquet(vecDir)
   }
 
   /** Per-cell inverted-list sizes — the index-health report (heavily
     * skewed lists mean the centroids have drifted from the data and a
     * scheduled rebuild is due). */
   def cellStats(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(vectorsPath(dir))
+    spark.read.parquet(s"${live(spark, dir)}/vectors")
       .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
       .orderBy("cell")
 
@@ -102,7 +150,7 @@ object VectorIndex {
       .where(col("crn") <= nprobe)
       .select("qid", "qe", "cell")
     val cand = probes
-      .join(spark.read.parquet(vectorsPath(dir)), Seq("cell"))
+      .join(spark.read.parquet(s"${live(spark, dir)}/vectors"), Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("qe"), col("embedding")).as("cos_sim"))

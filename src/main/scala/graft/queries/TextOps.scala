@@ -986,10 +986,11 @@ object TextOps {
     // on both sides).
     Q("t12_feature_hash",
       (s, d) => {
+        // buckets derive from THE 16-bit token hash (hvalsExpr/duckHvals
+        // — the single definition SimHash also uses), mod 16
         val bucketed = Tables.documents(s, d)
-          .select(col("doc_id"), explode(tokens).as("tok"))
-          .withColumn("bucket",
-            expr("cast(conv(substring(md5(tok), 1, 4), 16, 10) as int) % 16"))
+          .select(col("doc_id"), explode(expr(hvalsExpr)).as("hv"))
+          .withColumn("bucket", col("hv") % 16)
           .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
         bucketed.groupBy("doc_id")
           .agg(map_from_entries(collect_list(struct(col("bucket"), col("c")))).as("m"))
@@ -1002,12 +1003,11 @@ object TextOps {
               .as("l2_norm"))
           .orderBy("doc_id")
       },
-      Some("""WITH tok AS (
-          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
-        b AS (SELECT doc_id,
-            CAST(('0x' || substr(md5(tok), 1, 4))::BIGINT % 16 AS INT) AS bucket,
-            COUNT(*) AS c
-          FROM tok GROUP BY doc_id, bucket),
+      Some(s"""WITH hv AS (
+          SELECT doc_id, unnest($duckHvals) AS hv
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)),
+        b AS (SELECT doc_id, CAST(hv % 16 AS INT) AS bucket, COUNT(*) AS c
+          FROM hv GROUP BY doc_id, bucket),
         e AS (SELECT doc_id, list({'bucket': bucket, 'c': c}) AS entries
           FROM b GROUP BY doc_id),
         v AS (SELECT doc_id, list_transform(range(0, 16), i ->

@@ -93,8 +93,9 @@ object DocStream {
     * re-delivery is safe because [[graft.llm.DedupIndex.checkAndAdd]]
     * drops already-indexed doc ids up front (its membership ledger is
     * the commit point) — a replayed batch re-checks only the docs whose
-    * index append never committed. The pairs output is at-least-once
-    * per batch id (the batch_id column lets a consumer dedup). */
+    * index append never committed. The pair write hangs on the index's
+    * onPairs hook, committing before the ledger, so pairs are delivered
+    * at-least-once (the batch_id column lets a consumer dedup). */
   def nearDupScreen(
       spark: SparkSession,
       landingDir: String,
@@ -109,9 +110,16 @@ object DocStream {
       .parquet(landingDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.llm.DedupIndex.checkAndAdd(batch.sparkSession, indexDir, batch)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(pairsOutDir)
+        // the pair write rides checkAndAdd's onPairs hook so it commits
+        // BEFORE the membership ledger: a crash in between replays the
+        // batch and re-emits (at-least-once, dedupable by batch_id) —
+        // writing after checkAndAdd returned would lose the pairs
+        // forever on that crash (the replay would drop the now-ledgered
+        // docs and recompute nothing)
+        graft.llm.DedupIndex.checkAndAdd(batch.sparkSession, indexDir, batch,
+          pairs => pairs.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(pairsOutDir))
+        ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -64,5 +64,24 @@ class VectorIndexSpec extends AnyFunSuite {
     val stats = VectorIndex.cellStats(spark, dir).collect()
     assert(stats.map(_.getLong(1)).sum == vecs.size + 1)
     assert(stats.forall(_.getInt(0) < k))
+
+    // re-delivered append: the vec_id ledger drops it, no duplicate rows
+    VectorIndex.add(spark, dir,
+      Seq((planted, plantedVec.toSeq)).toDF("vec_id", "embedding"))
+    assert(VectorIndex.cellStats(spark, dir).collect()
+      .map(_.getLong(1)).sum == vecs.size + 1)
+
+    // rebuild commits a NEW version atomically; search serves it, and
+    // the appended vector survives only if re-added (a rebuild re-trains
+    // from the frame it was given)
+    assert(VectorIndex.build(spark, dir, embeddings, k) == k)
+    val rebuilt = VectorIndex.search(spark, dir, queries, k = 5, nprobe = k)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
+    for (q <- qids) {
+      val exact = vecs.keySet.filter(_ != q).toSeq
+        .sortBy(n => (-cos(vecs(q), vecs(n)), n)).take(5)
+      assert(rebuilt(q) == exact, s"post-rebuild query $q diverged")
+    }
   }
 }
