@@ -780,6 +780,31 @@ object Relational {
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         ORDER BY gid, o_orderstatus, o_orderpriority""")),
 
+    // Correlated SCALAR subqueries in the projection — the other
+    // decorrelation path next to q36's lateral: Catalyst rewrites each
+    // per-row subquery into an aggregate + left outer join (including
+    // the COUNT-bug handling: a customer with no orders must count 0,
+    // not NULL — the classic decorrelation trap). Per-row re-execution
+    // is what cannot scale; one aggregate per subquery can.
+    Q("q38_scalar_subquery",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT c.c_custkey,
+            COALESCE((SELECT CAST(MAX(o_totalprice) AS DOUBLE) FROM orders o
+                      WHERE o.o_custkey = c.c_custkey), 0.0) AS max_price,
+            COALESCE((SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                      WHERE o.o_custkey = c.c_custkey), 0) AS n_orders
+          FROM customer c WHERE c.c_custkey % 13 = 0
+          ORDER BY c.c_custkey""")
+      },
+      Some("""SELECT c.c_custkey,
+          COALESCE((SELECT CAST(MAX(o_totalprice) AS DOUBLE) FROM orders o
+                    WHERE o.o_custkey = c.c_custkey), 0.0) AS max_price,
+          COALESCE((SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                    WHERE o.o_custkey = c.c_custkey), 0) AS n_orders
+        FROM customer c WHERE c.c_custkey % 13 = 0
+        ORDER BY c.c_custkey""")),
+
     // Explicit GROUPING SETS — two INDEPENDENT groupings (by status, by
     // priority) in one pass; not expressible as a rollup/cube prefix
     // chain. Same single-Expand plan family as q25/q32: each row fans
