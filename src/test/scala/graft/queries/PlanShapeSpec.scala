@@ -25,9 +25,9 @@ class PlanShapeSpec extends AnyFunSuite {
     "q22_asof_join", "q23_salted_agg", "t6_repetition", "c1_corpus_prep",
     "d8_decontaminate", "t9_bigram_lm", "d10_dup_graph_metrics",
     "d11_source_overlap",
-    // LATERAL must decorrelate to a window/join — per-outer-row
-    // re-execution would surface as a nested-loop join
-    "q36_lateral_topk")
+    // correlated subqueries must decorrelate to windows/joins —
+    // per-outer-row re-execution would surface as a nested-loop join
+    "q36_lateral_topk", "q38_scalar_subquery")
 
   for (name <- pairJoinQueries)
     test(s"$name: no cartesian / nested-loop join in the physical plan") {
