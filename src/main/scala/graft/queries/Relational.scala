@@ -780,6 +780,35 @@ object Relational {
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         ORDER BY gid, o_orderstatus, o_orderpriority""")),
 
+    // FULL OUTER join — the last J-family shape (inner/left/anti/semi
+    // are gated elsewhere): per-nation customer vs supplier counts with
+    // deliberately asymmetric sides so left-only, overlapping, and
+    // right-only key regions all exist. Plans as a shuffle (or
+    // broadcast-capable since Spark 3.4) full-outer hash join keyed on
+    // the join column; COALESCE resolves the side-specific nulls.
+    Q("q39_full_outer",
+      (s, d) => {
+        val c = Tables.customer(s, d).where(col("c_nationkey") < 15)
+          .groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sup = Tables.supplier(s, d).where(col("s_nationkey") >= 10)
+          .groupBy(col("s_nationkey").as("skey"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(sup, col("nationkey") === col("skey"), "full_outer")
+          .select(coalesce(col("nationkey"), col("skey")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      },
+      Some("""WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+            FROM customer WHERE c_nationkey < 15 GROUP BY 1),
+          s AS (SELECT s_nationkey AS skey, COUNT(*) AS n_supp
+            FROM supplier WHERE s_nationkey >= 10 GROUP BY 1)
+        SELECT COALESCE(nationkey, skey) AS nationkey,
+          COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        FROM c FULL OUTER JOIN s ON c.nationkey = s.skey
+        ORDER BY nationkey""")),
+
     // Correlated SCALAR subqueries in the projection — the other
     // decorrelation path next to q36's lateral: Catalyst rewrites each
     // per-row subquery into an aggregate + left outer join (including
