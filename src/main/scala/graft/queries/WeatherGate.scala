@@ -451,6 +451,31 @@ object WeatherGate {
         LEFT JOIN counts c ON e.id = c.event_id
         ORDER BY e.id LIMIT 3""")),
 
+    // §2.8 — the stream-stream interval join, gated in batch mode on the
+    // shared fixtures: each observation matched to the forecast slot
+    // whose [begin, end) contains it per station (the scoring-input
+    // alignment, oracle.rs:478-528). Equi key station + containment
+    // residual — the bucket+residual recipe; DocStream's watermarked
+    // form shares this exact join expression. The unmatched observation
+    // (no covering slot) and the duplicate overlapping slot are both in
+    // the fixture on purpose.
+    Q("w12_interval_join",
+      (s, d) => graft.streaming.SnapshotStream.matchObservationsToForecasts(
+          observationRows(s).withColumnRenamed("generated_at", "obs_time"),
+          forecastSlots(s))
+        .select(col("station_id"), col("obs_time"), col("temperature_value"),
+          col("begin_time"), col("min_temp"), col("max_temp"))
+        .orderBy("station_id", "obs_time", "begin_time", "min_temp"),
+      Some(s"""SELECT o.station_id, o.generated_at AS obs_time,
+          CAST(o.temperature_value AS DOUBLE) AS temperature_value,
+          f.begin_time, CAST(f.min_temp AS BIGINT) AS min_temp,
+          CAST(f.max_temp AS BIGINT) AS max_temp
+        FROM $observationRowsSql
+        JOIN $forecastSlotsSql
+          ON o.station_id = f.station_id
+         AND o.generated_at >= f.begin_time AND o.generated_at < f.end_time
+        ORDER BY o.station_id, obs_time, f.begin_time, min_temp""")),
+
     // §2.8 — the streaming session-window operator, gated in batch mode
     // on the real events table: `session_window(ts, gap)` (the state-
     // store merging-window op, one window per OPEN session) must agree
