@@ -33,4 +33,23 @@ object Redact {
       .withColumn("n_phones", regexp_count(col(textCol), lit(PhonePattern)).cast("int"))
       .withColumn("n_ssns", regexp_count(col(textCol), lit(SsnPattern)).cast("int"))
       .withColumn("redacted", scrubText(col(textCol)))
+
+  // Extended classes (r2): IPv4 addresses and separator-formatted card
+  // numbers. The card pattern requires separators on purpose — 16 bare
+  // digits would false-positive on ids/timestamps; formatted numbers
+  // are the overwhelmingly common leak shape. IPv4 needs THREE dots, so
+  // dotted phone numbers (two dots) never collide with it.
+  val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val CardPattern = "\\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\\b"
+
+  /** [[scrub]] plus the extended classes; counts for all five, redacted
+    * text with all five replaced. Kept separate so r1's and the
+    * composed pipeline's gated outputs are unchanged. */
+  def scrubExtended(df: DataFrame, textCol: String = "text"): DataFrame =
+    scrub(df, textCol)
+      .withColumn("n_ips", regexp_count(col(textCol), lit(Ipv4Pattern)).cast("int"))
+      .withColumn("n_cards", regexp_count(col(textCol), lit(CardPattern)).cast("int"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("redacted"),
+          CardPattern, "<CARD>"), Ipv4Pattern, "<IP>"))
 }

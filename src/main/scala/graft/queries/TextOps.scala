@@ -1097,6 +1097,45 @@ object TextOps {
             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
             '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g')) AS redacted_md5
+        FROM decorated ORDER BY doc_id""")),
+
+    // r2 — the extended PII classes (IPv4, formatted card numbers) over
+    // planted content, alongside an email so the combined five-pattern
+    // redaction order is exercised. Same planted-case discipline as r1:
+    // deterministic doc_id residues pick the decorations, so both
+    // engines decorate identically and the scrub counts are exact.
+    Q("r2_pii_extended",
+      (s, d) => {
+        val decorated = Tables.documents(s, d).withColumn("text",
+          concat(col("text"),
+            when(col("doc_id") % 4 === 0,
+              concat(lit(" from host 10.42."), (col("doc_id") % 200).cast("string"),
+                lit(".7"))).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              lit(" paid with 4111-1111-1111-1111 yesterday")).otherwise(lit("")),
+            when(col("doc_id") % 6 === 0,
+              lit(" ping ops@net.example.org")).otherwise(lit(""))))
+        Redact.scrubExtended(decorated)
+          .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_cards"),
+            md5(col("redacted")).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH decorated AS (
+          SELECT doc_id, text ||
+            CASE WHEN doc_id % 4 = 0 THEN ' from host 10.42.' || CAST(doc_id % 200 AS VARCHAR) || '.7' ELSE '' END ||
+            CASE WHEN doc_id % 5 = 0 THEN ' paid with 4111-1111-1111-1111 yesterday' ELSE '' END ||
+            CASE WHEN doc_id % 6 = 0 THEN ' ping ops@net.example.org' ELSE '' END AS text
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+          CAST(len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ips,
+          CAST(len(regexp_extract_all(text, '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b')) AS INT) AS n_cards,
+          md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+            '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+            '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+            '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b', '<CARD>', 'g'),
+            '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')) AS redacted_md5
         FROM decorated ORDER BY doc_id"""))
   )
 }
