@@ -36,4 +36,23 @@ class RedactSpec extends AnyFunSuite {
       Seq((1L, first)).toDF("doc_id", "text")).select("redacted").as[String].head()
     assert(first == second)
   }
+
+  test("extended classes: IPv4 and cards redact; phone/IP shapes stay disjoint") {
+    val df = Seq(
+      (1L, "host 10.0.0.1 card 4111-1111-1111-1111 done"),
+      // dotted phone (two dots) must NOT count as an IP (three dots)
+      (2L, "call 555.867.1234 from 192.168.0.255"),
+      // bare 16 digits must NOT count as a card
+      (3L, "order id 4111111111111111 intact")
+    ).toDF("doc_id", "text")
+    val out = Redact.scrubExtended(df)
+      .select("doc_id", "n_ips", "n_cards", "n_phones", "redacted")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._2 == 1)
+    assert(out(1L)._4 == "host <IP> card <CARD> done")
+    assert(out(2L)._1 == 1 && out(2L)._2 == 0 && out(2L)._3 == 1)
+    assert(out(2L)._4 == "call <PHONE> from <IP>")
+    assert(out(3L)._2 == 0 && out(3L)._4.contains("4111111111111111"))
+  }
 }
