@@ -780,6 +780,32 @@ object Relational {
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         ORDER BY gid, o_orderstatus, o_orderpriority""")),
 
+    // RANGE window frames — VALUE-based sliding windows (everything
+    // within 7 days of the current event), the batch twin of streaming
+    // sliding windows and the other frame mode next to q26's ROWS
+    // frames. RANGE frames include peers by ORDER VALUE, so the result
+    // is deterministic under timestamp ties with no tiebreak column.
+    // Via the SQL surface: interval RANGE bounds are SQL-only (the
+    // DataFrame rangeBetween API takes numeric offsets).
+    Q("q40_range_frame",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT event_id, user_id, ts,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sliding_sum,
+            COUNT(*) OVER w AS n_in_window
+          FROM events WHERE user_id % 50 = 0
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+          ORDER BY user_id, ts, event_id""")
+      },
+      Some("""SELECT event_id, user_id, ts,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sliding_sum,
+          COUNT(*) OVER w AS n_in_window
+        FROM events WHERE user_id % 50 = 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, ts, event_id""")),
+
     // FULL OUTER join — the last J-family shape (inner/left/anti/semi
     // are gated elsewhere): per-nation customer vs supplier counts with
     // deliberately asymmetric sides so left-only, overlapping, and
