@@ -39,33 +39,34 @@ object Tables {
       scala.collection.concurrent.TrieMap.empty[String, DataFrame]
     })
     val path = s"$dir/$name.parquet"
-    perSession.getOrElseUpdate(path, {
-      val df = spark.read.parquet(path)
-      // Parallelism floor for the COMPUTE-HEAVY tables: a parquet row
-      // group is the minimum unit one task can read, so a table written
-      // as few large row groups (the driver's testdata is ONE group per
-      // table) pins the whole scan stage — including per-row kernel
-      // work — to that many tasks no matter the cluster. For text/
-      // vector tables the kernels (MinHash/SimHash md5, tokenization,
-      // cosine) dominate the scan by orders of magnitude, so when the
-      // layout yields fewer splits than half the cores we re-spread
-      // once behind the cached relation (predicates and pruning still
-      // push through a Repartition): measured 2-4× on the dedup family.
-      // The relational tables deliberately do NOT get the floor — their
-      // scans are columnar-arithmetic-light and the extra exchange costs
-      // more than single-task scanning saves (measured +0.3-0.6 s per
-      // query at sf0.1). At target scale file counts exceed cores and
-      // the floor is a no-op either way.
-      val target = spark.sparkContext.defaultParallelism
-      if (ComputeHeavy(name) && df.rdd.getNumPartitions * 2 <= target)
-        df.repartition(target)
-      else df
-    })
+    perSession.getOrElseUpdate(path, spark.read.parquet(path))
   }
 
-  /** Tables whose consumers run expensive per-row kernels (hashing,
-    * tokenization, vector math) in the scan stage. */
-  private val ComputeHeavy = Set("documents", "embeddings")
+  /** Parallelism floor for KERNEL-HEAVY consumers: a parquet row group is
+    * the minimum unit one task can read, so a table written as few large
+    * row groups (the driver's testdata is ONE group per table) pins the
+    * whole scan stage — including per-row kernel work — to that many
+    * tasks no matter the cluster. Where the kernels (MinHash/SimHash md5,
+    * shingle explode, cosine) dominate the scan by orders of magnitude,
+    * re-spreading once is worth an exchange: measured 2-4× on the dedup
+    * family at sf0.1. Applied at the CONSUMER (the kernel call sites in
+    * TextOps/VectorOps/CorpusEtl), NOT behind the shared relation —
+    * round 3 measured a blanket floor taxing every light query on the
+    * same tables (t1/t2/t3/v2/v3 +0.1-0.6 s each) for no benefit. At
+    * target scale file counts exceed cores and the floor is a no-op
+    * either way. */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+
+  /** [[documents]] with the kernel-consumer parallelism floor. */
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    spread(s, documents(s, d))
+
+  /** [[embeddings]] with the kernel-consumer parallelism floor. */
+  def embeddingsSpread(s: SparkSession, d: String): DataFrame =
+    spread(s, embeddings(s, d))
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -1,0 +1,211 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** The reference's HTTP route surface (crates/oracle/src/startup.rs:113-139)
+  * over [[OracleApi]], on the JDK's built-in HTTP server — zero new
+  * dependencies, pure transport: parse path/query/body, dispatch, encode
+  * status + JSON. Route-for-route:
+  *
+  * {{{
+  *   GET  /files                                   file name listing
+  *   GET  /file/{name}                             snapshot download
+  *   POST /file/{name}                             snapshot upload
+  *   GET  /stations                                stations seen recently
+  *   GET  /stations/forecasts?start&end&station_ids
+  *   GET  /stations/observations?start&end&station_ids
+  *   GET  /oracle/npub                             nostr npub
+  *   GET  /oracle/pubkey                           compressed key (base64)
+  *   POST /oracle/update                           async ETL kick-off
+  *   GET  /oracle/events?limit&event_ids           summaries
+  *   POST /oracle/events                 [NIP-98]  create event
+  *   GET  /oracle/events/{id}                      full event
+  *   POST /oracle/events/{id}/entry      [NIP-98]  add entry
+  *   GET  /oracle/events/{id}/entry/{id}           one entry
+  *   GET  /                                        index (UI dir is
+  *                                                 out-of-engine, SURVEY §7.6)
+  * }}}
+  *
+  * Auth mapping mirrors oracle_routes.rs:88-89: a missing/malformed
+  * NIP-98 header is 401, a failed signature/id check 403. Error bodies
+  * are `{"error": …}` like the reference's IntoResponse
+  * (oracle_routes.rs:207-225).
+  */
+final class ApiServer(api: OracleApi, host: String = "127.0.0.1", port: Int = 0) {
+
+  import OracleApi._
+
+  private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
+  // Spark is thread-safe for concurrent actions; a small pool matches the
+  // reference's modest route concurrency without fan-out into the driver.
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+
+  /** Clock for NIP-98 freshness (injectable for tests). */
+  var authNow: () => Long = () => System.currentTimeMillis() / 1000
+
+  // ------------------------------------------------------------ dispatch
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      val method = ex.getRequestMethod.toUpperCase
+      val segments = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
+      val q = query(ex)
+      (method, segments) match {
+        case ("GET", Nil) => sendHtml(ex, 200, Index)
+        case ("GET", "files" :: Nil) =>
+          sendJson(ex, 200, api.fileNamesJson(
+            q.get("start").flatMap(parseRfc3339),
+            q.get("end").flatMap(parseRfc3339),
+            q.get("observations").map(_.toBoolean),
+            q.get("forecasts").map(_.toBoolean)))
+        case ("GET", "file" :: name :: Nil) =>
+          api.downloadFile(name) match {
+            case Left(err) => sendError(ex, err)
+            case Right(bytes) =>
+              ex.getResponseHeaders.set("Content-Type", "application/parquet")
+              ex.getResponseHeaders.set("Content-Disposition",
+                s"""attachment; filename="$name"""")
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              ex.getResponseBody.write(bytes)
+          }
+        case ("POST", "file" :: name :: Nil) =>
+          api.uploadFile(name, ex.getRequestBody.readAllBytes()) match {
+            case Left(err) => sendError(ex, err)
+            case Right(()) => sendJson(ex, 200, JObject())
+          }
+        case ("GET", "stations" :: Nil) => sendJson(ex, 200, api.stationsJson)
+        case ("GET", "stations" :: "forecasts" :: Nil) =>
+          timeWindow(q) match {
+            case Left(err) => sendError(ex, err)
+            case Right((start, end)) =>
+              sendJson(ex, 200, api.forecastsJson(start, end, stationIds(q)))
+          }
+        case ("GET", "stations" :: "observations" :: Nil) =>
+          timeWindow(q) match {
+            case Left(err) => sendError(ex, err)
+            case Right((start, end)) =>
+              sendJson(ex, 200, api.observationsJson(start, end, stationIds(q)))
+          }
+        case ("GET", "oracle" :: "npub" :: Nil) => sendJson(ex, 200, api.npubJson)
+        case ("GET", "oracle" :: "pubkey" :: Nil) => sendJson(ex, 200, api.pubkeyJson)
+        case ("POST", "oracle" :: "update" :: Nil) =>
+          api.updateAsync(); sendJson(ex, 200, JObject())
+        case ("GET", "oracle" :: "events" :: Nil) =>
+          sendJson(ex, 200, api.listEvents(
+            q.get("limit").map(_.toInt),
+            q.get("event_ids").map(_.split(",").toSeq.filter(_.nonEmpty))))
+        case ("POST", "oracle" :: "events" :: Nil) =>
+          withAuth(ex, method) { npub =>
+            api.createEvent(npub, parseBody(ex)) match {
+              case Left(err) => sendError(ex, err)
+              case Right(js) => sendJson(ex, 200, js)
+            }
+          }
+        case ("GET", "oracle" :: "events" :: id :: Nil) =>
+          api.getEvent(id) match {
+            case Left(err) => sendError(ex, err)
+            case Right(js) => sendJson(ex, 200, js)
+          }
+        case ("POST", "oracle" :: "events" :: id :: "entry" :: Nil) =>
+          withAuth(ex, method) { npub =>
+            // the path id is advisory in the reference too
+            // (oracle_routes.rs:145: Path(_event_id)); the body's
+            // event_id is authoritative
+            api.addEventEntry(npub, parseBody(ex)) match {
+              case Left(err) => sendError(ex, err)
+              case Right(js) => sendJson(ex, 200, js)
+            }
+          }
+        case ("GET", "oracle" :: "events" :: id :: "entry" :: entryId :: Nil) =>
+          api.getEventEntry(id, entryId) match {
+            case Left(err) => sendError(ex, err)
+            case Right(js) => sendJson(ex, 200, js)
+          }
+        case _ => sendError(ex, ApiError(404, s"no route for $method ${ex.getRequestURI.getPath}"))
+      }
+    } catch {
+      case e: Throwable =>
+        try sendError(ex, ApiError(500, "internal server error"))
+        catch { case _: Throwable => () }
+        org.slf4j.LoggerFactory.getLogger(classOf[ApiServer])
+          .error(s"request failed: ${ex.getRequestMethod} ${ex.getRequestURI}", e)
+    } finally ex.close()
+
+  // ------------------------------------------------------------- helpers
+
+  private def withAuth(ex: HttpExchange, method: String)(f: String => Unit): Unit = {
+    val url = "http://" +
+      Option(ex.getRequestHeaders.getFirst("Host")).getOrElse("localhost") +
+      ex.getRequestURI.getPath
+    val header = Option(ex.getRequestHeaders.getFirst("Authorization"))
+    NostrAuth.verify(header, method, url, authNow()) match {
+      case Right(v) => f(v.npub)
+      case Left(reason) if reason.startsWith("forbidden") =>
+        sendError(ex, ApiError(403, reason))
+      case Left(reason) => sendError(ex, ApiError(401, reason))
+    }
+  }
+
+  private def timeWindow(q: Map[String, String])
+      : Either[ApiError, (Option[java.sql.Timestamp], Option[java.sql.Timestamp])] = {
+    def parse(key: String) = q.get(key) match {
+      case None => Right(None)
+      case Some(s) => parseRfc3339(s).map(Some(_))
+        .toRight(ApiError(400, s"Times are not in RFC3339 format: $key=$s"))
+    }
+    for { s <- parse("start"); e <- parse("end") } yield (s, e)
+  }
+
+  private def stationIds(q: Map[String, String]): Seq[String] =
+    q.get("station_ids").map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  private def query(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).map(_.split("&").toSeq
+      .filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) kv -> ""
+        else java.net.URLDecoder.decode(kv.take(i), "UTF-8") ->
+          java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
+      }.toMap).getOrElse(Map.empty)
+
+  private def parseBody(ex: HttpExchange): JValue =
+    try JsonMethods.parse(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+    catch { case _: Exception => JNothing }
+
+  private def sendJson(ex: HttpExchange, status: Int, body: JValue): Unit = {
+    val bytes = JsonMethods.compact(JsonMethods.render(body)).getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+  }
+
+  private def sendError(ex: HttpExchange, err: ApiError): Unit =
+    sendJson(ex, err.status, JObject("error" -> JString(err.message)))
+
+  private def sendHtml(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+  }
+
+  private val Index =
+    """<!doctype html><title>graft oracle</title>
+      |<h1>graft oracle API</h1>
+      |<p>Routes: /files, /file/{name}, /stations, /stations/forecasts,
+      |/stations/observations, /oracle/npub, /oracle/pubkey, /oracle/update,
+      |/oracle/events, /oracle/events/{id},
+      |/oracle/events/{id}/entry/{entry_id}</p>
+      |""".stripMargin
+}

@@ -130,7 +130,7 @@ object CorpusEtl {
     * driver compare can't sort long strings with embedded newlines). */
   val all: Seq[Q] = Seq(
     Q("c1_corpus_prep",
-      (s, d) => prepare(Tables.documents(s, d))
+      (s, d) => prepare(Tables.documentsSpread(s, d))
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_copies"),
           col("cluster_size"), md5(col("redacted")).as("redacted_md5"))
         .orderBy("doc_id"),
@@ -206,7 +206,7 @@ object CorpusEtl {
     // Map-side bucket + one tiny 3-group aggregate; per-split stats
     // make the gate verify every membership without emitting 100 TB.
     Q("c2_train_split",
-      (s, d) => Tables.documents(s, d)
+      (s, d) => Tables.documentsSpread(s, d)
         .withColumn("bucket",
           expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int)"))
         .withColumn("split",
@@ -238,7 +238,7 @@ object CorpusEtl {
     // bit-exactly cross-engine.
     Q("c3_source_mix",
       (s, d) => {
-        val per = Tables.documents(s, d).groupBy("source")
+        val per = Tables.documentsSpread(s, d).groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).cast("long").as("sum_chars"))
         val totals = per.agg(sum(col("n_docs")).as("n_total"),
@@ -266,7 +266,7 @@ object CorpusEtl {
     // portable way to tell which set a row belongs to.
     Q("c4_corpus_report",
       (s, d) => {
-        Tables.documents(s, d).createOrReplaceTempView("c4_documents")
+        Tables.documentsSpread(s, d).createOrReplaceTempView("c4_documents")
         s.sql("""SELECT
             CASE WHEN GROUPING(lang) = 0 THEN 'lang' ELSE 'source' END AS dim,
             COALESCE(lang, source) AS key, COUNT(*) AS n_docs,
@@ -297,7 +297,7 @@ object CorpusEtl {
       (s, d) => {
         val w = Window.partitionBy(col("lang"))
           .orderBy(col("priority"), col("doc_id"))
-        Tables.documents(s, d)
+        Tables.documentsSpread(s, d)
           .withColumn("priority", expr(
             """cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)
                / n_chars"""))
@@ -334,7 +334,7 @@ object CorpusEtl {
     Q("c6_sequence_pack",
       (s, d) => {
         val L = 512
-        val docs = Tables.documents(s, d)
+        val docs = Tables.documentsSpread(s, d)
           .select(col("doc_id"), col("source"),
             size(split(lower(col("text")), " ")).cast("long").as("n_tokens"),
             expr("doc_id div 10000").as("bucket"))

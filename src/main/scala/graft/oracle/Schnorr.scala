@@ -115,6 +115,16 @@ object Schnorr {
     bytes32(mul(G, d).get.x)
   }
 
+  /** SEC-1 compressed public key (33 bytes: 0x02/0x03 parity prefix +
+    * big-endian x) — the form the reference's `GET /oracle/pubkey`
+    * base64-encodes (oracle.rs:150-153). */
+  def compressedPubkey(seckey: Array[Byte]): Array[Byte] = {
+    val d = int(seckey)
+    require(d.signum > 0 && d.compareTo(N) < 0, "secret key out of range")
+    val p = mul(G, d).get
+    (if (hasEvenY(p)) 0x02.toByte else 0x03.toByte) +: bytes32(p.x)
+  }
+
   /** BIP-340 default signing: deterministic nonce from (key, aux, msg). */
   def sign(seckey: Array[Byte], msg: Array[Byte],
       auxRand: Array[Byte] = new Array[Byte](32)): Array[Byte] = {

@@ -700,59 +700,98 @@ object Relational {
     // The 100 TB forms of the two expensive exact statistics: HLL++
     // distinct-count and GK-sketch quantiles — fixed-size mergeable
     // sketch state per partition instead of a distinct shuffle / global
-    // sort. No DuckDB oracle (sketch internals are engine-specific;
-    // driver records the rows-only check); ApproxSpec bounds both
-    // against their exact counterparts (≤5% relative ndv error,
-    // quantile rank within the documented ε).
+    // sort. Sketch VALUES are engine-specific (no cross-engine compare
+    // possible), so the oracle gate is the error-bound CONTRACT computed
+    // in-plan: Spark emits the exact statistic plus a boolean asserting
+    // the sketch landed inside its published bound, DuckDB emits the
+    // exact statistic with TRUE — hash-comparable, and a sketch
+    // regression flips the boolean and fails the gate. ApproxSpec keeps
+    // the tighter numeric assertions.
     Q("x1_approx_ndv",
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_ndv"),
+          countDistinct(col("l_orderkey")).as("exact_ndv"),
           count(lit(1)).as("n_rows"))
+        // rsd 0.02 ⇒ ±5% covers 2.5σ — a generous but non-vacuous gate
+        .select(col("l_returnflag"), col("exact_ndv"), col("n_rows"),
+          (abs(col("approx_ndv") - col("exact_ndv"))
+            <= col("exact_ndv") * lit(0.05)).as("ndv_ok"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_ndv,
+          COUNT(*) AS n_rows, TRUE AS ndv_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // x2 — GK-sketch quantiles, gated by the RANK sandwich (the sketch's
+    // actual guarantee: the returned element's rank is within ε·n of the
+    // target; value-space error is unbounded, rank error is not). For
+    // each approx quantile v at fraction q: #(< v) ≤ q·n + ε·n and
+    // #(≤ v) ≥ q·n − ε·n, duplicate-safe on both sides. One broadcast of
+    // the 3-row approx frame back over the scan.
     Q("x2_approx_quantile",
       (s, d) => {
-        val q = Tables.lineitem(s, d)
-          .groupBy("l_returnflag")
+        val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+        val approx = li.groupBy("l_returnflag")
           .agg(percentile_approx(col("l_extendedprice"),
             array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("qs"))
-        q.select(col("l_returnflag"),
-          col("qs").getItem(0).as("p50"),
-          col("qs").getItem(1).as("p95"),
-          col("qs").getItem(2).as("p99"))
+          .select(col("l_returnflag").as("rf"),
+            col("qs").getItem(0).as("v50"),
+            col("qs").getItem(1).as("v95"),
+            col("qs").getItem(2).as("v99"))
+        def lt(v: String) = sum(when(col("l_extendedprice") < col(v), 1L).otherwise(0L))
+        def le(v: String) = sum(when(col("l_extendedprice") <= col(v), 1L).otherwise(0L))
+        def ok(q: Double, ltc: Column, lec: Column, n: Column): Column = {
+          val slack = n * lit(1.0 / 10000) + lit(1.0)
+          (ltc <= n * lit(q) + slack) && (lec >= n * lit(q) - slack)
+        }
+        li.join(broadcast(approx), col("l_returnflag") === col("rf"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            lt("v50").as("lt50"), le("v50").as("le50"),
+            lt("v95").as("lt95"), le("v95").as("le95"),
+            lt("v99").as("lt99"), le("v99").as("le99"))
+          .select(col("l_returnflag"), col("n_rows"),
+            ok(0.50, col("lt50"), col("le50"), col("n_rows")).as("ok_p50"),
+            ok(0.95, col("lt95"), col("le95"), col("n_rows")).as("ok_p95"),
+            ok(0.99, col("lt99"), col("le99"), col("n_rows")).as("ok_p99"))
           .orderBy("l_returnflag")
       },
-      None),
+      Some("""SELECT l_returnflag, COUNT(*) AS n_rows,
+          TRUE AS ok_p50, TRUE AS ok_p95, TRUE AS ok_p99
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // x3 — heavy hitters via a count-min sketch: the fixed-size mergeable
     // state that replaces t7's exact (token, count) shuffle at 100 TB.
     // The corpus pass is ONE sketch aggregate (partials merge in the
     // combiner, ε=0.001 ⇒ ~27 KB of state regardless of corpus size);
     // probing is the top-20 exact tokens joined against the broadcast
-    // one-row sketch through the native CmsEstimate expression, so the
-    // output carries exact vs estimated side by side (ApproxSpec bounds
-    // the error: exact ≤ estimate ≤ exact + ε·N at 99% confidence). No
-    // SQL oracle — sketch internals are engine-specific (same as x1/x2).
+    // one-row sketch through the native CmsEstimate expression. Gate:
+    // CMS never undercounts and overcounts by at most ε·N (per-probe
+    // confidence 99%; 20 probes all inside the bound is the contract the
+    // oracle's TRUE column checks).
     Q("x3_cms_heavy_hitters",
       (s, d) => {
-        val toks = Tables.documents(s, d)
+        val toks = Tables.documentsSpread(s, d)
           .select(explode(TextOps.tokens).as("tok"))
         val sketch = toks.agg(
-          expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").as("cms"))
+          expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").as("cms"),
+          count(lit(1)).as("total_toks"))
         val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
           .orderBy(col("exact_n").desc, col("tok")).limit(20)
+        val est = org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.CmsEstimate(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("cms")),
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("tok"))))
         top.crossJoin(broadcast(sketch))
           .select(col("tok"), col("exact_n"),
-            org.apache.spark.sql.graft.ColumnBridge.column(
-              graft.functions.CmsEstimate(
-                org.apache.spark.sql.graft.ColumnBridge.expression(col("cms")),
-                org.apache.spark.sql.graft.ColumnBridge.expression(col("tok"))))
-              .as("est_n"))
+            (est >= col("exact_n") &&
+              est <= col("exact_n") + ceil(col("total_toks") * lit(0.001)))
+              .as("cms_ok"))
           .orderBy(col("exact_n").desc, col("tok"))
       },
-      None),
+      Some("""SELECT tok, COUNT(*) AS exact_n, TRUE AS cms_ok
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 20""")),
 
     // CUBE + GROUPING() — all 2^k grouping-set aggregates in ONE pass:
     // Spark plans cube as a single Expand + hash aggregate (each input

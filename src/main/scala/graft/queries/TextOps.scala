@@ -69,7 +69,7 @@ object TextOps {
 
   /** documents with doc_id, lang, distinct shingle set `s`. */
   private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("doc_id"), col("lang"), shingles.as("s"))
+    Tables.documentsSpread(s, d).select(col("doc_id"), col("lang"), shingles.as("s"))
 
   /** Verified near-dup pairs: MinHash-LSH (band, minhash) bucket
     * candidates (first-matching-band emission — unique pairs, no dedup
@@ -81,7 +81,7 @@ object TextOps {
     * ~4× recompute). Shared by d2 (the pair report), d7 (clustering) and
     * the composed corpus pipeline ([[graft.llm.CorpusEtl]]). */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    jaccardPairsOf(Tables.documents(s, d))
+    jaccardPairsOf(Tables.documentsSpread(s, d))
 
   /** [[jaccardPairs]] over an arbitrary `(doc_id, text, …)` frame — the
     * reusable form the composed pipeline runs on its filter/dedup
@@ -394,7 +394,7 @@ object TextOps {
     // Exact dedup: hash-groupBy on content digest. At 100 TB this is one
     // shuffle on a 128-bit key — the canonical first dedup pass.
     Q("d1_dedup_exact",
-      (s, d) => Tables.documents(s, d)
+      (s, d) => Tables.documentsSpread(s, d)
         .groupBy(md5(col("text")).as("content_hash"))
         .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_id"))
         .orderBy("content_hash"),
@@ -525,7 +525,7 @@ object TextOps {
         val comp = Components
           .connectedComponents(jaccardPairs(s, d).select("doc_a", "doc_b"))
           .withColumnRenamed("node", "doc_id")
-        val clustered = qualityScores(Tables.documents(s, d))
+        val clustered = qualityScores(Tables.documentsSpread(s, d))
           .select("doc_id", "quality")
           .join(comp, Seq("doc_id"), "left")
           .withColumn("component", coalesce(col("component"), col("doc_id")))
@@ -623,7 +623,7 @@ object TextOps {
     // SimHash: 16-bit signature from per-token hashes (frequency-weighted
     // bit votes).
     Q("d5_simhash",
-      (s, d) => Tables.documents(s, d)
+      (s, d) => Tables.documentsSpread(s, d)
         .select(col("doc_id"), simhashCol.as("simhash"))
         .orderBy("doc_id"),
       Some(duckSimhash + " ORDER BY doc_id")),
@@ -636,7 +636,7 @@ object TextOps {
     // BroadcastNestedLoopJoin (plan-asserted in PlanShapeSpec).
     Q("d6_simhash_pairs",
       (s, d) => {
-        val sh = Tables.documents(s, d)
+        val sh = Tables.documentsSpread(s, d)
           .select(col("doc_id"), simhashCol.as("simhash")).cache()
         val bands = sh.select(col("doc_id"), col("simhash"),
           posexplode(expr("transform(sequence(0, 3), i -> shiftright(simhash, i * 4) & 15)"))
@@ -718,7 +718,7 @@ object TextOps {
     // window digest with map-side partial aggregation — hot boilerplate
     // windows collapse before the shuffle, so skew is bounded.
     Q("d9_substring_dup",
-      (s, d) => Tables.documents(s, d)
+      (s, d) => Tables.documentsSpread(s, d)
         .select(col("doc_id"), explode(expr(
           """CASE WHEN length(text) >= 40
              THEN transform(sequence(1, length(text) - 39, 20),
@@ -801,7 +801,7 @@ object TextOps {
     // Document fingerprinting: content digest + position-weighted
     // polynomial hash of token hashes (rolling-hash flavored).
     Q("t4_fingerprint",
-      (s, d) => Tables.documents(s, d)
+      (s, d) => Tables.documentsSpread(s, d)
         .withColumn("hs", expr(hvalsExpr))
         .select(col("doc_id"),
           md5(trim(lower(col("text")))).as("fp_md5"),
@@ -825,7 +825,7 @@ object TextOps {
     // `percentile_approx` (t-digest sketch, mergeable map-side) — the
     // query shape is identical.
     Q("t5_profile",
-      (s, d) => Tables.documents(s, d)
+      (s, d) => Tables.documentsSpread(s, d)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double")).as("mean_chars"),
@@ -841,7 +841,7 @@ object TextOps {
     // Repetition filtering: see [[repetitionStats]] (shared with the
     // composed corpus pipeline).
     Q("t6_repetition",
-      (s, d) => repetitionStats(Tables.documents(s, d))
+      (s, d) => repetitionStats(Tables.documentsSpread(s, d))
         .select(col("doc_id"), col("n_tokens"), col("dup_2g_frac"),
           col("dup_3g_frac"), col("top_cnt"), col("top_tok_frac"), col("keep"))
         .orderBy("doc_id"),
@@ -883,7 +883,7 @@ object TextOps {
     // two-phase distinct aggregate — same (tok, doc_id)-keyed shuffle
     // shape at any scale. Deterministic ties: count desc, token asc.
     Q("t7_vocab",
-      (s, d) => Tables.documents(s, d)
+      (s, d) => Tables.documentsSpread(s, d)
         .select(col("doc_id"), explode(tokens).as("tok"))
         .groupBy("tok")
         .agg(count(lit(1)).as("n_occurrences"),
@@ -910,7 +910,7 @@ object TextOps {
     // so doubles hash-match bit-exactly (no transcendentals, whose
     // libm/JVM bits differ).
     Q("t8_bm25",
-      (s, d) => bm25(Tables.documents(s, d), Seq("spark", "join", "vector"))
+      (s, d) => bm25(Tables.documentsSpread(s, d), Seq("spark", "join", "vector"))
         .where(col("bm25") > 0d)
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(25),
@@ -951,7 +951,7 @@ object TextOps {
     // model is NOT broadcastable — this is the co-partitioned form), and
     // per-doc reduction is one groupBy on doc_id.
     Q("t9_bigram_lm",
-      (s, d) => bigramLm(Tables.documents(s, d)).orderBy("doc_id"),
+      (s, d) => bigramLm(Tables.documentsSpread(s, d)).orderBy("doc_id"),
       Some("""WITH tok AS (
           SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
         bg AS (
@@ -988,7 +988,7 @@ object TextOps {
       (s, d) => {
         // buckets derive from THE 16-bit token hash (hvalsExpr/duckHvals
         // — the single definition SimHash also uses), mod 16
-        val bucketed = Tables.documents(s, d)
+        val bucketed = Tables.documentsSpread(s, d)
           .select(col("doc_id"), explode(expr(hvalsExpr)).as("hv"))
           .withColumn("bucket", col("hv") % 16)
           .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
@@ -1022,7 +1022,7 @@ object TextOps {
     // (the schema/partitioning side of image/audio handling; decode is
     // stubbed in graft.llm.Multimodal).
     Q("m1_blob_meta",
-      (s, d) => Tables.documents(s, d)
+      (s, d) => Tables.documentsSpread(s, d)
         .withColumn("payload", encode(col("text"), "UTF-8"))
         .select(col("doc_id"),
           length(col("payload")).cast("int").as("n_bytes"),
@@ -1039,7 +1039,7 @@ object TextOps {
     // Frames are addressed over the hex encoding because DuckDB has no
     // BLOB substring; the Spark side mirrors it so the gate is exact.
     Q("m2_frame_sample",
-      (s, d) => Tables.documents(s, d)
+      (s, d) => Tables.documentsSpread(s, d)
         .withColumn("hexp", upper(hex(encode(col("text"), "UTF-8"))))
         .withColumn("frame_idx", explode(expr(
           "filter(sequence(0, greatest(int(ceil(length(hexp) / 32.0)), 1) - 1), i -> i % 4 = 0)")))
@@ -1069,7 +1069,7 @@ object TextOps {
     // no shuffle at any scale. Patterns use the common Java/RE2 subset.
     Q("r1_pii_scrub",
       (s, d) => {
-        val decorated = Tables.documents(s, d).withColumn("text",
+        val decorated = Tables.documentsSpread(s, d).withColumn("text",
           concat(col("text"),
             when(col("doc_id") % 3 === 0,
               concat(lit(" contact user"), col("doc_id").cast("string"),
@@ -1106,7 +1106,7 @@ object TextOps {
     // engines decorate identically and the scrub counts are exact.
     Q("r2_pii_extended",
       (s, d) => {
-        val decorated = Tables.documents(s, d).withColumn("text",
+        val decorated = Tables.documentsSpread(s, d).withColumn("text",
           concat(col("text"),
             when(col("doc_id") % 4 === 0,
               concat(lit(" from host 10.42."), (col("doc_id") % 200).cast("string"),

@@ -124,7 +124,7 @@ object Tokenize {
     // groupBy. At 100 TB the only corpus-sized exchange carries
     // (word, count) partials; pair work is per-distinct-word.
     Q("t10_bpe_pairs",
-      (s, d) => pairCounts(charVocab(wordCounts(Tables.documents(s, d))))
+      (s, d) => pairCounts(charVocab(wordCounts(Tables.documentsSpread(s, d))))
         .select(col("pair"), col("n").cast("long").as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(50),
@@ -152,7 +152,7 @@ object Tokenize {
         // the same global distinct, so the cheaper non-distinct gram form
         // is used per document (TextOps' aggregate-fenced expression — a
         // naive per-element split would be O(tokens²) per doc).
-        val sh = Tables.documents(s, d)
+        val sh = Tables.documentsSpread(s, d)
           .select(col("source"),
             explode(TextOps.ngramsExpr(3, distinct = false)).as("shingle"))
           .distinct()

@@ -52,7 +52,7 @@ object VectorOps {
     // broadcast it; scoring is map-side over the big side.
     Q("v1_knn_brute",
       (s, d) => {
-        val e = Tables.embeddings(s, d)
+        val e = Tables.embeddingsSpread(s, d)
         val q = e.where(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
@@ -118,7 +118,7 @@ object VectorOps {
     // probe / rank) is identical and that is what this query gates.
     Q("v5_knn_ivf",
       (s, d) => {
-        val e = Tables.embeddings(s, d)
+        val e = Tables.embeddingsSpread(s, d)
         val cents = e.where(col("vec_id") < 16)
           .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
         // all (vector, centroid) cosines: 16 rows broadcast, map-side score
@@ -190,7 +190,7 @@ object VectorOps {
         def bandSig(k: Int): Column = (0 until 6).map { j =>
           when(element_at(col("embedding"), k * 6 + j + 1) >= 0, 1 << j).otherwise(0)
         }.reduce(_ + _).cast("int")
-        val bands = Tables.embeddings(s, d)
+        val bands = Tables.embeddingsSpread(s, d)
           .select(col("vec_id"), col("embedding"),
             posexplode(array((0 until 4).map(bandSig): _*)).as(Seq("band", "sig")))
         val a = bands.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),

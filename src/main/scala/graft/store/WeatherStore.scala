@@ -157,7 +157,12 @@ final class WeatherStore(spark: SparkSession, root: String) {
       s"$root/kind=$kind/date=${WeatherStore.toUtcDate(snapshotTs)}")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, fileName), false)
+    // The reference's RFC-3339 filenames contain ':', which hadoop Path
+    // rejects (and HDFS forbids) — the PHYSICAL name is sanitized; the
+    // logical name stays the API surface. Reads key off the snapshot_ts
+    // column, never the filename, so the mapping is lossless.
+    val physical = fileName.replace(':', '-')
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, physical), false)
     try out.write(bytes) finally out.close()
   }
 }

