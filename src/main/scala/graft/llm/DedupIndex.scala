@@ -86,7 +86,8 @@ object DedupIndex {
     * at-least-once (a crash between the sink write and the ledger
     * commit replays the batch and re-emits). */
   def checkAndAdd(spark: SparkSession, dir: String, newDocs: DataFrame,
-      onPairs: DataFrame => Unit = _ => ()): DataFrame = {
+      onPairs: DataFrame => Unit = _ => ()): DataFrame =
+      graft.store.WriterLock.forIndex(spark, dir).withLock {
     guardCompaction(spark, dir)
     val hasSigs = exists(spark, sigsPath(dir))
     val hasBands = exists(spark, bandsPath(dir))
@@ -156,7 +157,7 @@ object DedupIndex {
       .write.mode(SaveMode.Append).parquet(bandsPath(dir))
     newSigs.write.mode(SaveMode.Append).parquet(sigsPath(dir))
     pairs
-  }
+  } // WriterLock released here
 
   /** Indexed document count (observability). */
   def size(spark: SparkSession, dir: String): Long =
@@ -172,10 +173,12 @@ object DedupIndex {
     * `t.old`, rename `t.compacting` → `t`, delete `t.old`. A crash
     * mid-swap leaves `t.old` behind; [[checkAndAdd]] refuses to run
     * until it is recovered (guardCompaction) rather than reading a
-    * half-swapped index. Maintenance op for a quiet window (single
-    * maintainer, no concurrent checkAndAdd). */
+    * half-swapped index. Serialized against [[checkAndAdd]] by the
+    * shared [[graft.store.WriterLock]] — a mis-scheduled overlap waits
+    * (up to the index envelope) instead of corrupting the swap. */
   def compact(spark: SparkSession, dir: String,
-      numFiles: Int = 8): Map[String, (Int, Int)] = {
+      numFiles: Int = 8): Map[String, (Int, Int)] =
+      graft.store.WriterLock.forIndex(spark, dir).withLock {
     guardCompaction(spark, dir)
     Seq("sigs" -> sigsPath(dir), "bands" -> bandsPath(dir)).map { case (name, p) =>
       if (!exists(spark, p)) name -> (0, 0)
@@ -203,5 +206,5 @@ object DedupIndex {
         }
       }
     }.toMap
-  }
+  } // WriterLock released here
 }

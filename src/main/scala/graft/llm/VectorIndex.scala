@@ -62,7 +62,8 @@ object VectorIndex {
   /** Train k-means on `embeddings` (vec_id, embedding) and commit a new
     * index version (atomic flip; see class doc). Returns the centroid
     * count. */
-  def build(spark: SparkSession, dir: String, embeddings: DataFrame, k: Int): Int = {
+  def build(spark: SparkSession, dir: String, embeddings: DataFrame, k: Int): Int =
+      graft.store.WriterLock.forIndex(spark, dir).withLock {
     val (centroids, _) = KMeans.fit(embeddings, k)
     val fs = fsOf(spark, dir)
     val curNum = currentVersion(spark, dir)
@@ -91,7 +92,7 @@ object VectorIndex {
         fs.delete(new org.apache.hadoop.fs.Path(dir, v), true)
       }
     centroids.length
-  }
+  } // WriterLock released here
 
   private def loadCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
     spark.read.parquet(s"${live(spark, dir)}/centroids")
@@ -103,7 +104,11 @@ object VectorIndex {
     * the version's own ledger), so re-delivered batches are no-ops —
     * duplicate rows would otherwise tie at identical cos_sim and eat
     * top-k slots. */
-  def add(spark: SparkSession, dir: String, newVectors: DataFrame): Unit = {
+  def add(spark: SparkSession, dir: String, newVectors: DataFrame): Unit =
+      graft.store.WriterLock.forIndex(spark, dir).withLock {
+    // resolve the live version INSIDE the lock: a concurrent build()'s
+    // commit+reap can otherwise retire the version between resolution
+    // and the append
     val cs = loadCentroids(spark, dir)
     val vecDir = s"${live(spark, dir)}/vectors"
     newVectors
@@ -112,7 +117,7 @@ object VectorIndex {
       .select(col("vec_id"), col("embedding"),
         KMeans.assignCell(cs, col("embedding")).as("cell"))
       .write.mode(SaveMode.Append).parquet(vecDir)
-  }
+  } // WriterLock released here
 
   /** Per-cell inverted-list sizes — the index-health report (heavily
     * skewed lists mean the centroids have drifted from the data and a

@@ -145,83 +145,14 @@ final class EventStore(spark: SparkSession, root: String,
   private def path(table: String) = s"$root/$table"
 
   /** S14 — writer mutual exclusion with the reference's retry envelope
-    * (5 attempts × 100 ms, event_data.rs:33-36,44-101). The reference
-    * leans on DuckDB's OS file lock; here the lock is an exclusively-
-    * created `_writer_lock` file: java.nio `createFile` (atomic
-    * create-if-absent) for local paths, `FileSystem.create(overwrite =
-    * false)` (namenode-atomic) elsewhere.
-    *
-    * An OS lock dies with its process; a lock FILE from a crashed writer
-    * does not, so liveness is carried by the file's mtime:
-    *  - the HOLDER heartbeats the mtime every `lockStaleMs / 6` from a
-    *    daemon thread, so a live writer is never judged stale no matter
-    *    how long its Spark jobs run;
-    *  - a contender breaks the lock only when the mtime is older than
-    *    `lockStaleMs` AND a re-stat immediately before the delete still
-    *    shows the SAME stale mtime — a lock re-created (or heartbeated)
-    *    between the two stats has a fresh stamp and is left alone. The
-    *    stat→delete pair is not atomic; the residual window requires a
-    *    competing breaker's delete plus a full re-acquire to interleave
-    *    within it, and breakers only exist at all after a writer crash —
-    *    accepted and documented (full fencing needs a coordination
-    *    service, out of scope as in the reference's single-file lock).
-    * On a FileSystem where `setTimes` is a no-op (some object stores),
-    * the heartbeat carries no signal — size `lockStaleMs` to the
-    * worst-case job duration there. */
-  private[oracle] def withWriterLock[T](f: => T): T = {
-    val lock = new Path(root, "_writer_lock")
-    def tryAcquire(): Boolean = {
-      val uri = lock.toUri
-      if (uri.getScheme == null || uri.getScheme == "file")
-        try {
-          java.nio.file.Files.createFile(java.nio.file.Paths.get(uri.getPath)); true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-          case _: java.nio.file.NoSuchFileException => // parent missing
-            fs.mkdirs(new Path(root)); tryAcquire()
-        }
-      else
-        try { fs.create(lock, false).close(); true }
-        catch { case _: java.io.IOException => false }
-    }
-    // EVERY loop iteration is a counted attempt, so the wait is bounded
-    // on all paths — contended lock, vanished lock, failed stat during
-    // an FS outage, failed stale-delete — never a busy-spin.
-    var attempt = 0
-    var acquired = tryAcquire()
-    while (!acquired) {
-      attempt += 1
-      if (attempt > EventStore.LockAttempts)
-        sys.error(s"event store writer lock not acquired after " +
-          s"${EventStore.LockAttempts} × ${EventStore.LockWaitMs} ms — " +
-          "is another writer stuck?")
-      val seen =
-        try Some(fs.getFileStatus(lock).getModificationTime)
-        catch { case _: java.io.IOException => None }
-      val stale = seen.exists(_ < System.currentTimeMillis() - lockStaleMs)
-      val broke = stale && {
-        val unchanged =
-          try fs.getFileStatus(lock).getModificationTime == seen.get
-          catch { case _: java.io.IOException => false }
-        unchanged && fs.delete(lock, false)
-      }
-      if (!broke) Thread.sleep(EventStore.LockWaitMs) // a break retries now
-      acquired = tryAcquire()
-    }
-    val beat = new Thread(() => {
-      try while (true) {
-        Thread.sleep(math.max(1L, lockStaleMs / 6))
-        // transient stat/refresh failures (namenode failover, the
-        // documented breaker micro-race) must NOT kill the heartbeat —
-        // a dead heartbeat re-exposes a live writer to stale-breaking
-        try fs.setTimes(lock, System.currentTimeMillis(), -1)
-        catch { case _: java.io.IOException => }
-      } catch { case _: InterruptedException => } // released
-    }, s"graft-lock-heartbeat-$root")
-    beat.setDaemon(true)
-    beat.start()
-    try f finally { beat.interrupt(); fs.delete(lock, false) }
-  }
+    * (5 attempts × 100 ms, event_data.rs:33-36,44-101). The protocol —
+    * atomic lock-file create, mtime heartbeat, double-stat stale-break —
+    * lives in [[graft.store.WriterLock]], shared with the dedup/vector
+    * index maintainers. */
+  private val writerLock = new graft.store.WriterLock(spark, root, lockStaleMs,
+    EventStore.LockAttempts, EventStore.LockWaitMs)
+
+  private[oracle] def withWriterLock[T](f: => T): T = writerLock.withLock(f)
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 

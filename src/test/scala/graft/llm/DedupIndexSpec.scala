@@ -72,4 +72,48 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(after.exists(r => r.getDouble(3) == 1.0 && r.getLong(0) == 0L),
       "post-compaction index lost content")
   }
+
+  test("racing checkAndAdd vs compact keeps the pair-set exactness contract") {
+    // concurrent maintainers — a mis-scheduled overlap of batch inserts
+    // and compaction must corrupt nothing: the shared WriterLock
+    // serializes them (each contender waits out the holder's job), so
+    // the union of emitted pairs still equals the batch pipeline's set
+    // and the ledger count is exact
+    val dir = Files.createTempDirectory("graft-dedup-race").toString
+    val docs = Tables.documents(spark, sf)
+    // seed one batch so compaction has something to chew on
+    val seeded = DedupIndex.checkAndAdd(spark, dir,
+      docs.where(col("doc_id") % 4 === 0)).collect()
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val emitted = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long, Int, Double)]()
+    seeded.foreach(r => emitted.add(
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val tasks: Seq[Runnable] = (1 until 4).map[Runnable] { part => () =>
+      try DedupIndex.checkAndAdd(spark, dir, docs.where(col("doc_id") % 4 === part))
+        .collect()
+        .foreach(r => emitted.add(
+          (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))))
+      catch { case t: Throwable => failures.add(t) }
+    } :+ { () =>
+      try DedupIndex.compact(spark, dir, numFiles = 2)
+      catch { case t: Throwable => failures.add(t) }
+    }
+    tasks.foreach(pool.execute)
+    pool.shutdown()
+    assert(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS))
+    assert(failures.isEmpty, s"concurrent maintainer failed: ${failures.peek()}")
+
+    val batch = SparkEntry.queries("d2_dedup_ngram_jaccard")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    import scala.jdk.CollectionConverters._
+    assert(emitted.asScala.toSet == batch,
+      s"racing maintainers broke exactness: emitted ${emitted.size} vs batch ${batch.size}")
+    assert(DedupIndex.size(spark, dir) == docs.count())
+    // the lock file is released
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_writer_lock")))
+  }
 }
