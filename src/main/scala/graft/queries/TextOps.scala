@@ -468,6 +468,38 @@ object TextOps {
         SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
         ORDER BY doc_id""")),
 
+    // Adversarial-topology CC: the same component contract as d7, but on
+    // a DEEP CHAIN graph (consecutive doc ids linked, broken every 200 —
+    // diameter ≈ 200, far beyond hash-min's round budget) solved by the
+    // two-phase large-star/small-star variant, which converges in
+    // O(log diameter) rounds. d7 gates hash-min on shallow LSH clusters;
+    // this row gates the log-round algorithm on the topology that needs
+    // it, against the same recursive-closure oracle. At 100 TB this is
+    // the difference between 8 shuffles and 200 on a pathological
+    // near-dup chain (boilerplate A≈B≈C≈… drift).
+    Q("d13_cc_chain",
+      (s, d) => {
+        val ids = Tables.documents(s, d).select(col("doc_id"))
+        val pairs = ids.select(col("doc_id").as("doc_a"))
+          .join(ids.select(col("doc_id").as("doc_b")),
+            col("doc_b") === col("doc_a") + 1)
+          .where(col("doc_a") % 200 =!= 199)
+        Components.connectedComponentsStar(pairs)
+          .withColumnRenamed("node", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE e AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id % 200 <> 199),
+          edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+          reach(u, v) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+        SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
+        ORDER BY doc_id""")),
+
     // Dedup-graph QA metrics: per-node degree and incident-triangle
     // counts over the verified near-dup graph — the health check a
     // production dedup run reports (dense triangle-rich clusters are
