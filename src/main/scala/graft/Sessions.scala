@@ -10,11 +10,11 @@ import org.apache.spark.sql.SparkSession
   *  - `spark.sql.shuffle.partitions` sized to the core count (local mode;
   *    a real cluster would size it to ~2-3× total cores);
   *  - UTC session timezone (all reference timestamps are UTC RFC-3339);
-  *  - AQE on (runtime coalescing + skew-join splitting at scale);
-  *  - `spark.sql.legacy.parquet.nanosAsLong` — the driver writes
-  *    `events.ts` as parquet TIMESTAMP(NANOS) which Spark can't read
-  *    natively; [[Tables.events]] reads the raw long and floor-divides to
-  *    micros, matching DuckDB's ns→µs truncation bit-for-bit.
+  *  - AQE on (runtime coalescing + skew-join splitting at scale).
+  *
+  * `events.ts` (parquet TIMESTAMP(NANOS)) needs no session flag:
+  * [[Tables.events]] reads it through an explicit schema, so ad-hoc
+  * sessions built without this helper work too.
   */
 object Sessions {
 
@@ -26,7 +26,6 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // single-machine latency knobs (harmless on a cluster, measurable
       // locally): tiny local shuffles lose more to lz4 than they save,

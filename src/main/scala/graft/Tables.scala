@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 /** Loaders for the driver-generated synthetic tables (TESTDATA.md).
   *
   * All tables are plain single-file Parquet; `events.ts` is written as
-  * parquet TIMESTAMP(NANOS) which Spark cannot read natively — we read it
-  * as a long (`spark.sql.legacy.parquet.nanosAsLong`) and floor-divide to
+  * parquet TIMESTAMP(NANOS), which Spark's schema inference rejects — we
+  * read it through an explicit schema as a raw long and floor-divide to
   * microseconds, matching DuckDB's own ns→µs truncation, so the DuckDB
   * oracle and Spark agree bit-for-bit on timestamp values.
   */
@@ -27,9 +27,8 @@ object Tables {
   private val relationCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
-  /** Plain parquet table at `dir/name.parquet`. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val perSession = relationCache.computeIfAbsent(spark, s => {
+  private def perSession(spark: SparkSession): scala.collection.concurrent.TrieMap[String, DataFrame] =
+    relationCache.computeIfAbsent(spark, s => {
       val sc = s.sparkContext // capture the context, not the session
       sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
@@ -38,8 +37,11 @@ object Tables {
       })
       scala.collection.concurrent.TrieMap.empty[String, DataFrame]
     })
+
+  /** Plain parquet table at `dir/name.parquet`. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    perSession.getOrElseUpdate(path, spark.read.parquet(path))
+    perSession(spark).getOrElseUpdate(path, spark.read.parquet(path))
   }
 
   /** Parallelism floor for KERNEL-HEAVY consumers: a parquet row group is
@@ -78,20 +80,36 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Parquet physical schema of `events.parquet`, with `ts` read as its
+    * raw INT64 nanosecond value. Supplying this explicitly bypasses
+    * schema inference — the only step that rejects TIMESTAMP(NANOS)
+    * without the `nanosAsLong` legacy flag — so `events` loads from any
+    * vanilla `SparkSession`. */
+  private val eventsRawSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
+
   /** `events` with `ts` normalized to TimestampType (µs, UTC).
     *
     * `ts div 1000` is integer division on the raw nanosecond long —
-    * floating-point division would lose precision above 2^53 ns.
+    * floating-point division would lose precision above 2^53 ns. The µs
+    * floor matches DuckDB's own ns→µs truncation, so the oracle and
+    * Spark agree bit-for-bit.
     *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session
-    * (set at construction by [[Sessions.local]]; never mutated here — a
-    * loader must not side-effect global session state).
+    * Self-contained: reads through [[eventsRawSchema]], so no session
+    * flag is needed and ad-hoc sessions work unmodified.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet is TIMESTAMP(NANOS): build the session with " +
-        "graft.Sessions.local (sets spark.sql.legacy.parquet.nanosAsLong=true)")
-    table(spark, dir, "events")
+    val path = s"$dir/events.parquet"
+    perSession(spark)
+      .getOrElseUpdate(path, spark.read.schema(eventsRawSchema).parquet(path))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
