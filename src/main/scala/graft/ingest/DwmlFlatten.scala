@@ -209,9 +209,17 @@ object DwmlFlatten {
     *    stays pinned until `spark.catalog.clearCache()`.
     *
     * @param docs (doc_id, dwml xml) rows; doc_id must be unique
+    * @param stationIndex optional station index (station_id,
+    *   station_name, latitude: Double, longitude: Double). Wild DWML
+    *   carries no station ids, and the reference attaches them by
+    *   2-dp coordinate match against its station list BEFORE building
+    *   rows (download_forecast.rs:831-863) — locations that match
+    *   nothing are the ones flattenFrames then drops. Supply it here
+    *   for that ingest behavior; omit it for pre-labelled documents.
     * @return [[flatten]]'s Forecast columns, plus `doc_id` first */
   def flattenAll(spark: SparkSession, docs: Dataset[(String, String)],
-      now: Timestamp, reliableCache: Boolean = false): DataFrame = {
+      now: Timestamp, reliableCache: Boolean = false,
+      stationIndex: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
 
     // one malformed document must not kill a million-document job: drop
@@ -234,7 +242,7 @@ object DwmlFlatten {
         parsedBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else parsedBase.localCheckpoint(true)
 
-    val locations = parsed.select(col("doc_id"),
+    val locationsRaw = parsed.select(col("doc_id"),
         col("doc.generatedAt").as("generated_at"),
         explode(col("doc.locations")).as("loc"))
       .select(col("doc_id"), col("generated_at"),
@@ -242,6 +250,22 @@ object DwmlFlatten {
         col("loc.latitude").as("latitude"),
         col("loc.longitude").as("longitude"),
         col("loc.stationId").as("stationId"))
+    // Pre-flatten station attach: fill missing ids by broadcast 2-dp
+    // coordinate equi-join (the station index is small — the NOAA list
+    // is ~thousands of rows — so this never shuffles the corpus).
+    val locations = stationIndex.fold(locationsRaw) { idx =>
+      val st = idx.select(
+        col("station_id").as("st_id"),
+        format_number(col("latitude"), 2).as("st_lat"),
+        format_number(col("longitude"), 2).as("st_lon"))
+      locationsRaw
+        .join(broadcast(st),
+          locationsRaw("latitude") === col("st_lat") &&
+            locationsRaw("longitude") === col("st_lon"),
+          "left")
+        .withColumn("stationId", coalesce(col("stationId"), col("st_id")))
+        .drop("st_id", "st_lat", "st_lon")
+    }
     val layouts = parsed.select(col("doc_id"), explode(col("doc.layouts")).as("lay"))
       .select(col("doc_id"), col("lay.layoutKey").as("layoutKey"),
         col("lay.idx").as("idx"), col("lay.rangeStart").as("rangeStart"))
