@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Measured scaling for the two stateful index services (SCALING.md):
+  * does per-BATCH cost stay batch-sized as the INDEX grows 10×?
+  *
+  * Usage: `runMain graft.IndexScaleProbe <mult>` where `<mult>` is 1 or
+  * a replica multiple whose documents dir `graft.ScaleProbe` has already
+  * built (`/tmp/graft-scale/<m>x`). Embeddings are replicated here by
+  * dimension rotation (norm-preserving, so no replica is an exact dup
+  * and cell geometry stays realistic).
+  *
+  * Protocol: fresh JVM per multiple (run each invocation separately —
+  * in-JVM sequences contaminate, see SCALING.md); stateful ops
+  * (seed/add) are timed cold since they mutate; search warms once and
+  * times the second run.
+  */
+object IndexScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val m = args.headOption.getOrElse("1").toInt
+    val base = "/root/testdata/sf0.1"
+    val spark = Sessions.local("32", "graft-index-scale")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    import spark.implicits._
+
+    def timed[T](label: String)(f: => T): T = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[iscale] ${m}%2dx $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+
+    // ---- corpus at m× ----
+    val docs =
+      if (m == 1) spark.read.parquet(s"$base/documents.parquet")
+      else spark.read.parquet(s"/tmp/graft-scale/${m}x/documents.parquet")
+    val nDocs = docs.count()
+
+    // ---- DedupIndex: seed with the m× corpus, then one fixed batch ----
+    // The probe batch is a rotation replica OUTSIDE the corpus's rotation
+    // range (ScaleProbe uses k < m ≤ 10; k=15 here), so its shingles are
+    // batch-specific: candidate fan-out stays honest.
+    val dedupDir = java.nio.file.Files.createTempDirectory(s"graft-iscale-dedup").toString
+    timed(s"dedup seed (${nDocs} docs)") {
+      graft.llm.DedupIndex.checkAndAdd(spark, dedupDir, docs.select("doc_id", "text")).count()
+    }
+    val abc = "bcdfghjklmnpqrstvwz"
+    val rot = abc.drop(15) + abc.take(15)
+    val batch = spark.read.parquet(s"$base/documents.parquet")
+      .limit(500)
+      .withColumn("doc_id", col("doc_id") + lit(100000000L))
+      .withColumn("text", translate(col("text"), abc, rot))
+      .select("doc_id", "text")
+      .localCheckpoint(true) // batch construction must not ride the timer
+    timed("dedup checkAndAdd (500 docs)") {
+      graft.llm.DedupIndex.checkAndAdd(spark, dedupDir, batch).count()
+    }
+
+    // ---- VectorIndex: build over m× embeddings, then a fixed search ----
+    val baseEmb = spark.read.parquet(s"$base/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val nBase = baseEmb.agg(max("vec_id")).collect()(0).getLong(0) + 1
+    val dim = baseEmb.select(size(col("embedding"))).head().getInt(0)
+    val emb =
+      if (m == 1) baseEmb
+      else (0 until m).map { k =>
+        // rotate dimensions by k: distinct, norm-preserving replicas
+        baseEmb.withColumn("vec_id", col("vec_id") + lit(k.toLong * nBase))
+          .withColumn("embedding",
+            concat(slice(col("embedding"), k + 1, dim - k),
+              slice(col("embedding"), 1, k)))
+      }.reduce(_ unionByName _)
+    val embC = emb.localCheckpoint(true)
+    val nEmb = embC.count()
+
+    val vecDir = java.nio.file.Files.createTempDirectory(s"graft-iscale-vec").toString
+    timed(s"vector build k=32 (${nEmb} vecs)") {
+      graft.llm.VectorIndex.build(spark, vecDir, embC, 32)
+    }
+    val queries = baseEmb.limit(100)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .localCheckpoint(true)
+    def searchOnce(): Long =
+      graft.llm.VectorIndex.search(spark, vecDir, queries, 10, 4).count()
+    searchOnce() // warm
+    timed("vector search 100q k=10 np=4")(searchOnce())
+
+    spark.stop()
+  }
+}
