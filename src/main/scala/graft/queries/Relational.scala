@@ -708,16 +708,27 @@ object Relational {
     // regression flips the boolean and fails the gate. ApproxSpec keeps
     // the tighter numeric assertions.
     Q("x1_approx_ndv",
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_ndv"),
-          countDistinct(col("l_orderkey")).as("exact_ndv"),
-          count(lit(1)).as("n_rows"))
+      (s, d) => {
+        // The sketch and the exact NDV are SEPARATE aggregates joined on
+        // the tiny group key — never one agg: mixing countDistinct with
+        // an imperative sketch forces the distinct-rewrite Expand plan,
+        // where the 4 KB HLL buffer rides every expanded row (measured
+        // 64 s vs 0.9+0.8 s split at sf0.1). The exact side is two-level
+        // (distinct pairs, then count) so neither plan ever expands.
+        val li = Tables.lineitem(s, d)
+        val approx = li.groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_ndv"),
+            count(lit(1)).as("n_rows"))
+        val exact = li.select("l_returnflag", "l_orderkey").distinct()
+          .groupBy(col("l_returnflag").as("rf"))
+          .agg(count(lit(1)).as("exact_ndv"))
         // rsd 0.02 ⇒ ±5% covers 2.5σ — a generous but non-vacuous gate
-        .select(col("l_returnflag"), col("exact_ndv"), col("n_rows"),
-          (abs(col("approx_ndv") - col("exact_ndv"))
-            <= col("exact_ndv") * lit(0.05)).as("ndv_ok"))
-        .orderBy("l_returnflag"),
+        approx.join(broadcast(exact), col("l_returnflag") === col("rf"))
+          .select(col("l_returnflag"), col("exact_ndv"), col("n_rows"),
+            (abs(col("approx_ndv") - col("exact_ndv"))
+              <= col("exact_ndv") * lit(0.05)).as("ndv_ok"))
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_ndv,
           COUNT(*) AS n_rows, TRUE AS ndv_ok
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
