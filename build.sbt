@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g on the 128 GiB box: at 8g the 32-slot local sweep left ~134 MB
+  // of execution memory per task — the shingle/pair family spilled and
+  // GC-thrashed, reading 2-8x its isolated time late in the 96-query
+  // bench. Xmx is a cap, not a reservation; tests keep their own fork.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
