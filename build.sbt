@@ -31,4 +31,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // GC-thrashed, reading 2-8x its isolated time late in the 96-query
   // bench. Xmx is a cap, not a reservation; tests keep their own fork.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+  // diagnostic / experiment knob: extra JVM flags without editing the build
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

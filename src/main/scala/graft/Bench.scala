@@ -40,16 +40,36 @@ object Bench {
     }
 
     /** Warm-in run (compile codegen for this plan/scale, touch inputs),
-      * then the measured steady-state run. A failed warm-in still gets a
-      * measured attempt so the failure is visible in the output.
+      * then the measured steady-state value: the MIN of up to three
+      * post-warm runs, stopping early once two runs agree within 15%.
       *
-      * The System.gc() between queries matters at this query count: the
-      * ContextCleaner only releases finished queries' shuffle files and
-      * broadcast blocks after a driver GC, so without it ~79 queries of
-      * state pile up and late queries pay the memory pressure (measured:
-      * queries that run <1 s in isolation took 2-5 s late in the sweep).
-      * The GC runs before the warm-in — outside any measured window. */
-    def measure(name: String): Double = { System.gc(); runOnce(name); runOnce(name) }
+      * Why min-of-N: this box is a shared microVM and round-4's sweeps
+      * recorded random 2-8× per-query inflation that a full diagnostic
+      * pass (GC logs: <1 s of pause inside a 47 s stall; code cache:
+      * never full, compilation never disabled; zero task retries) traced
+      * to UNIFORM slowdown — job time and driver gaps inflating together,
+      * the signature of external CPU interference, not engine state.
+      * Interference strictly adds time, so the minimum over a few runs
+      * estimates the interference-free steady state; two-agreeing-runs
+      * is the cheap exit so a quiet machine pays only the old 2-run cost.
+      *
+      * The System.gc() between queries still matters at this query
+      * count: the ContextCleaner only releases finished queries' shuffle
+      * files and broadcast blocks after a driver GC. It runs before the
+      * warm-in — outside any measured window. */
+    def measure(name: String): Double = {
+      System.gc()
+      val w = runOnce(name)
+      var runs = List(runOnce(name))
+      while (runs.length < 3 && runs.exists(_ < 0) == false &&
+          (runs.length < 2 || runs.max > runs.min * 1.15))
+        runs = runOnce(name) :: runs
+      val m = if (runs.exists(_ < 0)) -1.0 else runs.min
+      val up = java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1e3
+      System.err.println(f"[bench] $name%-24s warm=$w%8.3f meas=$m%8.3f " +
+        f"runs=${runs.reverse.map(r => f"$r%.2f").mkString("/")}%s up=$up%8.1f")
+      m
+    }
 
     // executor/JVM spin-up so the first warm-in isn't also paying that
     spark.range(1000000L).selectExpr("sum(id)").collect()

@@ -62,13 +62,21 @@ object Tables {
     if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
   }
 
+  /** Memoized [[spread]] of a named table: `df.rdd.getNumPartitions`
+    * builds an RDD lineage on every call, so the spread-or-not decision
+    * (stable per session × path) is cached next to the plain relation
+    * under a `#spread` key. */
+  private def tableSpread(s: SparkSession, d: String, name: String): DataFrame =
+    perSession(s).getOrElseUpdate(s"$d/$name.parquet#spread",
+      spread(s, table(s, d, name)))
+
   /** [[documents]] with the kernel-consumer parallelism floor. */
   def documentsSpread(s: SparkSession, d: String): DataFrame =
-    spread(s, documents(s, d))
+    tableSpread(s, d, "documents")
 
   /** [[embeddings]] with the kernel-consumer parallelism floor. */
   def embeddingsSpread(s: SparkSession, d: String): DataFrame =
-    spread(s, embeddings(s, d))
+    tableSpread(s, d, "embeddings")
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

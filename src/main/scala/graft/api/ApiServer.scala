@@ -63,11 +63,15 @@ final class ApiServer(api: OracleApi, host: String = "127.0.0.1", port: Int = 0)
       (method, segments) match {
         case ("GET", Nil) => sendHtml(ex, 200, Index)
         case ("GET", "files" :: Nil) =>
-          sendJson(ex, 200, api.fileNamesJson(
+          (for {
+            obs <- boolParam(q, "observations")
+            fc <- boolParam(q, "forecasts")
+          } yield api.fileNamesJson(
             q.get("start").flatMap(parseRfc3339),
-            q.get("end").flatMap(parseRfc3339),
-            q.get("observations").map(_.toBoolean),
-            q.get("forecasts").map(_.toBoolean)))
+            q.get("end").flatMap(parseRfc3339), obs, fc)) match {
+            case Left(err) => sendError(ex, err)
+            case Right(js) => sendJson(ex, 200, js)
+          }
         case ("GET", "file" :: name :: Nil) =>
           api.downloadFile(name) match {
             case Left(err) => sendError(ex, err)
@@ -101,9 +105,11 @@ final class ApiServer(api: OracleApi, host: String = "127.0.0.1", port: Int = 0)
         case ("POST", "oracle" :: "update" :: Nil) =>
           api.updateAsync(); sendJson(ex, 200, JObject())
         case ("GET", "oracle" :: "events" :: Nil) =>
-          sendJson(ex, 200, api.listEvents(
-            q.get("limit").map(_.toInt),
-            q.get("event_ids").map(_.split(",").toSeq.filter(_.nonEmpty))))
+          intParam(q, "limit") match {
+            case Left(err) => sendError(ex, err)
+            case Right(limit) => sendJson(ex, 200, api.listEvents(
+              limit, q.get("event_ids").map(_.split(",").toSeq.filter(_.nonEmpty))))
+          }
         case ("POST", "oracle" :: "events" :: Nil) =>
           withAuth(ex, method) { npub =>
             api.createEvent(npub, parseBody(ex)) match {
@@ -144,9 +150,12 @@ final class ApiServer(api: OracleApi, host: String = "127.0.0.1", port: Int = 0)
   // ------------------------------------------------------------- helpers
 
   private def withAuth(ex: HttpExchange, method: String)(f: String => Unit): Unit = {
+    // scheme is a placeholder (NostrAuth compares scheme-insensitively);
+    // the query string is part of the signed URL per NIP-98
     val url = "http://" +
       Option(ex.getRequestHeaders.getFirst("Host")).getOrElse("localhost") +
-      ex.getRequestURI.getPath
+      ex.getRequestURI.getPath +
+      Option(ex.getRequestURI.getRawQuery).filter(_.nonEmpty).map("?" + _).getOrElse("")
     val header = Option(ex.getRequestHeaders.getFirst("Authorization"))
     NostrAuth.verify(header, method, url, authNow()) match {
       case Right(v) => f(v.npub)
@@ -164,6 +173,23 @@ final class ApiServer(api: OracleApi, host: String = "127.0.0.1", port: Int = 0)
         .toRight(ApiError(400, s"Times are not in RFC3339 format: $key=$s"))
     }
     for { s <- parse("start"); e <- parse("end") } yield (s, e)
+  }
+
+  /** Malformed query params are the CALLER's fault: parse with the
+    * -Option variants and answer 400, never let a NumberFormatException
+    * fall into the catch-all 500. */
+  private def boolParam(q: Map[String, String], key: String)
+      : Either[ApiError, Option[Boolean]] = q.get(key) match {
+    case None => Right(None)
+    case Some(s) => s.toBooleanOption.map(Some(_))
+      .toRight(ApiError(400, s"$key must be true or false: $key=$s"))
+  }
+
+  private def intParam(q: Map[String, String], key: String)
+      : Either[ApiError, Option[Int]] = q.get(key) match {
+    case None => Right(None)
+    case Some(s) => s.toIntOption.map(Some(_))
+      .toRight(ApiError(400, s"$key must be an integer: $key=$s"))
   }
 
   private def stationIds(q: Map[String, String]): Seq[String] =

@@ -39,6 +39,9 @@ object NostrAuth {
   private def hex(bytes: Array[Byte]): String =
     bytes.map(b => f"${b & 0xFF}%02x").mkString
 
+  private def stripScheme(u: String): String =
+    u.replaceFirst("^[Hh][Tt][Tt][Pp][Ss]?://", "")
+
   private def unhex(s: String): Option[Array[Byte]] =
     if (s.length % 2 != 0 || !s.forall(c => Character.digit(c, 16) >= 0)) None
     else Some(s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
@@ -105,7 +108,10 @@ object NostrAuth {
       _ <- if (math.abs(nowEpochSec - createdAt) <= MaxSkewSeconds) Right(())
            else Left("created_at outside the allowed window")
       uTag = tags.collectFirst { case "u" :: u :: _ => u }
-      _ <- if (uTag.contains(url)) Right(())
+      // scheme-insensitive: the server sits behind arbitrary TLS
+      // termination, so a client signing the real https:// URL must
+      // still verify — what identifies the request is host+path+query
+      _ <- if (uTag.exists(t => stripScheme(t) == stripScheme(url))) Right(())
            else Left(s"u tag ${uTag.getOrElse("<none>")} does not match request URL $url")
       methodTag = tags.collectFirst { case "method" :: m :: _ => m }
       _ <- if (methodTag.exists(_.equalsIgnoreCase(method))) Right(())

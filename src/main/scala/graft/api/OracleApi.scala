@@ -78,29 +78,37 @@ final class OracleApi(
         bad("Max number of allowed entries the oracle can watch is 25"))
       _ <- Either.cond(places <= 5 && places >= 1, (),
         bad(s"Max number of allowed ranks in an event that can win is 5, requested: $places"))
-      _ <- Either.cond(eventStore.events.where(col("id") === id).isEmpty, (),
-        bad(s"event with id $id already exists"))
-    } yield {
-      val ts = now()
-      val nonce = Schnorr.taggedHash("graft/oracle/event-nonce",
-        oracleSeckey ++ id.getBytes("UTF-8"))
-      val announcement = announcementBytes(oracleSeckey, nonce, totalAllowed.toInt, places.toInt)
-      eventStore.insertEvents(Seq(EventRow(
-        id = id,
-        total_allowed_entries = totalAllowed.toInt,
-        number_of_places_win = places.toInt,
-        number_of_values_per_entry = valuesPerEntry.toInt,
-        signing_date = signing,
-        observation_date = observation,
-        locations = locations,
-        coordinator_pubkey = coordinatorNpub,
-        nonce = Some(nonce),
-        event_announcement = Some(announcement),
-        attestation_signature = None,
-        created_at = ts, updated_at = ts)))
-      eventJson(id).getOrElse(
-        throw new IllegalStateException(s"event $id vanished after insert"))
-    }
+      // uniqueness is read-check-write: the check and the insert must sit
+      // under ONE writer-lock hold or two concurrent identical POSTs both
+      // pass the isEmpty check (the reference gets this atomicity from
+      // DuckDB's primary key); the losing writer surfaces the same 400
+      result <- eventStore.withWriterLock {
+        for {
+          _ <- Either.cond(eventStore.events.where(col("id") === id).isEmpty, (),
+            bad(s"event with id $id already exists"))
+        } yield {
+          val ts = now()
+          val nonce = Schnorr.taggedHash("graft/oracle/event-nonce",
+            oracleSeckey ++ id.getBytes("UTF-8"))
+          val announcement = announcementBytes(oracleSeckey, nonce, totalAllowed.toInt, places.toInt)
+          eventStore.insertEvents(Seq(EventRow(
+            id = id,
+            total_allowed_entries = totalAllowed.toInt,
+            number_of_places_win = places.toInt,
+            number_of_values_per_entry = valuesPerEntry.toInt,
+            signing_date = signing,
+            observation_date = observation,
+            locations = locations,
+            coordinator_pubkey = coordinatorNpub,
+            nonce = Some(nonce),
+            event_announcement = Some(announcement),
+            attestation_signature = None,
+            created_at = ts, updated_at = ts)))
+          eventJson(id).getOrElse(
+            throw new IllegalStateException(s"event $id vanished after insert"))
+        }
+      }
+    } yield result
   }
 
   /** GET /oracle/events — summaries with per-event weather as one join. */
@@ -122,7 +130,7 @@ final class OracleApi(
         "number_of_places_win" -> JInt(r.getAs[Int]("number_of_places_win")),
         "weather" -> weatherByEvent.getOrElse(r.getAs[String]("id"), JArray(Nil)),
         "attestation" -> bytesOrNull(Option(r.getAs[Array[Byte]]("attestation_signature"))),
-        "nonce" -> bytesOrNull(Option(r.getAs[Array[Byte]]("nonce"))))
+        "nonce" -> noncePointOrNull(Option(r.getAs[Array[Byte]]("nonce"))))
     })
   }
 
@@ -140,9 +148,6 @@ final class OracleApi(
       event <- eventRow(eventId).toRight(notFound(s"event with id $eventId not found"))
       _ <- Either.cond(event.getAs[String]("coordinator_pubkey") == requesterNpub, (),
         bad(s"Client needs the valid coordinator signature in header for this event $id"))
-      existing = eventStore.entries.where(col("event_id") === eventId).count()
-      _ <- Either.cond(existing < event.getAs[Int]("total_allowed_entries"), (),
-        bad(s"event $eventId is full, no more entries are allowed"))
       choices <- choiceList(body)
       valueCount = choices.map(c => Seq(c._2, c._3, c._4).flatten.size).sum
       _ <- Either.cond(valueCount <= event.getAs[Int]("number_of_values_per_entry"), (),
@@ -154,16 +159,29 @@ final class OracleApi(
       allowed = eventStore.choiceValues
       _ <- Either.cond(choices.forall(c => Seq(c._2, c._3, c._4).flatten.forall(allowed)), (),
         bad(s"choice values must be one of $allowed"))
-      _ <- Either.cond(eventStore.entries.where(col("id") === id).isEmpty, (),
-        bad(s"entry with id $id already exists"))
-    } yield {
-      val ts = now()
-      eventStore.insertEntriesAutoIds(
-        Seq(EntryRow(id, eventId, 0L, ts, ts)),
-        choices.map(c => (id, c._1, c._2, c._3, c._4)))
-      entryJson(eventId, id).getOrElse(
-        throw new IllegalStateException(s"entry $id vanished after insert"))
-    }
+      // capacity + entry-id uniqueness are read-check-write against the
+      // entries table: checked and inserted under ONE writer-lock hold so
+      // concurrent POSTs can neither double-insert an id nor blow past
+      // total_allowed_entries (the event row itself is immutable here, so
+      // the lookups above can stay lock-free)
+      result <- eventStore.withWriterLock {
+        for {
+          _ <- Either.cond(
+            eventStore.entries.where(col("event_id") === eventId).count() <
+              event.getAs[Int]("total_allowed_entries"), (),
+            bad(s"event $eventId is full, no more entries are allowed"))
+          _ <- Either.cond(eventStore.entries.where(col("id") === id).isEmpty, (),
+            bad(s"entry with id $id already exists"))
+        } yield {
+          val ts = now()
+          eventStore.insertEntriesAutoIds(
+            Seq(EntryRow(id, eventId, 0L, ts, ts)),
+            choices.map(c => (id, c._1, c._2, c._3, c._4)))
+          entryJson(eventId, id).getOrElse(
+            throw new IllegalStateException(s"entry $id vanished after insert"))
+        }
+      }
+    } yield result
   }
 
   /** GET /oracle/events/{event_id}/entry/{entry_id}. */
@@ -357,7 +375,7 @@ final class OracleApi(
         "number_of_places_win" -> JInt(ev.getAs[Int]("number_of_places_win")),
         "entries" -> JArray(entryRows.toList.map(entryRowJson)),
         "weather" -> weather,
-        "nonce" -> bytesOrNull(Option(ev.getAs[Array[Byte]]("nonce"))),
+        "nonce" -> noncePointOrNull(Option(ev.getAs[Array[Byte]]("nonce"))),
         "event_announcement" -> Option(ev.getAs[Array[Byte]]("event_announcement"))
           .map(b => JString(Base64.getEncoder.encodeToString(b))).getOrElse(JNull),
         "attestation" -> bytesOrNull(Option(ev.getAs[Array[Byte]]("attestation_signature"))),
@@ -470,6 +488,15 @@ object OracleApi {
 
   private[api] def bytesOrNull(o: Option[Array[Byte]]): JValue =
     o.map(b => JString(b.map(x => f"${x & 0xFF}%02x").mkString)).getOrElse(JNull)
+
+  /** Public view of the stored secret nonce scalar: its curve POINT.
+    * The scalar k must never leave the process — once the attestation
+    * s = k + e·d is published, anyone holding k recovers the oracle key
+    * d = (s − k)/e. The reference leaks the scalar on its public event
+    * JSON; we publish only R = k·G, which is what verifiers need (it is
+    * the same commitment already inside `announcementBytes`). */
+  private[api] def noncePointOrNull(o: Option[Array[Byte]]): JValue =
+    bytesOrNull(o.map(Schnorr.pubkey))
 
   /** Parse the AddEventEntry `expected_observations` array into
     * (station, temp_low, temp_high, wind_speed) tuples. */

@@ -253,11 +253,15 @@ object DwmlFlatten {
     // Pre-flatten station attach: fill missing ids by broadcast 2-dp
     // coordinate equi-join (the station index is small — the NOAA list
     // is ~thousands of rows — so this never shuffles the corpus).
+    // format_string("%.2f") — NOT format_number, whose HALF_EVEN differs
+    // from the HALF_UP of the String.format("%.2f") that produced the
+    // DWML location strings (Fetch.StationCoord): a midpoint coordinate
+    // would mismatch and silently drop the station.
     val locations = stationIndex.fold(locationsRaw) { idx =>
       val st = idx.select(
         col("station_id").as("st_id"),
-        format_number(col("latitude"), 2).as("st_lat"),
-        format_number(col("longitude"), 2).as("st_lon"))
+        format_string("%.2f", col("latitude")).as("st_lat"),
+        format_string("%.2f", col("longitude")).as("st_lon"))
       locationsRaw
         .join(broadcast(st),
           locationsRaw("latitude") === col("st_lat") &&
@@ -286,8 +290,8 @@ object DwmlFlatten {
     val st = stations.select(
       col("station_id").as("st_id"),
       col("station_name").as("st_name"),
-      format_number(col("latitude"), 2).as("st_lat"),
-      format_number(col("longitude"), 2).as("st_lon"))
+      format_string("%.2f", col("latitude")).as("st_lat"),
+      format_string("%.2f", col("longitude")).as("st_lon"))
     forecasts
       .join(broadcast(st),
         forecasts("latitude") === col("st_lat") &&

@@ -152,7 +152,12 @@ final class EventStore(spark: SparkSession, root: String,
   private val writerLock = new graft.store.WriterLock(spark, root, lockStaleMs,
     EventStore.LockAttempts, EventStore.LockWaitMs)
 
-  private[oracle] def withWriterLock[T](f: => T): T = writerLock.withLock(f)
+  /** `private[graft]` so the API layer can hold one lock across its
+    * validate-then-insert sequence (uniqueness / capacity checks are
+    * read-check-write — two concurrent identical POSTs would otherwise
+    * both pass the check and double-insert). Reentrant per thread, so
+    * the insert methods' own lock take nests fine. */
+  private[graft] def withWriterLock[T](f: => T): T = writerLock.withLock(f)
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 

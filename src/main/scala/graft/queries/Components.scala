@@ -19,6 +19,23 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Runs `body` with AQE disabled on `spark`'s session conf (restored
+    * after). Inside a fixpoint loop every round's frames are already
+    * hash-partitioned on node id and shrink geometrically; AQE's runtime
+    * re-planning buys nothing there but multiplies the per-round job
+    * count several-fold (measured on d13: ~157 jobs for 8 star rounds —
+    * the driver-side job floor, not the shuffles, dominated the query).
+    * Skew in the corpus-sized PAIR GENERATION feeding these loops still
+    * gets AQE: inputs are materialized by the eager checkpoint before
+    * the loop starts. Session-scoped set/restore — the engine's query
+    * entry points run one statement at a time per session. */
+  private def withoutAqe[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val was = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, was)
+  }
+
   /** @param pairs two-column DataFrame of undirected edges (a, b)
     * @return (node, component) — component = min node id reachable */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
@@ -35,7 +52,7 @@ object Components {
       .localCheckpoint(true)
     var iter = 0
     var converged = false
-    while (iter < maxIters && !converged) {
+    withoutAqe(pairs.sparkSession) { while (iter < maxIters && !converged) {
       // Each node's new label: min of its own and every neighbor's label.
       // The node's OWN previous label rides the same aggregate (tagged
       // rows + conditional min — every node has exactly one own row), so
@@ -56,7 +73,7 @@ object Components {
       labels = next.select("node", "label")
       converged = changed == 0
       iter += 1
-    }
+    } }
     edges.unpersist()
     if (!converged)
       // Silent truncation here would split components (wrong keeper
@@ -114,32 +131,51 @@ object Components {
 
     var iter = 0
     var converged = edges.isEmpty
-    while (iter < maxIters && !converged) {
-      // large-star: symmetrize; m(x) = min(Γ(x) ∪ {x}); attach every
-      // neighbor y > x to m(x). Every canonical edge is re-emitted from
-      // the perspective of its smaller endpoint, so connectivity holds.
-      val sym = edges.select(col("u"), col("v"))
-        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
-      val largeMins = sym.groupBy("u")
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
-      val afterLarge = sym.where(col("v") > col("u"))
-        .join(largeMins, Seq("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
-      // small-star: per node, re-point all parents (smaller neighbors)
-      // at the minimum parent, keeping the node's own link to it.
-      val smallMins = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
-      val next = afterLarge.join(smallMins, Seq("u"))
-        .where(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionByName(smallMins.select(col("u"), col("m").as("v")))
-        .distinct()
-        .localCheckpoint(true)
-      // exact set-equality convergence: same size and no new edges
-      converged = next.count() == edges.count() &&
-        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
-      edges = next
-      iter += 1
+    // Per-round set-equality convergence, cheaply: an order-independent
+    // signature (count, XOR of per-edge xxhash64) read in ONE aggregate
+    // job over the just-checkpointed frame. Signature equality is
+    // necessary for set equality and collision-false-positives are
+    // ~2⁻⁶⁴, but the contract is EXACT — so a signature match is
+    // confirmed by the anti-join (same size + next ⊆ edges ⇒ equal)
+    // before the loop stops, and a failed confirmation keeps iterating.
+    // Net: rounds before the fixpoint pay one agg job instead of two
+    // counts + an anti-join.
+    // XOR, not sum: ANSI mode (Spark 4 default) faults on long overflow,
+    // and the edge set is distinct so no equal-hash cancellation arises
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    withoutAqe(pairs.sparkSession) {
+      var prevSig = if (converged) (0L, 0L) else signature(edges)
+      while (iter < maxIters && !converged) {
+        // large-star: symmetrize; m(x) = min(Γ(x) ∪ {x}); attach every
+        // neighbor y > x to m(x). Every canonical edge is re-emitted from
+        // the perspective of its smaller endpoint, so connectivity holds.
+        val sym = edges.select(col("u"), col("v"))
+          .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+        val largeMins = sym.groupBy("u")
+          .agg(least(min(col("v")), first(col("u"))).as("m"))
+        val afterLarge = sym.where(col("v") > col("u"))
+          .join(largeMins, Seq("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .distinct()
+        // small-star: per node, re-point all parents (smaller neighbors)
+        // at the minimum parent, keeping the node's own link to it.
+        val smallMins = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+        val next = afterLarge.join(smallMins, Seq("u"))
+          .where(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(smallMins.select(col("u"), col("m").as("v")))
+          .distinct()
+          .localCheckpoint(true)
+        val nextSig = signature(next)
+        converged = nextSig == prevSig &&
+          next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+        prevSig = nextSig
+        edges = next
+        iter += 1
+      }
     }
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(

