@@ -83,7 +83,17 @@ final class ApiServer(api: OracleApi, host: String = "127.0.0.1", port: Int = 0)
               ex.getResponseBody.write(bytes)
           }
         case ("POST", "file" :: name :: Nil) =>
-          api.uploadFile(name, ex.getRequestBody.readAllBytes()) match {
+          // the reference daemon posts multipart/form-data
+          // (parquet_handler.rs:119-127); raw-body uploads stay accepted
+          // as the simpler programmatic path
+          val raw = ex.getRequestBody.readAllBytes()
+          val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+          val payload =
+            if (ct.toLowerCase.startsWith("multipart/form-data"))
+              Multipart.filePart(ct, raw)
+                .toRight(ApiError(400, "malformed multipart body"))
+            else Right(raw)
+          payload.flatMap(api.uploadFile(name, _)) match {
             case Left(err) => sendError(ex, err)
             case Right(()) => sendJson(ex, 200, JObject())
           }

@@ -71,10 +71,24 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     (rsp.statusCode(), if (rsp.body().nonEmpty) JsonMethods.parse(rsp.body()) else JNothing)
   }
 
-  private def postBytes(path: String, body: Array[Byte]): Int =
-    client.send(HttpRequest.newBuilder(URI.create(url(path)))
-      .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
-      HttpResponse.BodyHandlers.ofString()).statusCode()
+  private def postBytes(path: String, body: Array[Byte],
+      contentType: Option[String] = None): Int = {
+    val b = HttpRequest.newBuilder(URI.create(url(path)))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(body))
+    contentType.foreach(b.header("Content-Type", _))
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+  }
+
+  /** One-file-part multipart/form-data body, framed the way the
+    * reference daemon's upload client frames it
+    * (parquet_handler.rs:119-127: a single `file` part). */
+  private def multipartBody(boundary: String, payload: Array[Byte]): Array[Byte] = {
+    val head = (s"--$boundary\r\n" +
+      "Content-Disposition: form-data; name=\"file\"; filename=\"up.parquet\"\r\n" +
+      "Content-Type: application/octet-stream\r\n\r\n").getBytes("ISO-8859-1")
+    val tail = s"\r\n--$boundary--\r\n".getBytes("ISO-8859-1")
+    head ++ payload ++ tail
+  }
 
   private def jstr(v: JValue): String = v match {
     case JString(s) => s
@@ -307,5 +321,43 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(postBytes("/file/..%2Fevil.parquet", Array[Byte](1)) != 200)
     assert(postBytes("/file/evil_2024-08-12T00:00:00Z.parquet", Array[Byte](1)) == 400)
     assert(postBytes("/file/forecasts_not-a-time.parquet", Array[Byte](1)) == 400)
+  }
+
+  test("multipart/form-data upload lands binary parquet intact") {
+    val payload = parquetBytes(Seq(
+      ("KMSP", ts("2024-08-14T00:00:00Z"), ts("2024-08-14T12:00:00Z"), 12L, 28L, 5L)
+    ).toDF("station_id", "begin_time", "end_time", "min_temp", "max_temp", "wind_speed")
+      .withColumn("snapshot_ts",
+        org.apache.spark.sql.functions.lit(ts("2024-08-14T01:00:00Z"))))
+    // parquet is binary: confirm the payload would corrupt through a
+    // string decode, i.e. this test actually exercises byte-safety
+    assert(!new String(payload, "UTF-8").getBytes("UTF-8").sameElements(payload))
+
+    val boundary = "graftBoundary7MA4YWxkTrZu0gW"
+    val name = "forecasts_2024-08-14T01:00:00Z.parquet"
+    assert(postBytes(s"/file/$name", multipartBody(boundary, payload),
+      contentType = Some(s"multipart/form-data; boundary=$boundary")) == 200)
+
+    // download re-materializes from the store, so compare ROWS: a
+    // byte-corrupted multipart decode could not have parsed as parquet
+    // (magic/footer checks) and landed these values
+    val dl = client.send(HttpRequest.newBuilder(
+      URI.create(url(s"/file/$name"))).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(dl.statusCode() == 200)
+    val tmp = Files.createTempFile("graft-api-dl", ".parquet")
+    Files.write(tmp, dl.body())
+    val row = spark.read.parquet(tmp.toString)
+      .where($"station_id" === "KMSP").head()
+    assert(row.getAs[Long]("min_temp") == 12L && row.getAs[Long]("max_temp") == 28L)
+
+    // landing validation still applies to the decoded part
+    assert(postBytes("/file/evil_2024-08-14T00:00:00Z.parquet",
+      multipartBody(boundary, payload),
+      contentType = Some(s"multipart/form-data; boundary=$boundary")) == 400)
+    // malformed multipart (boundary never appears in the body) is a 400,
+    // not a raw-body fallthrough
+    assert(postBytes(s"/file/$name", "not a multipart body".getBytes("UTF-8"),
+      contentType = Some("multipart/form-data; boundary=zzzMissing")) == 400)
   }
 }
