@@ -19,21 +19,31 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** Runs `body` with AQE disabled on `spark`'s session conf (restored
-    * after). Inside a fixpoint loop every round's frames are already
-    * hash-partitioned on node id and shrink geometrically; AQE's runtime
-    * re-planning buys nothing there but multiplies the per-round job
-    * count several-fold (measured on d13: ~157 jobs for 8 star rounds —
-    * the driver-side job floor, not the shuffles, dominated the query).
-    * Skew in the corpus-sized PAIR GENERATION feeding these loops still
-    * gets AQE: inputs are materialized by the eager checkpoint before
-    * the loop starts. Session-scoped set/restore — the engine's query
-    * entry points run one statement at a time per session. */
-  private def withoutAqe[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
-    val key = "spark.sql.adaptive.enabled"
-    val was = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try body finally spark.conf.set(key, was)
+  /** Runs `body` with AQE disabled and `spark.sql.shuffle.partitions`
+    * pinned to `partitions` (both restored after). For the star fixpoint
+    * loop only: every in-loop frame is O(|edges|), so the shuffle width
+    * the input checkpoint materialized at (AQE-coalesced to target size
+    * before the loop starts) is the right width for every round — there
+    * is nothing left for runtime re-planning to learn, and measured on
+    * the d13 chain graph AQE's per-stage re-plan jobs put a ~0.8 s floor
+    * under each round while plain static plans at the checkpoint's width
+    * run the same round in ~0.4 s. Skew in the corpus-sized PAIR
+    * GENERATION feeding the loop still gets AQE: inputs are materialized
+    * by the eager checkpoint before this wrapper runs. Session-scoped
+    * set/restore — the engine's query entry points run one statement at
+    * a time per session. */
+  private def withLoopConf[T](spark: org.apache.spark.sql.SparkSession,
+      partitions: Int)(body: => T): T = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
+    val aqeWas = spark.conf.get(aqeKey, "true")
+    val partWas = spark.conf.get(partKey, "32")
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(partKey, math.max(partitions, 1).toString)
+    try body finally {
+      spark.conf.set(aqeKey, aqeWas)
+      spark.conf.set(partKey, partWas)
+    }
   }
 
   /** @param pairs two-column DataFrame of undirected edges (a, b)
@@ -52,7 +62,13 @@ object Components {
       .localCheckpoint(true)
     var iter = 0
     var converged = false
-    withoutAqe(pairs.sparkSession) { while (iter < maxIters && !converged) {
+    // AQE stays ON here (unlike the star loop): `edges` is cached with
+    // known stats, so the per-round join already broadcasts when small at
+    // plan time, and dense near-dup graphs converge in ≤3-4 rounds — the
+    // measured AQE job overhead never dominates. Disabling it regressed
+    // this path (checkpointed `labels` has unknown stats → both join
+    // sides fall back to 32-partition sort-merge exchanges).
+    while (iter < maxIters && !converged) {
       // Each node's new label: min of its own and every neighbor's label.
       // The node's OWN previous label rides the same aggregate (tagged
       // rows + conditional min — every node has exactly one own row), so
@@ -73,7 +89,7 @@ object Components {
       labels = next.select("node", "label")
       converged = changed == 0
       iter += 1
-    } }
+    }
     edges.unpersist()
     if (!converged)
       // Silent truncation here would split components (wrong keeper
@@ -146,7 +162,13 @@ object Components {
       val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    withoutAqe(pairs.sparkSession) {
+    // Loop shuffle width = the width the input checkpoint materialized
+    // at: AQE already coalesced it to target partition size, every
+    // in-loop frame is O(|edges|), and a static width keeps each round
+    // at its 3-exchange minimum (see withLoopConf). At toy scale this is
+    // 1 partition; at cluster scale it is the data-sized width.
+    val loopPartitions = if (converged) 1 else edges.rdd.getNumPartitions
+    withLoopConf(pairs.sparkSession, loopPartitions) {
       var prevSig = if (converged) (0L, 0L) else signature(edges)
       while (iter < maxIters && !converged) {
         // large-star: symmetrize; m(x) = min(Γ(x) ∪ {x}); attach every
@@ -156,10 +178,16 @@ object Components {
           .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
         val largeMins = sym.groupBy("u")
           .agg(least(min(col("v")), first(col("u"))).as("m"))
+        // No dedup between the stars: the large-star output stays
+        // u-hash-partitioned out of its join, so the small-star groupBy
+        // and join below need NO further exchange — a distinct() here
+        // would repartition on (u,v) and force two extra exchanges per
+        // round. Duplicate (u,v) rows (several neighbors attaching v to
+        // the same min) are absorbed map-side by the min aggregate and
+        // swept by the final distinct; volume stays O(|edges|).
         val afterLarge = sym.where(col("v") > col("u"))
           .join(largeMins, Seq("u"))
           .select(col("v").as("u"), col("m").as("v"))
-          .distinct()
         // small-star: per node, re-point all parents (smaller neighbors)
         // at the minimum parent, keeping the node's own link to it.
         val smallMins = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
