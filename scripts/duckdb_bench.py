@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Full DuckDB baseline sweep over every oracle SQL, mirroring
+graft.Bench's measurement protocol exactly: per query a warm-in run,
+then the measured value is the MIN of up to three post-warm runs with a
+15% two-run agreement early exit (min-of-N because external CPU
+interference on this shared box strictly adds time). 32 threads, same
+parquet views the oracle compare uses.
+
+Prints ONE JSON line: {"metric":"duckdb_total","value":N,"unit":"sec",
+"queries":{...},"datadir":...} — the same shape as Bench's line so the
+two sweeps diff directly. Per-query run spreads go to stderr.
+
+A per-query wall clamp (default 900 s on the whole query incl. warm-in)
+records -1 (DNF) instead of hanging the sweep — recursive-CTE oracles
+blow up superlinearly on the graph family at larger SFs.
+
+Usage: python3 scripts/duckdb_bench.py <datadir> [timeout_s] [oracle.json]
+"""
+import json, os, signal, sys, time
+import duckdb
+
+datadir = sys.argv[1]
+timeout_s = int(sys.argv[2]) if len(sys.argv) > 2 else 900
+oracle_path = sys.argv[3] if len(sys.argv) > 3 else "/tmp/verify_out/oracle_sql.json"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+oracle = json.load(open(oracle_path))
+
+
+def connect():
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    for t in TABLES:
+        p = f"{datadir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    return con
+
+
+def measure(sql):
+    """Child process: warm + min-of-N protocol; prints CHILD_RESULT."""
+    pid = os.fork()
+    if pid == 0:
+        try:
+            con = connect()
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            warm = time.time() - t0
+            runs = []
+            while len(runs) < 3 and (len(runs) < 2 or
+                                     max(runs) > min(runs) * 1.15):
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                runs.append(time.time() - t0)
+            spread = "/".join(f"{r:.2f}" for r in runs)
+            print(f"CHILD_RESULT {min(runs):.3f} warm={warm:.2f} runs={spread}",
+                  flush=True)
+            os._exit(0)
+        except Exception as e:
+            print(f"CHILD_ERROR {e}", flush=True)
+            os._exit(1)
+    r, w = None, None
+    deadline = time.time() + timeout_s
+    while True:
+        done, status = os.waitpid(pid, os.WNOHANG)
+        if done:
+            return status == 0
+        if time.time() > deadline:
+            os.kill(pid, signal.SIGKILL)
+            os.waitpid(pid, 0)
+            print(f"CHILD_TIMEOUT >{timeout_s}s", flush=True)
+            return False
+        time.sleep(0.2)
+
+
+# run each query in a fresh child, parse its CHILD_RESULT line via a pipe
+results = {}
+for n in sorted(oracle):
+    sql = oracle[n]
+    rfd, wfd = os.pipe()
+    pid = os.fork()
+    if pid == 0:
+        os.close(rfd)
+        os.dup2(wfd, 1)
+        ok = measure(sql)
+        os._exit(0 if ok else 1)
+    os.close(wfd)
+    out = b""
+    with os.fdopen(rfd, "rb") as f:
+        out = f.read()
+    os.waitpid(pid, 0)
+    val = -1.0
+    for line in out.decode(errors="replace").splitlines():
+        if line.startswith("CHILD_RESULT"):
+            val = float(line.split()[1])
+            print(f"[duck] {n:<24s} {line[len('CHILD_RESULT '):]}",
+                  file=sys.stderr, flush=True)
+        elif line.startswith(("CHILD_ERROR", "CHILD_TIMEOUT")):
+            print(f"[duck] {n:<24s} {line}", file=sys.stderr, flush=True)
+    results[n] = val
+    sys.stderr.flush()
+
+total = sum(v for v in results.values() if v >= 0)
+qs = ",".join(f'"{k}":{v}' for k, v in results.items())
+print(f'{{"metric":"duckdb_total","value":{total:.3f},"unit":"sec",'
+      f'"queries":{{{qs}}},"datadir":"{datadir}"}}')
