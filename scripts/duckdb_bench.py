@@ -14,7 +14,7 @@ A per-query wall clamp (default 900 s on the whole query incl. warm-in)
 records -1 (DNF) instead of hanging the sweep — recursive-CTE oracles
 blow up superlinearly on the graph family at larger SFs.
 
-Usage: python3 scripts/duckdb_bench.py <datadir> [timeout_s] [oracle.json]
+Usage: python3 scripts/duckdb_bench.py <datadir> [timeout_s] [oracle.json] [only=q1,q2]
 """
 import json, os, signal, sys, time
 import duckdb
@@ -22,6 +22,10 @@ import duckdb
 datadir = sys.argv[1]
 timeout_s = int(sys.argv[2]) if len(sys.argv) > 2 else 900
 oracle_path = sys.argv[3] if len(sys.argv) > 3 else "/tmp/verify_out/oracle_sql.json"
+only = None
+for a in sys.argv[4:]:
+    if a.startswith("only="):
+        only = set(a[5:].split(","))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -36,6 +40,17 @@ def connect():
         p = f"{datadir}/{t}.parquet"
         src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    # ScaleBuild replicas keep events.ts as the raw INT64 nanosecond value
+    # (Spark reads it back through Tables.events' explicit schema). Give
+    # DuckDB the identical normalization Tables.events applies — floor-
+    # divide to µs — so both engines see the same TIMESTAMP column.
+    if [r for r in con.execute("DESCRIBE events").fetchall()
+            if r[0] == "ts" and r[1] == "BIGINT"]:
+        cols = [r[0] for r in con.execute("DESCRIBE events").fetchall()]
+        sel = ", ".join("make_timestamp(ts // 1000) AS ts" if c == "ts" else c
+                        for c in cols)
+        con.execute(f"CREATE OR REPLACE VIEW events AS SELECT {sel} FROM "
+                    f"'{datadir}/events.parquet/*.parquet'")
     return con
 
 
@@ -78,6 +93,8 @@ def measure(sql):
 # run each query in a fresh child, parse its CHILD_RESULT line via a pipe
 results = {}
 for n in sorted(oracle):
+    if only is not None and n not in only:
+        continue
     sql = oracle[n]
     rfd, wfd = os.pipe()
     pid = os.fork()
