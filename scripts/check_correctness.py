@@ -5,20 +5,40 @@ Mirrors the driver's t2 gate: run graft.Verify at a given SF dir, then run
 each oracle_sql.json query in DuckDB over the same parquet tables, sort
 columns by name, and compare row counts, schemas, and values.
 
-Usage: python3 scripts/check_correctness.py [sfdir] [outdir]
+Usage: python3 scripts/check_correctness.py [sfdir] [outdir] [skip=q1,q2]
+
+sfdir may be a ScaleBuild replica dir (tables as parquet DIRECTORIES,
+events.ts as raw INT64 nanos): views use the glob form and the events
+view applies the same µs floor-divide Tables.events applies, so the
+oracle compare works at replica scales too. skip= leaves out queries
+whose oracle is known not to finish at that scale (the recursive-CTE
+graph family past sf0.1).
 """
 import json, math, os, sys, time
 import duckdb
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+skip = set()
+for a in sys.argv[3:]:
+    if a.startswith("skip="):
+        skip = set(a[5:].split(","))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 con = duckdb.connect()
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    p = f"{sfdir}/{t}.parquet"
+    src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+if [r for r in con.execute("DESCRIBE events").fetchall()
+        if r[0] == "ts" and r[1] == "BIGINT"]:
+    cols = [r[0] for r in con.execute("DESCRIBE events").fetchall()]
+    sel = ", ".join("make_timestamp(ts // 1000) AS ts" if c == "ts" else c
+                    for c in cols)
+    con.execute(f"CREATE OR REPLACE VIEW events AS SELECT {sel} FROM "
+                f"'{sfdir}/events.parquet/*.parquet'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
@@ -39,8 +59,12 @@ def norm(v):
         return tuple(norm(x) for x in v)
     return v
 
-ok = fail = 0
+ok = fail = skipped = 0
 for name, sql in sorted(oracle.items()):
+    if name in skip:
+        print(f"SKIP {name} (oracle DNF at this scale)")
+        skipped += 1
+        continue
     try:
         spark_rel = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
         spark_cols = [c.lower() for c in spark_rel.description and [d[0] for d in spark_rel.description]]
@@ -76,5 +100,6 @@ for name, sql in sorted(oracle.items()):
         print(f"OK   {name} ({len(spark_rows)} rows)")
         ok += 1
 
-print(f"\n{ok} ok, {fail} fail / {len(oracle)} total")
+print(f"\n{ok} ok, {fail} fail / {len(oracle)} total"
+      + (f" ({skipped} skipped)" if skipped else ""))
 sys.exit(1 if fail else 0)
