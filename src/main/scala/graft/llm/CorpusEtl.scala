@@ -370,6 +370,54 @@ object CorpusEtl {
           start_off // 512 AS first_seq,
           (start_off + n_tokens - 1) // 512 AS last_seq,
           (start_off + n_tokens - 1) // 512 - start_off // 512 + 1 AS n_seqs
-        FROM c ORDER BY source, doc_id"""))
+        FROM c ORDER BY source, doc_id""")),
+
+    // c7 — overlapping-window chunking: split each document's token
+    // stream into fixed-size windows (L=128 tokens) advanced by a
+    // stride (S=96, i.e. 32-token overlap) — the map-side op that turns
+    // a long-document corpus into a retrieval/embedding corpus, and the
+    // long-doc counterpart of c6's packing (c6 concatenates short docs
+    // UP to L; c7 cuts long docs DOWN to L, keeping boundary context in
+    // the overlap).
+    //
+    // Shape at scale: pure per-row fanout (sequence + posexplode-style
+    // explode) — no shuffle at all except the output sort; each token
+    // is replicated at most ⌈L/S⌉ ≈ 1.33× regardless of corpus size,
+    // and chunk arithmetic is exact integer division (mirrored verbatim
+    // in the oracle, so the gate is bit-exact). The chunk count per doc
+    // is 1 + ⌈(n−L)/S⌉ — the last window is allowed to overlap its
+    // predecessor by more than S so no token is ever dropped.
+    Q("c7_chunk_overlap",
+      (s, d) => {
+        val L = 128; val S = 96
+        Tables.documentsSpread(s, d)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+          .withColumn("n_tokens", size(col("toks")).cast("long"))
+          .withColumn("n_chunks", expr(
+            s"case when n_tokens > $L then 1L + (n_tokens - $L + ${S - 1}) div $S else 1L end"))
+          .withColumn("chunk_id", explode(expr("sequence(0L, n_chunks - 1L)")))
+          .withColumn("tok_start", col("chunk_id") * S)
+          .withColumn("tok_len", least(lit(L.toLong), col("n_tokens") - col("tok_start")))
+          .select(col("doc_id"), col("chunk_id"), col("tok_start"), col("tok_len"),
+            array_join(expr("slice(toks, cast(tok_start + 1 as int), cast(tok_len as int))"),
+              " ").as("chunk_text"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS toks,
+            CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (SELECT doc_id, toks, n_tokens,
+            unnest(range(0, CASE WHEN n_tokens > 128
+                                 THEN 1 + (n_tokens - 128 + 95) // 96
+                                 ELSE 1 END)) AS chunk_id
+          FROM d)
+        SELECT doc_id, chunk_id, chunk_id * 96 AS tok_start,
+          LEAST(128, n_tokens - chunk_id * 96) AS tok_len,
+          array_to_string(
+            toks[CAST(chunk_id * 96 + 1 AS INT) :
+                 CAST(chunk_id * 96 + LEAST(128, n_tokens - chunk_id * 96) AS INT)],
+            ' ') AS chunk_text
+        FROM c ORDER BY doc_id, chunk_id"""))
   )
 }
