@@ -125,4 +125,17 @@ class PlanShapeSpec extends AnyFunSuite {
       aggs.exists(a => a > gen.head && a < scan),
       s"t10: no aggregate between the pair explode and the corpus scan:\n$plan")
   }
+
+  test("c7_chunk_overlap: pure per-row fanout — only the output sort exchanges") {
+    // chunking must stay a map-side Generate; any groupBy/join sneaking
+    // in would shuffle the full token volume at corpus scale
+    val plan = SparkEntry.queries("c7_chunk_overlap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), s"c7 lost the explode:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, // rangepartitioning for the sort (+AQE read)
+      s"c7 has $exchanges exchanges — chunking should not shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashJoin"),
+      s"c7 plan contains a join:\n$plan")
+  }
 }
