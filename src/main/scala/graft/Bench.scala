@@ -40,8 +40,12 @@ object Bench {
     }
 
     /** Warm-in run (compile codegen for this plan/scale, touch inputs),
-      * then the measured steady-state value: the MIN of up to three
-      * post-warm runs, stopping early once two runs agree within 15%.
+      * then the measured steady-state value: the MIN of up to five
+      * post-warm runs, stopping early once two runs agree within 15% —
+      * so a stable query pays two runs, and only a query whose spread
+      * stays wide keeps sampling (round-5 evidence: one d13 measurement
+      * saw 8.05/9.82/6.29 — an interference window outlasting three
+      * runs; two more samples are cheap insurance against exactly that).
       *
       * Why min-of-N: this box is a shared microVM and round-4's sweeps
       * recorded random 2-8× per-query inflation that a full diagnostic
@@ -61,7 +65,7 @@ object Bench {
       System.gc()
       val w = runOnce(name)
       var runs = List(runOnce(name))
-      while (runs.length < 3 && runs.exists(_ < 0) == false &&
+      while (runs.length < 5 && runs.exists(_ < 0) == false &&
           (runs.length < 2 || runs.max > runs.min * 1.15))
         runs = runOnce(name) :: runs
       val m = if (runs.exists(_ < 0)) -1.0 else runs.min
