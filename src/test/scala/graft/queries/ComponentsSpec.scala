@@ -95,6 +95,33 @@ class ComponentsSpec extends AnyFunSuite {
     assert(star == hashMin)
   }
 
+  test("star variant fuzz: mixed adversarial topologies under permuted ids") {
+    // The star loop's round-5 shape (no dedup between the two star
+    // passes, static loop conf) must stay exact on the shapes that
+    // stress it: long chains (doubling depth), rings (no degree-1
+    // endpoints), hub stars (max duplicate (u,v) fan-in between the
+    // passes), cliques (dense min propagation) — and with node ids
+    // PERMUTED so minima sit at arbitrary topological positions, not
+    // at chain heads.
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 5) {
+      val perm = rnd.shuffle((0L until 400L).toVector)
+      def p(i: Int): Long = perm(i)
+      val chain = (0 until 99).map(i => (p(i), p(i + 1)))
+      val ring = (100 until 180).map(i => (p(i), p(if (i == 179) 100 else i + 1)))
+      val hub = (201 until 260).map(i => (p(200), p(i)))
+      val clique = for (i <- 300 until 312; j <- (i + 1) until 312) yield (p(i), p(j))
+      val bridges = Seq((p(99), p(100)), (p(179), p(200)))
+      val isolated = Seq((p(399), p(399)))
+      val edges = rnd.shuffle(chain ++ ring ++ hub ++ clique ++ bridges ++ isolated)
+      val df = edges.toDF("a", "b")
+      val got = Components.connectedComponentsStar(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(400, edges)
+      assert(got == want, s"trial $trial diverged from union-find")
+    }
+  }
+
   test("disjoint cliques keep separate canonical ids") {
     val cliqueA = for (i <- 0 to 3; j <- (i + 1) to 3) yield (i.toLong, j.toLong)
     val cliqueB = for (i <- 10 to 13; j <- (i + 1) to 13) yield (i.toLong, j.toLong)
