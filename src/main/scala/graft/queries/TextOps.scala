@@ -744,6 +744,57 @@ object TextOps {
         GROUP BY c.doc_id, b.doc_id HAVING COUNT(*) >= 2
         ORDER BY doc_id, bench_id""")),
 
+    // d8's 100 TB form: the benchmark shingle set compacted into a
+    // fixed-size Bloom filter (Spark's own BloomFilterAggregate over
+    // xxhash64 keys — ~0.9 MB at 1M capacity / 3% fpp, vs broadcasting
+    // every bench shingle STRING), shipped as a scalar subquery, and
+    // applied with Spark's own BloomFilterMightContain — the expression
+    // the runtime-row-group-filter rule injects, which deserializes the
+    // filter ONCE per task and probes inside whole-stage codegen — as a
+    // map-side prefilter on the corpus BEFORE the exact confirm join.
+    // Bloom filters have no false negatives, so the confirm join sees
+    // every true overlap and the final answer is byte-identical to d8's
+    // exact result — which is exactly what this gate checks (same
+    // oracle SQL, full hash compare). False positives only cost
+    // confirm-join input volume (≤ fpp × corpus shingles). At 100 TB
+    // the corpus side still never shuffles before the sliver groupBy;
+    // the win over d8 is the broadcast payload: fixed-size bits
+    // instead of the exploded benchmark text.
+    Q("d14_bloom_decontaminate",
+      (s, d) => {
+        val sh = shingled(s, d)
+        val bench = sh.where(col("doc_id") % 41 === 0)
+          .select(col("doc_id").as("bench_id"), explode(col("s")).as("shingle"))
+        val corpus = sh.where(col("doc_id") % 41 =!= 0)
+          .select(col("doc_id"), explode(col("s")).as("shingle"))
+        import org.apache.spark.sql.graft.ColumnBridge
+        val bloom = bench.select(xxhash64(col("shingle")).as("h"))
+          .agg(ColumnBridge.column(
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+              ColumnBridge.expression(col("h")), 1000000L)
+              .toAggregateExpression()).as("bf"))
+        val pre = corpus
+          .where(ColumnBridge.column(
+            org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+              ColumnBridge.expression(bloom.scalar()),
+              ColumnBridge.expression(xxhash64(col("shingle"))))))
+          .select("doc_id", "shingle")
+        pre.join(broadcast(bench), Seq("shingle"))
+          .groupBy("doc_id", "bench_id")
+          .agg(count(lit(1)).cast("int").as("n_overlap"))
+          .where(col("n_overlap") >= 2)
+          .orderBy("doc_id", "bench_id")
+      },
+      Some(s"""WITH sh AS (
+          SELECT doc_id, unnest($duckShingles) AS shingle
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents))
+        SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+          CAST(COUNT(*) AS INT) AS n_overlap
+        FROM sh c JOIN sh b ON c.shingle = b.shingle
+        WHERE b.doc_id % 41 = 0 AND c.doc_id % 41 <> 0
+        GROUP BY c.doc_id, b.doc_id HAVING COUNT(*) >= 2
+        ORDER BY doc_id, bench_id""")),
+
     // Substring-level duplication (the Lee-et-al "deduplicating training
     // data" modality — doc-level dedup misses long shared passages inside
     // otherwise-distinct documents): slide a 40-char window at stride 20
