@@ -1067,6 +1067,42 @@ object TextOps {
           MIN(p) AS min_p, MAX(p) AS max_p
         FROM scored GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Linear quality-classifier inference (fastText-shaped, Joulin et
+    // al. 2016): score = mean over tokens of w[hash(token)], keep docs
+    // scoring > 0 — the model-based quality-filter stage of a training
+    // pipeline (the heuristic stage is t2). Weights are a deterministic
+    // dyadic function of THE shared 16-bit token hash (hvalsExpr /
+    // duckHvals), so both engines compute bit-identical doubles: every
+    // w is a multiple of 2^-13 in [-0.5, 0.5), sums of those are exact
+    // in IEEE double at any corpus size, and the final divide is
+    // correctly rounded — no tolerance games in the gate. Scale shape:
+    // the entire model application is a per-row array fold (higher-order
+    // aggregate over the token-hash array) — zero explode, ZERO shuffle;
+    // at 100 TB this is a pure map over the scan, and a real trained
+    // weight vector would ship the same way (a broadcast lookup keyed by
+    // the same hash).
+    Q("t11_classifier_score",
+      (s, d) => Tables.documentsSpread(s, d)
+        .withColumn("hs", expr(hvalsExpr))
+        .select(col("doc_id"),
+          size(col("hs")).cast("int").as("n_tokens"),
+          expr("""aggregate(hs, 0D, (a, h) ->
+              a + (cast((h * 2654435761) % 8192 as double) / 8192.0 - 0.5))
+            / cast(greatest(size(hs), 1) as double)""").as("score"))
+        .withColumn("keep", col("score") > 0.0)
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, CAST(len(hs) AS INT) AS n_tokens,
+          coalesce(list_sum(list_transform(hs, h ->
+              CAST((h * 2654435761) % 8192 AS DOUBLE) / 8192.0 - 0.5)), 0.0)
+            / CAST(greatest(len(hs), 1) AS DOUBLE) AS score,
+          (coalesce(list_sum(list_transform(hs, h ->
+              CAST((h * 2654435761) % 8192 AS DOUBLE) / 8192.0 - 0.5)), 0.0)
+            / CAST(greatest(len(hs), 1) AS DOUBLE)) > 0.0 AS keep
+        FROM (SELECT doc_id, $duckHvals AS hs
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+                    FROM documents))
+        ORDER BY doc_id""")),
+
     // Feature-hashing vectorizer (the hashing trick): tokens hash into a
     // FIXED 16-bucket count vector per document — the cheap, stateless,
     // vocabulary-free "embedding" a pipeline computes when model

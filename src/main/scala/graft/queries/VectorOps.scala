@@ -219,6 +219,61 @@ object VectorOps {
             FROM bl a JOIN bl b
               ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
           WHERE cos_sim > 0.35 ORDER BY vec_a, vec_b"""
-      })
+      }),
+
+    // Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    // cluster embeddings by nearest centroid, then inside each cluster
+    // drop every vector whose cosine to a LOWER-id cluster-mate reaches
+    // the threshold — the keep-one-representative rule, made
+    // deterministic by keying on vec_id. Scale shape: the centroid
+    // codebook is driver-sized at any corpus size (k grows with N but
+    // stays thousands), so assignment is a broadcast + per-vector argmax
+    // (narrow map); the prune join is an equi-join on the cluster id —
+    // cluster sizes are bounded by construction (N/k), so the per-key
+    // pair work is bounded and the join is shuffle-keyed, never a
+    // cartesian. Centroids here are the first 8 vectors, pinned for
+    // determinism (production: graft.queries.KMeans.fit).
+    Q("v6_semantic_dedup",
+      (s, d) => {
+        val e = Tables.embeddingsSpread(s, d)
+        val cents = e.where(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+        val scored = e.join(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("cent_id"),
+            cosine(col("embedding"), col("ce")).as("ccos"))
+        val byVec = Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cent_id"))
+        val assigned = scored.withColumn("rn", row_number().over(byVec))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+        val a = assigned.select(col("cell"), col("vec_id").as("va"),
+          col("embedding").as("ea"))
+        val b = assigned.select(col("cell"), col("vec_id").as("vb"),
+          col("embedding").as("eb"))
+        val dropped = a.join(b, Seq("cell")).where(col("va") < col("vb"))
+          .where(cosine(col("ea"), col("eb")) >= 0.3)
+          .select(col("vb").as("vec_id")).distinct()
+        assigned.join(dropped, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("cell"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH cents AS (
+            SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
+          scored AS (
+            SELECT e.vec_id, e.embedding, cent_id, ${duckCos("e.embedding", "ce")} AS ccos
+            FROM embeddings e CROSS JOIN cents),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY ccos DESC, cent_id) AS rn FROM scored),
+          assigned AS (
+            SELECT vec_id, embedding, cent_id AS cell FROM ranked WHERE rn = 1),
+          dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.3)
+        SELECT vec_id, cell FROM assigned
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        ORDER BY vec_id"""))
   )
 }

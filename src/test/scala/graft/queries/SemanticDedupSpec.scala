@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, Tables, TestSpark}
+
+/** Gates for the round-5 additions v6_semantic_dedup (SemDeDup) and
+  * t11_classifier_score (linear quality classifier).
+  *
+  * v6's rule is re-derived here from first principles on the raw
+  * embeddings (sequential-fold cosine, the same arithmetic the
+  * CosineSimilarity expression is spec'd bit-exact against): a vector
+  * survives iff no lower-id vector in its cluster reaches the 0.3
+  * threshold. t11's scale claim — model application is a pure map —
+  * is locked in as a plan assertion (no hash-partition exchange
+  * anywhere; the only exchange is the presentation sort's range
+  * partitioning).
+  */
+class SemanticDedupSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("v6_semantic_dedup: keepers are exactly the lowest-id survivors per cluster") {
+    val vecs: Map[Long, Array[Float]] = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cents = vecs.filter(_._1 < 8).toSeq.sortBy(_._1)
+    // argmax cosine; tie → lowest centroid id (v6's row_number order)
+    val assigned: Map[Long, Long] = vecs.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .maxBy { case (cid, c) => (c, -cid) }._1
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val expected = ids.filter { id =>
+      !ids.exists(u => u < id && assigned(u) == assigned(id) &&
+        cos(vecs(u), vecs(id)) >= 0.3)
+    }
+
+    val got = SparkEntry.queries("v6_semantic_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._1).toSeq == expected, "keeper set mismatch")
+    got.foreach { case (id, cell) =>
+      assert(cell == assigned(id), s"vec $id assigned $cell, expected ${assigned(id)}")
+    }
+    // the dedup must actually drop something on this corpus
+    assert(got.length < ids.length, "threshold dropped nothing — gate is vacuous")
+  }
+
+  test("t11_classifier_score: zero-shuffle map; keep ⇔ score>0; scores bounded") {
+    val df = SparkEntry.queries("t11_classifier_score")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"model application should be a pure map, found a hash shuffle:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    var kept = 0
+    rows.foreach { r =>
+      val score = r.getDouble(2); val keep = r.getBoolean(3)
+      assert(keep == (score > 0.0))
+      assert(score >= -0.5 && score <= 0.5, s"score out of range: $score")
+      if (keep) kept += 1
+    }
+    // weights are ~uniform on [-0.5, 0.5): a degenerate all-keep or
+    // all-drop outcome would mean the hash→weight map collapsed
+    assert(kept > 0 && kept < rows.length, s"degenerate split: $kept/${rows.length}")
+  }
+}
