@@ -80,10 +80,22 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> measure(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal (millisecond) precision: full-double repr made the line
+    // ~3.5 KB and the round harness records only a 2000-char output tail,
+    // truncating the artifact mid-JSON (ADVICE r5). ms precision is below
+    // run-to-run noise anyway.
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces against any output-capture truncation: the full
+    // line is also persisted where the repo can commit it.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -23,10 +23,11 @@ import org.apache.spark.sql.functions._
   * - embeddings: vec_id offset + dimension rotation by k (norm- and
   *   distance-structure-preserving, so ANN work grows with corpus size
   *   instead of degenerating into exact duplicates)
-  * - events: read/written with the raw INT64 `ts` (nanos) column — the
-  *   replica parquet stays readable through Tables.events' explicit
-  *   schema; timestamps are NOT shifted (10× the users in the same time
-  *   window: per-window density grows, the realistic scale-up)
+  * - events: read through [[Tables.events]] (footer-encoding-aware) and
+  *   written back as Spark-native TIMESTAMP_MICROS, which the loader's
+  *   native branch reads; timestamps are NOT shifted (10× the users in
+  *   the same time window: per-window density grows, the realistic
+  *   scale-up)
   *
   * Usage: runMain graft.ScaleBuild <m> [baseDir] [outDir]
   */
@@ -84,15 +85,13 @@ object ScaleBuild {
       Seq("l_orderkey" -> nOrd, "l_partkey" -> nPart, "l_suppkey" -> nSupp)),
       "lineitem", 16)
 
-    // events through the raw-long ts schema (TIMESTAMP(NANOS) source)
-    val events = {
-      import org.apache.spark.sql.types._
-      val raw = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      spark.read.schema(raw).parquet(s"$base/events.parquet")
-    }
+    // events through the encoding-aware loader (handles TIMESTAMP(NANOS),
+    // TIMESTAMP(MICROS), and raw-long sources alike); the replica is
+    // written by Spark as TIMESTAMP_MICROS, which Tables.events reads
+    // back through its native branch. Timestamp VALUES are already the
+    // same µs floor either way, so replicas from either source encoding
+    // are interchangeable.
+    val events = Tables.events(spark, base)
     val nEv = nextKey(events, "event_id")
     val nUser = nextKey(events, "user_id")
     write(replicate(events,

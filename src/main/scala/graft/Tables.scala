@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated synthetic tables (TESTDATA.md).
   *
-  * All tables are plain single-file Parquet; `events.ts` is written as
-  * parquet TIMESTAMP(NANOS), which Spark's schema inference rejects — we
-  * read it through an explicit schema as a raw long and floor-divide to
-  * microseconds, matching DuckDB's own ns→µs truncation, so the DuckDB
-  * oracle and Spark agree bit-for-bit on timestamp values.
+  * All tables are plain single-file Parquet. `events.ts` has been
+  * observed in TWO generator encodings across rounds — TIMESTAMP(NANOS)
+  * (which Spark's schema inference rejects) and TIMESTAMP(MICROS) (which
+  * it reads natively) — so [[Tables.events]] dispatches on the parquet
+  * footer's actual type instead of assuming either one. Both branches
+  * yield the same µs-precision TimestampType values DuckDB produces, so
+  * the oracle and Spark agree bit-for-bit.
   */
 object Tables {
 
@@ -104,21 +106,54 @@ object Tables {
       StructField("props", StringType)))
   }
 
-  /** `events` with `ts` normalized to TimestampType (µs, UTC).
+  /** `events` with `ts` normalized to TimestampType (µs, UTC), driven by
+    * the parquet footer's ACTUAL encoding instead of a hard-coded
+    * assumption (the round-5 lesson: the generator regenerated the data
+    * as TIMESTAMP(MICROS) and an assumed-nanos `div 1000` collapsed every
+    * timestamp onto 1970-01-20). Three footer shapes are handled:
     *
-    * `ts div 1000` is integer division on the raw nanosecond long —
-    * floating-point division would lose precision above 2^53 ns. The µs
-    * floor matches DuckDB's own ns→µs truncation, so the oracle and
-    * Spark agree bit-for-bit.
+    *  - `ts` infers as TimestampType — TIMESTAMP(MICROS/MILLIS) physical
+    *    data. Used as-is: Spark reads it natively and plain predicate
+    *    pushdown already works, no rewrite needed.
+    *  - schema inference REJECTS the footer — TIMESTAMP(NANOS), which a
+    *    vanilla session refuses without the `nanosAsLong` legacy flag.
+    *    Read through [[eventsRawSchema]] (raw INT64) and floor-divide:
+    *    `ts div 1000` is integer division on the raw nanosecond long
+    *    (float division would lose precision above 2^53 ns); the µs
+    *    floor matches DuckDB's own ns→µs truncation bit-for-bit.
+    *  - `ts` infers as LongType — an unannotated raw-nanos INT64 column
+    *    (the [[ScaleBuild]] replica format). Same `div 1000` path.
     *
-    * Self-contained: reads through [[eventsRawSchema]], so no session
-    * flag is needed and ad-hoc sessions work unmodified.
+    * Self-contained either way: no session flag needed, ad-hoc sessions
+    * work unmodified. [[graft.plans.ImpliedScanRanges]] keeps time-range
+    * pushdown working on the nanos branches; the micros branch needs no
+    * help.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    perSession(spark)
-      .getOrElseUpdate(path, spark.read.schema(eventsRawSchema).parquet(path))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    perSession(spark).getOrElseUpdate(path, {
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+      // Inference is eager (the footer is read at load), so NANOS data
+      // throws here and falls through to the raw-schema branch.
+      val native = scala.util.Try(spark.read.parquet(path)).toOption.flatMap {
+        df =>
+          df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+            case Some(TimestampType) => Some(df)
+            // isAdjustedToUTC=false footers (pyarrow's default) infer as
+            // NTZ; the generator's wall-clock values ARE UTC instants, and
+            // graft sessions run with spark.sql.session.timeZone=UTC, so
+            // the cast is µs-value-preserving and keeps every downstream
+            // timestamp comparison on one type.
+            case Some(TimestampNTZType) =>
+              Some(df.withColumn("ts", col("ts").cast(TimestampType)))
+            case _ => None // raw INT64 nanos (ScaleBuild replicas) et al.
+          }
+      }
+      native.getOrElse {
+        spark.read.schema(eventsRawSchema).parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      }
+    })
   }
 
   /** Register every table as a temp view (ad-hoc SQL surface; SURVEY §3.3). */

@@ -82,6 +82,23 @@ object ImpliedScanRanges extends Rule[LogicalPlan] {
     }
   }
 
+  /** A pushdown-eligible timestamp scan expression: a plain TimestampType
+    * attribute, or `cast(ntzAttr AS timestamp)` — the shape
+    * [[graft.Tables.events]] produces for isAdjustedToUTC=false
+    * (TimestampNTZ-inferred) parquet. Emitting a comparison on the cast
+    * is sound for any session zone (the bound is implied on the cast's
+    * VALUE); Spark's own UnwrapCastInBinaryComparison, running in the
+    * same fixed-point batch, then rewrites it to a plain NTZ-attribute
+    * comparison, which the parquet source accepts into PushedFilters. */
+  private object PushableTs {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case a: Attribute if a.dataType == TimestampType => Some(a)
+      case c @ Cast(a: Attribute, TimestampType, _, _)
+          if a.dataType == TimestampNTZType => Some(c)
+      case _ => None
+    }
+  }
+
   /** Peel monotone `date_trunc(unit, inner)`; yields the inner expression
     * and the unit's maximum bucket length in micros (for upper bounds). */
   private object Trunc {
@@ -123,18 +140,19 @@ object ImpliedScanRanges extends Rule[LogicalPlan] {
   /** Implied raw-column bounds for one conjunct (empty when no pattern
     * matches). */
   private def implied(c: Expression): Seq[Expression] = c match {
-    // Base cases for a PLAIN timestamp scan column: the comparison is
-    // itself the (pushable) bound. Standalone conjuncts of this shape
-    // re-emit themselves and are dropped by the caller's semanticEquals
-    // dedup; the cases exist so the date_trunc/IN recursions terminate
-    // usefully on ordinary columns — date_trunc('day', ts) ≥ T on a
-    // parquet ts column previously derived NO pushable bound at all.
-    case GreaterThanOrEqual(a: Attribute, TsLit(t)) if a.dataType == TimestampType =>
-      Seq(GreaterThanOrEqual(a, Literal(t, TimestampType)))
-    case LessThanOrEqual(a: Attribute, TsLit(t)) if a.dataType == TimestampType =>
-      Seq(LessThanOrEqual(a, Literal(t, TimestampType)))
-    case LessThan(a: Attribute, TsLit(t)) if a.dataType == TimestampType =>
-      Seq(LessThan(a, Literal(t, TimestampType)))
+    // Base cases for a pushable timestamp scan expression (plain column
+    // or NTZ cast — see PushableTs): the comparison is itself the
+    // (pushable) bound. Standalone conjuncts of this shape re-emit
+    // themselves and are dropped by the caller's semanticEquals dedup;
+    // the cases exist so the date_trunc/IN recursions terminate usefully
+    // on ordinary columns — date_trunc('day', ts) ≥ T on a parquet ts
+    // column previously derived NO pushable bound at all.
+    case GreaterThanOrEqual(PushableTs(e), TsLit(t)) =>
+      Seq(GreaterThanOrEqual(e, Literal(t, TimestampType)))
+    case LessThanOrEqual(PushableTs(e), TsLit(t)) =>
+      Seq(LessThanOrEqual(e, Literal(t, TimestampType)))
+    case LessThan(PushableTs(e), TsLit(t)) =>
+      Seq(LessThan(e, Literal(t, TimestampType)))
     case LessThan(NanoTs(raw), TsLit(t))            => Seq(upper(raw, t))
     case LessThanOrEqual(NanoTs(raw), TsLit(t))     => Seq(upper(raw, t + 1))
     case GreaterThanOrEqual(NanoTs(raw), TsLit(t))  => Seq(lower(raw, t))

@@ -756,10 +756,16 @@ object TextOps {
     // every true overlap and the final answer is byte-identical to d8's
     // exact result — which is exactly what this gate checks (same
     // oracle SQL, full hash compare). False positives only cost
-    // confirm-join input volume (≤ fpp × corpus shingles). At 100 TB
-    // the corpus side still never shuffles before the sliver groupBy;
-    // the win over d8 is the broadcast payload: fixed-size bits
-    // instead of the exploded benchmark text.
+    // confirm-join input volume (≤ fpp × corpus shingles). Honest scale
+    // accounting: the win over d8 is the PROBE volume — the corpus side
+    // is prefiltered map-side to a sliver before any join — while the
+    // confirm join still broadcasts the exploded benchmark shingles,
+    // which is the right plan exactly because decontamination benchmarks
+    // are ≪ corpus by construction (shuffling the prefiltered corpus to
+    // meet a bucketed bench would cost more than the broadcast saves).
+    // If a bench side ever outgrew the broadcast threshold, the fallback
+    // is a plain shuffle equi-join on shingle — drop the hint, same
+    // semantics — not a different algorithm.
     Q("d14_bloom_decontaminate",
       (s, d) => {
         val sh = shingled(s, d)

@@ -231,8 +231,16 @@ object VectorOps {
     // (narrow map); the prune join is an equi-join on the cluster id —
     // cluster sizes are bounded by construction (N/k), so the per-key
     // pair work is bounded and the join is shuffle-keyed, never a
-    // cartesian. Centroids here are the first 8 vectors, pinned for
-    // determinism (production: graft.queries.KMeans.fit).
+    // cartesian. The N/k bound is only real if k GROWS WITH THE CORPUS:
+    // SemDeDup's own protocol sets k ∝ N (the paper uses 50k clusters
+    // on LAION-440M; expect O(√N)..O(N/1e4) in practice) so per-cell
+    // pair work stays ~(N/k)² × k ≈ N²/k — with FIXED k the in-cell
+    // pair join degenerates quadratically at scale. The 8-vector
+    // codebook below is a GATE FIXTURE ONLY, pinned for a deterministic
+    // oracle; the production path is graft.queries.KMeans.fit with
+    // corpus-proportional k (or graft.llm.VectorIndex's persisted
+    // codebook), and SemanticDedupSpec asserts the fixture's cell
+    // occupancy stays within the N/k envelope this plan assumes.
     Q("v6_semantic_dedup",
       (s, d) => {
         val e = Tables.embeddingsSpread(s, d)

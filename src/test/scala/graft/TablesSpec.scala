@@ -1,37 +1,156 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** `Tables.events` must be self-contained: the parquet file is
-  * TIMESTAMP(NANOS), which Spark's schema inference rejects unless the
-  * session was built with the `nanosAsLong` legacy flag. The loader reads
-  * through an explicit schema instead, so a DEFAULT session — the ad-hoc
-  * notebook case — must work, and the µs truncation must match what the
-  * flag-based read produced (DuckDB's own ns→µs floor).
+/** Regression lock for the `events.ts` encoding contract.
+  *
+  * The driver's generator has produced `events.parquet` in different
+  * physical encodings across rounds — TIMESTAMP(NANOS) (rejected by
+  * Spark's schema inference) through round 4, TIMESTAMP(MICROS) (read
+  * natively) from round 5 — and a loader that assumes either one
+  * silently corrupts every timestamp when the other shows up (round 5:
+  * an assumed-nanos `div 1000` put all of 2024 on 1970-01-20 and redded
+  * 12 oracle gates). [[Tables.events]] therefore dispatches on the
+  * parquet footer. This spec writes THE SAME logical rows in all four
+  * observed physical shapes — Spark-native TIMESTAMP_MICROS, pyarrow-style
+  * NTZ micros, raw
+  * unannotated INT64 nanos (the ScaleBuild replica format), and true
+  * annotation-level TIMESTAMP(NANOS) via parquet-mr — and asserts the
+  * loader yields identical 2024-range values from each, so a future
+  * generator regen in any encoding cannot silently flip queries again.
   */
 class TablesSpec extends AnyFunSuite {
 
-  private val dir = "/root/testdata/sf0.001"
+  private def s = TestSpark.spark
 
-  test("events loads from a vanilla SparkSession (no nanosAsLong flag)") {
-    // A sibling session of the shared test context: default conf, no flag.
-    val vanilla = TestSpark.spark.newSession()
-    assert(vanilla.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ == "false"))
-    val ev = Tables.events(vanilla, dir)
-    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
-    assert(ev.count() > 0)
+  /** Logical fixture: (event_id, micros-since-epoch). Sub-µs remainders
+    * are added on the nanos encodings to exercise the ns→µs floor. */
+  private val rows: Seq[(Long, Long)] = {
+    val base = java.time.Instant.parse("2024-03-01T12:34:56.789012Z")
+      .getEpochSecond * 1000000L + 789012L
+    (0L until 5L).map(i => (i, base + i * 86400L * 1000000L + i * 7L))
   }
 
-  test("explicit-schema read truncates ns→µs identically to the raw long") {
-    val s = TestSpark.spark
-    import s.implicits._
-    val viaLoader = Tables.events(s, dir)
-      .selectExpr("event_id", "unix_micros(ts) AS us").as[(Long, Long)].collect().toMap
-    val raw = s.read
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(s"$dir/events.parquet")
-      .selectExpr("event_id", "ts div 1000 AS us").as[(Long, Long)].collect().toMap
-    assert(viaLoader == raw)
+  private lazy val fixtures: Map[String, String] = {
+    val spark = s
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("tables-enc").toString
+
+    // -- micros: Spark's default parquet timestamp output ---------------
+    val microsDir = s"$root/micros"
+    rows.toDF("event_id", "us")
+      .selectExpr("event_id", "timestamp_micros(us) AS ts",
+        "event_id AS user_id", "'click' AS event_type",
+        "1.5 AS value", "'{}' AS props")
+      .coalesce(1).write.parquet(s"$microsDir/events.parquet")
+
+    // -- ntz: isAdjustedToUTC=false micros — pyarrow's default, what the
+    // round-5 generator actually ships; infers as TimestampNTZType ------
+    val ntzDir = s"$root/ntz"
+    rows.toDF("event_id", "us")
+      .selectExpr("event_id",
+        "cast(timestamp_micros(us) AS timestamp_ntz) AS ts",
+        "event_id AS user_id", "'click' AS event_type",
+        "1.5 AS value", "'{}' AS props")
+      .coalesce(1).write.parquet(s"$ntzDir/events.parquet")
+
+    // -- rawlong: unannotated INT64 nanoseconds (ScaleBuild replicas) ---
+    val rawDir = s"$root/rawlong"
+    rows.toDF("event_id", "us")
+      .selectExpr("event_id", "us * 1000 + 500 AS ts",
+        "event_id AS user_id", "'click' AS event_type",
+        "1.5 AS value", "'{}' AS props")
+      .coalesce(1).write.parquet(s"$rawDir/events.parquet")
+
+    // -- nanos: true TIMESTAMP(NANOS) annotation, via parquet-mr --------
+    val nanosDir = s"$root/nanos"
+    writeNanosAnnotated(s"$nanosDir/events.parquet")
+
+    Map("micros" -> microsDir, "ntz" -> ntzDir,
+      "rawlong" -> rawDir, "nanos" -> nanosDir)
+  }
+
+  /** The round-1..4 generator shape: INT64 annotated TIMESTAMP(NANOS),
+    * which vanilla-session schema inference refuses to read. */
+  private def writeNanosAnnotated(path: String): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64)
+      .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.NANOS)).named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+
+    val w = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(path))
+      .withType(schema)
+      .build()
+    try rows.foreach { case (id, us) =>
+      val g = new SimpleGroup(schema)
+      g.add("event_id", id)
+      g.add("ts", us * 1000L + 500L) // sub-µs remainder: floor must drop it
+      g.add("user_id", id)
+      g.add("event_type", "click")
+      g.add("value", 1.5d)
+      g.add("props", "{}")
+      w.write(g)
+    } finally w.close()
+  }
+
+  private def loadedMicros(dir: String): Map[Long, Long] = {
+    val spark = s
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .selectExpr("event_id", "unix_micros(ts) AS us")
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("every observed physical encoding load to identical µs timestamps") {
+    val expected = rows.toMap
+    for ((name, dir) <- fixtures) {
+      val got = loadedMicros(dir)
+      assert(got == expected, s"encoding '$name' mismatched the fixture")
+      assert(Tables.events(s, dir).schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType, s"encoding '$name'")
+    }
+  }
+
+  test("2024 range predicate matches rows under every encoding (q5 shape)") {
+    for ((name, dir) <- fixtures) {
+      val n = Tables.events(s, dir)
+        .where("ts >= timestamp'2024-01-01 00:00:00' AND ts < timestamp'2025-01-01 00:00:00'")
+        .count()
+      assert(n == rows.size.toLong, s"encoding '$name' lost 2024 rows")
+    }
+  }
+
+  test("nanos-annotated fixture really is the inference-rejected shape") {
+    // Guards the fixture itself: if parquet-mr ever wrote something a
+    // vanilla read accepts as TimestampType, the fallback branch would
+    // be untested without this failing first.
+    val t = scala.util.Try(
+      s.read.parquet(s"${fixtures("nanos")}/events.parquet").schema)
+    assert(t.isFailure, "vanilla inference unexpectedly accepted TIMESTAMP(NANOS)")
+  }
+
+  test("driver testdata loads from a vanilla SparkSession with ts as timestamp") {
+    val vanilla = TestSpark.spark.newSession()
+    assert(vanilla.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ == "false"))
+    val ev = Tables.events(vanilla, "/root/testdata/sf0.001")
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    // The regression's signature was ALL timestamps collapsing onto 1970;
+    // whatever encoding the driver ships, loaded values must stay in a
+    // plausible modern range.
+    val years = ev.selectExpr("min(year(ts))", "max(year(ts))").head()
+    assert(years.getInt(0) >= 2000 && years.getInt(1) <= 2100,
+      s"events.ts decoded outside a plausible range: $years")
   }
 }

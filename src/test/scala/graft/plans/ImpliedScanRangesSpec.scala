@@ -228,6 +228,44 @@ class ImpliedScanRangesSpec extends AnyFunSuite {
       s"second application changed the plan:\n$once\nvs\n$twice")
   }
 
+  test("q5-shaped predicates reach PushedFilters under BOTH events encodings") {
+    // The round-5 regression taught that the events physical encoding can
+    // flip under the repo. Whichever branch Tables.events takes — native
+    // timestamp (micros/NTZ footer) or raw-long nanos — a
+    //   date_trunc('day', ts) >= A AND ts < B
+    // filter must land range bounds on the scan: as plain (possibly
+    // cast-unwrapped) ts bounds on the native branch, as derived raw-long
+    // bounds on the nanos branch. At 100 TB the difference is a pruned
+    // time slice vs a full-table scan.
+    val root = java.nio.file.Files.createTempDirectory("isr-enc").toString
+    val base = 1704240000L * 1000000L // 2024-01-03T00:00:00Z µs
+    val fixture = (0 until 10).map(i => (i.toLong, base + i * 86400L * 1000000L))
+
+    // native branch: NTZ micros (pyarrow-style, the round-5+ driver shape)
+    fixture.toDF("event_id", "us")
+      .selectExpr("event_id", "cast(timestamp_micros(us) AS timestamp_ntz) AS ts",
+        "event_id AS user_id", "'c' AS event_type", "1.0 AS value", "'' AS props")
+      .write.parquet(s"$root/ntz/events.parquet")
+    // nanos branch: raw INT64 ns (pre-round-5 / ScaleBuild replica shape)
+    fixture.toDF("event_id", "us")
+      .selectExpr("event_id", "us * 1000 AS ts",
+        "event_id AS user_id", "'c' AS event_type", "1.0 AS value", "'' AS props")
+      .write.parquet(s"$root/raw/events.parquet")
+
+    for (enc <- Seq("ntz", "raw")) {
+      val q = graft.Tables.events(spark, s"$root/$enc")
+        .where(date_trunc("day", col("ts")) >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") < lit("2024-01-08").cast("timestamp"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,")
+          || plan.contains("PushedFilters: [IsNotNull(ts), LessThan(ts,"),
+        s"encoding $enc: no ts range bound reached the scan:\n$plan")
+      assert(plan.contains("GreaterThanOrEqual(ts,") && plan.contains("LessThan(ts,"),
+        s"encoding $enc: expected BOTH bounds pushed:\n$plan")
+      assert(q.count() == 3, s"encoding $enc: wrong surviving rows") // Jan 5,6,7
+    }
+  }
+
   test("the implied bound reaches the parquet PushedFilters") {
     val dir = java.nio.file.Files.createTempDirectory("isr").toString
     raws.toDF("raw").write.mode("overwrite").parquet(dir)

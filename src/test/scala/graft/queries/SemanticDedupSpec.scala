@@ -58,6 +58,30 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(got.length < ids.length, "threshold dropped nothing — gate is vacuous")
   }
 
+  test("v6: fixture cell occupancy stays within the N/k plan envelope") {
+    // The intra-cell pair join is bounded only while cells hold ~N/k
+    // vectors (SemDeDup sets k ∝ corpus; the 8-centroid codebook is a
+    // gate fixture). Guard the fixture's own premise: if the embedding
+    // distribution ever collapsed most vectors into one cell, the gate
+    // would silently be exercising a quadratic plan instead of the
+    // bounded one the operator claims. Envelope: max cell ≤ 4× the
+    // uniform share, measured on the FULL assignment (pre-prune — that
+    // is what the pair join sees).
+    val vecs: Map[Long, Array[Float]] = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cents = vecs.filter(_._1 < 8).toSeq.sortBy(_._1)
+    val n = vecs.size.toLong
+    val k = 8L
+    val maxCell = vecs.valuesIterator.map { v =>
+      cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .maxBy { case (cid, c) => (c, -cid) }._1
+    }.toSeq.groupBy(identity).valuesIterator.map(_.size.toLong).max
+    assert(maxCell <= 4L * (n / k + 1L),
+      s"max cell $maxCell exceeds 4×(N/k) with N=$n k=$k — fixture no " +
+        "longer represents the bounded-cell plan v6 is specified for")
+  }
+
   test("t11_classifier_score: zero-shuffle map; keep ⇔ score>0; scores bounded") {
     val df = SparkEntry.queries("t11_classifier_score")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
