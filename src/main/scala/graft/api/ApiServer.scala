@@ -27,6 +27,8 @@ import org.json4s.jackson.JsonMethods
   *   GET  /oracle/events/{id}                      full event
   *   POST /oracle/events/{id}/entry      [NIP-98]  add entry
   *   GET  /oracle/events/{id}/entry/{id}           one entry
+  *   GET  /docs                                    API docs page
+  *   GET  /openapi.json                            OpenAPI 3.0.3 spec
   *   GET  /                                        index (UI dir is
   *                                                 out-of-engine, SURVEY §7.6)
   * }}}
@@ -62,6 +64,10 @@ final class ApiServer(api: OracleApi, host: String = "127.0.0.1", port: Int = 0)
       val q = query(ex)
       (method, segments) match {
         case ("GET", Nil) => sendHtml(ex, 200, Index)
+        // Docs pair (startup.rs:104,135 — utoipa ApiDoc + Scalar at /docs)
+        case ("GET", "docs" :: Nil) => sendHtml(ex, 200, OpenApiDoc.html)
+        case ("GET", "openapi.json" :: Nil) =>
+          sendJson(ex, 200, OpenApiDoc.json)
         case ("GET", "files" :: Nil) =>
           (for {
             obs <- boolParam(q, "observations")
@@ -243,5 +249,7 @@ final class ApiServer(api: OracleApi, host: String = "127.0.0.1", port: Int = 0)
       |/stations/observations, /oracle/npub, /oracle/pubkey, /oracle/update,
       |/oracle/events, /oracle/events/{id},
       |/oracle/events/{id}/entry/{entry_id}</p>
+      |<p>Docs: <a href="/docs">/docs</a> ·
+      |<a href="/openapi.json">/openapi.json</a></p>
       |""".stripMargin
 }

@@ -293,6 +293,30 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(badTime == 400)
   }
 
+  test("docs pair: /openapi.json covers every route; /docs serves HTML") {
+    val (code, doc) = get("/openapi.json")
+    assert(code == 200)
+    assert((doc \ "openapi") == JString("3.0.3"))
+    val paths = (doc \ "paths").asInstanceOf[JObject].obj.map(_._1).toSet
+    // the reference's fourteen documented routes (startup.rs:43-56)
+    for (p <- Seq("/oracle/npub", "/oracle/pubkey", "/oracle/events",
+        "/oracle/events/{event_id}", "/oracle/events/{event_id}/entry",
+        "/oracle/events/{event_id}/entry/{entry_id}", "/oracle/update",
+        "/stations", "/stations/forecasts", "/stations/observations",
+        "/files", "/file/{name}"))
+      assert(paths.contains(p), s"missing path $p in openapi.json")
+    // NIP-98-protected writes declare the security scheme
+    val createSec = doc \ "paths" \ "/oracle/events" \ "post" \ "security"
+    assert(createSec != JNothing, "create event must declare nip98 security")
+
+    val rsp = client.send(
+      HttpRequest.newBuilder(URI.create(url("/docs"))).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(rsp.statusCode() == 200)
+    assert(rsp.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+    assert(rsp.body().contains("/oracle/events") && rsp.body().contains("NIP-98"))
+  }
+
   test("404s: unknown event, unknown entry, unknown route") {
     val ghost = Uuid7.generate()
     assert(get(s"/oracle/events/$ghost")._1 == 404)
