@@ -284,4 +284,33 @@ object VectorOps {
         WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
         ORDER BY vec_id"""))
   )
+
+  /** Production SemDeDup (the scale path v6's gate fixture stands in
+    * for): learn a corpus-proportional k-means codebook
+    * ([[KMeans.fit]] — SemDeDup's own clustering step, L2 on the
+    * embeddings), assign every vector to its nearest centroid with a
+    * ZERO-SHUFFLE map (the k × dim codebook is a plan literal), then
+    * keep, per cell, only vectors with no lower-id cell-mate at ≥
+    * `threshold` cosine. Callers size `k ∝ corpus` (the paper's 50k
+    * clusters on LAION-440M; O(√N) is a sane default) — that is what
+    * keeps per-cell pair work at ~N²/k instead of quadratic.
+    *
+    * @return keepers as (`idCol`, cell)
+    */
+  def semanticDedup(embeddings: DataFrame, k: Int, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (cents, _) = KMeans.fit(embeddings, k, idCol = idCol, vecCol = vecCol)
+    val assigned = embeddings
+      .select(col(idCol), col(vecCol),
+        KMeans.assignCell(cents, col(vecCol)).as("cell"))
+    val a = assigned.select(col("cell"), col(idCol).as("va"),
+      col(vecCol).as("ea"))
+    val b = assigned.select(col("cell"), col(idCol).as("vb"),
+      col(vecCol).as("eb"))
+    val dropped = a.join(b, Seq("cell")).where(col("va") < col("vb"))
+      .where(cosine(col("ea"), col("eb")) >= threshold)
+      .select(col("vb").as(idCol)).distinct()
+    assigned.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell"))
+  }
 }

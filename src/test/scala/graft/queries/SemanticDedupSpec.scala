@@ -82,6 +82,46 @@ class SemanticDedupSpec extends AnyFunSuite {
         "longer represents the bounded-cell plan v6 is specified for")
   }
 
+  test("production semanticDedup: parity with the first-principles rule at corpus-proportional k") {
+    val n = Tables.embeddings(spark, sf).count().toInt
+    val k = math.max(8, math.sqrt(n.toDouble).toInt) // k ∝ corpus, paper-style
+    val (cents, _) = KMeans.fit(Tables.embeddings(spark, sf), k)
+
+    // re-derive expected keepers from raw vectors + the SAME codebook
+    val vecs: Map[Long, Array[Float]] = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def l2sq(c: Array[Double], v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = c(i) - v(i); s += d * d; i += 1 }
+      s
+    }
+    val assigned: Map[Long, Int] = vecs.map { case (id, v) =>
+      // nearest centroid; ties → first index (array_position semantics)
+      id -> cents.zipWithIndex.minBy { case (c, i) => (l2sq(c, v), i) }._2
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val expected = ids.filter { id =>
+      !ids.exists(u => u < id && assigned(u) == assigned(id) &&
+        cos(vecs(u), vecs(id)) >= 0.3)
+    }
+
+    // KMeans.fit is deterministic (farthest-first init, no RNG), so the
+    // production call re-fits the identical codebook internally.
+    val got = VectorOps.semanticDedup(Tables.embeddings(spark, sf), k, 0.3)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.map(_._1).toSeq == expected, "keeper set mismatch")
+    got.foreach { case (id, cell) =>
+      assert(cell == assigned(id), s"vec $id assigned $cell, expected ${assigned(id)}")
+    }
+
+    // the k ∝ N property the operator exists for: cells stay bounded
+    val maxCell = assigned.valuesIterator.toSeq
+      .groupBy(identity).valuesIterator.map(_.size).max
+    assert(maxCell <= 8 * (n / k + 1),
+      s"max cell $maxCell vs N/k=${n / k} — codebook not spreading the corpus")
+  }
+
   test("t11_classifier_score: zero-shuffle map; keep ⇔ score>0; scores bounded") {
     val df = SparkEntry.queries("t11_classifier_score")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
