@@ -140,12 +140,19 @@ object Tables {
           df.schema.fields.find(_.name == "ts").map(_.dataType) match {
             case Some(TimestampType) => Some(df)
             // isAdjustedToUTC=false footers (pyarrow's default) infer as
-            // NTZ; the generator's wall-clock values ARE UTC instants, and
-            // graft sessions run with spark.sql.session.timeZone=UTC, so
-            // the cast is µs-value-preserving and keeps every downstream
-            // timestamp comparison on one type.
+            // NTZ; the generator's wall-clock values ARE UTC instants, so
+            // convert with an explicitly-UTC cast — NOT the session-zone
+            // cast `.cast(TimestampType)` would plan — making the loaded
+            // instants correct even from an ad-hoc session configured
+            // with a non-UTC spark.sql.session.timeZone. µs values pass
+            // through untouched (UTC→UTC is the identity on the raw
+            // micros), matching DuckDB's naive read bit-for-bit.
             case Some(TimestampNTZType) =>
-              Some(df.withColumn("ts", col("ts").cast(TimestampType)))
+              import org.apache.spark.sql.graft.ColumnBridge
+              Some(df.withColumn("ts", ColumnBridge.column(
+                org.apache.spark.sql.catalyst.expressions.Cast(
+                  ColumnBridge.expression(col("ts")), TimestampType,
+                  Some("UTC")))))
             case _ => None // raw INT64 nanos (ScaleBuild replicas) et al.
           }
       }

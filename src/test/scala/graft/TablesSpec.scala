@@ -141,6 +141,52 @@ class TablesSpec extends AnyFunSuite {
     assert(t.isFailure, "vanilla inference unexpectedly accepted TIMESTAMP(NANOS)")
   }
 
+  test("NTZ decode is UTC regardless of the session timezone") {
+    // Ad-hoc sessions may carry any spark.sql.session.timeZone; the
+    // loader bakes UTC into the cast, so loaded instants must not shift.
+    val zoned = TestSpark.spark.newSession()
+    zoned.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val got = {
+        import zoned.implicits._
+        Tables.events(zoned, fixtures("ntz"))
+          .selectExpr("event_id", "unix_micros(ts) AS us")
+          .as[(Long, Long)].collect().toMap
+      }
+      assert(got == rows.toMap,
+        "non-UTC session shifted the NTZ-decoded instants")
+    } finally zoned.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  test("driver testdata shape canary: silent generator changes must fail loudly") {
+    // Round 5 lesson: the generator can regenerate any table with a new
+    // physical shape at any time. Events is now footer-dispatched; for
+    // the rest, lock the COLUMN CONTRACT the operators assume, so a
+    // regen that renames or retypes a load-bearing column reds this one
+    // named test instead of corrupting dozens of query gates.
+    val s2 = s
+    def cols(t: String) =
+      Tables.table(s2, "/root/testdata/sf0.001", t).schema.fields
+        .map(f => f.name -> f.dataType).toMap
+    val docs = cols("documents")
+    assert(docs.contains("doc_id") && docs.contains("text") && docs.contains("source"),
+      s"documents columns changed: ${docs.keys.toSeq.sorted}")
+    val emb = cols("embeddings")
+    assert(emb.contains("vec_id") && emb.contains("embedding"),
+      s"embeddings columns changed: ${emb.keys.toSeq.sorted}")
+    emb("embedding") match {
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        assert(et == org.apache.spark.sql.types.FloatType,
+          s"embedding element type changed to $et — cosine kernels and " +
+            "their DuckDB oracle mirrors assume float32 input")
+      case other => fail(s"embedding is no longer an array: $other")
+    }
+    val li = cols("lineitem")
+    for (c <- Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_returnflag", "l_shipdate"))
+      assert(li.contains(c), s"lineitem lost $c: ${li.keys.toSeq.sorted}")
+  }
+
   test("driver testdata loads from a vanilla SparkSession with ts as timestamp") {
     val vanilla = TestSpark.spark.newSession()
     assert(vanilla.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ == "false"))
