@@ -29,6 +29,8 @@ import org.json4s.jackson.JsonMethods
   *   GET  /oracle/events/{id}/entry/{id}           one entry
   *   GET  /docs                                    API docs page
   *   GET  /openapi.json                            OpenAPI 3.0.3 spec
+  *   GET  /console                                 SQL console page
+  *   POST /query                                   guarded ad-hoc SQL
   *   GET  /                                        index (UI dir is
   *                                                 out-of-engine, SURVEY §7.6)
   * }}}
@@ -68,6 +70,20 @@ final class ApiServer(api: OracleApi, host: String = "127.0.0.1", port: Int = 0)
         case ("GET", "docs" :: Nil) => sendHtml(ex, 200, OpenApiDoc.html)
         case ("GET", "openapi.json" :: Nil) =>
           sendJson(ex, 200, OpenApiDoc.json)
+        // Ad-hoc console (ui/main.js:112-141 runs this client-side in
+        // duckdb-wasm; here the guard and execution are server-side)
+        case ("GET", "console" :: Nil) => sendHtml(ex, 200, Console)
+        case ("POST", "query" :: Nil) =>
+          val body = parseBody(ex)
+          val sql = body \ "sql" match { case JString(s) => s; case _ => "" }
+          val limit = body \ "limit" match {
+            case JInt(n) => Some(n.toInt)
+            case _ => None
+          }
+          api.queryJson(sql, limit) match {
+            case Left(err) => sendError(ex, err)
+            case Right(js) => sendJson(ex, 200, js)
+          }
         case ("GET", "files" :: Nil) =>
           (for {
             obs <- boolParam(q, "observations")
@@ -250,6 +266,44 @@ final class ApiServer(api: OracleApi, host: String = "127.0.0.1", port: Int = 0)
       |/oracle/events, /oracle/events/{id},
       |/oracle/events/{id}/entry/{entry_id}</p>
       |<p>Docs: <a href="/docs">/docs</a> ·
-      |<a href="/openapi.json">/openapi.json</a></p>
+      |<a href="/openapi.json">/openapi.json</a> ·
+      |SQL console: <a href="/console">/console</a></p>
+      |""".stripMargin
+
+  /** Self-contained SQL console (the reference ships a duckdb-wasm
+    * console, ui/main.js — out-of-engine per SURVEY §7.6; this page is
+    * the transport-thin equivalent over `POST /query`, zero external
+    * assets, with the default query mirroring main.js:52). */
+  private val Console =
+    """<!doctype html><html><head><meta charset="utf-8">
+      |<title>graft console</title>
+      |<style>body{font-family:sans-serif;max-width:60rem;margin:2rem auto}
+      |textarea{width:100%;height:6rem;font-family:monospace}
+      |table{border-collapse:collapse;margin-top:1rem}
+      |td,th{border:1px solid #ccc;padding:.2em .5em;font-size:.9em}
+      |#err{color:#b00}</style></head><body>
+      |<h1>graft SQL console</h1>
+      |<p>Read-only SQL over the <code>observations</code> and
+      |<code>forecasts</code> views (server-enforced guard).</p>
+      |<textarea id="q">SELECT station_id, generated_at FROM forecasts
+      |ORDER BY station_id, generated_at DESC LIMIT 200</textarea><br>
+      |<button onclick="run()">Run</button> <span id="err"></span>
+      |<div id="out"></div>
+      |<script>
+      |async function run(){
+      |  const err=document.getElementById('err'),out=document.getElementById('out');
+      |  err.textContent='';out.innerHTML='';
+      |  const rsp=await fetch('/query',{method:'POST',
+      |    headers:{'Content-Type':'application/json'},
+      |    body:JSON.stringify({sql:document.getElementById('q').value})});
+      |  const js=await rsp.json();
+      |  if(!rsp.ok){err.textContent=js.error||('HTTP '+rsp.status);return;}
+      |  const esc=s=>String(s).replace(/[&<>]/g,c=>({'&':'&amp;','<':'&lt;','>':'&gt;'}[c]));
+      |  let h='<table><tr>'+js.columns.map(c=>'<th>'+esc(c)+'</th>').join('')+'</tr>';
+      |  for(const r of js.rows)
+      |    h+='<tr>'+r.map(v=>'<td>'+(v===null?'∅':esc(typeof v==='object'?JSON.stringify(v):v))+'</td>').join('')+'</tr>';
+      |  out.innerHTML=h+'</table>';
+      |}
+      |</script></body></html>
       |""".stripMargin
 }

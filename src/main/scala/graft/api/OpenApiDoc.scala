@@ -44,7 +44,13 @@ object OpenApiDoc {
     Route("get", "/stations", "stations", "stations seen recently"),
     Route("get", "/file/{name}", "files", "snapshot download"),
     Route("get", "/files", "files", "file name listing"),
-    Route("post", "/file/{name}", "files", "snapshot upload")
+    Route("post", "/file/{name}", "files", "snapshot upload"),
+    // Server-side form of the reference's client-side duckdb-wasm
+    // console (ui/main.js:112-141) — not in the reference's OpenAPI doc
+    // because there it is not an HTTP route.
+    Route("post", "/query", "console",
+      "read-only ad-hoc SQL over observations/forecasts views " +
+        "(body: {sql, limit?}; guard rejects non-SELECT)")
   )
 
   /** OpenAPI 3.0.3 document (json4s AST, encoded by the server). */

@@ -11,6 +11,7 @@ import org.json4s._
 
 import graft.oracle._
 import graft.queries.WeatherQueries
+import graft.sql.AdHoc
 import graft.store.WeatherStore
 import graft.store.WeatherStore.Kinds
 
@@ -270,6 +271,68 @@ final class OracleApi(
       case (Some(s), Some(e)) => weatherStore.read(kind, s, e)
       case _ => weatherStore.readAll(kind)
     }
+
+  // ----------------------------------------------------------- ad-hoc SQL
+
+  /** POST /query — the reference UI's ad-hoc console capability, moved
+    * server-side: ui/main.js:112-141 registers the downloaded snapshots
+    * as duckdb-wasm tables and runs arbitrary user SQL against them,
+    * with the SELECT-only guard left as a TODO (main.js:130). Here the
+    * same two tables are temp views over the live store and the guard is
+    * [[graft.sql.AdHoc.run]]'s parsed-plan check, enforced before
+    * execution. The row cap mirrors the UI's default `LIMIT 200` example
+    * (main.js:52), bounded at 1000 — the transport is for console-sized
+    * answers, not extracts (those are `GET /file/{name}`).
+    */
+  def queryJson(sql: String, limit: Option[Int]): Either[ApiError, JValue] = {
+    val cap = math.max(1, math.min(limit.getOrElse(200), 1000))
+    if (sql.trim.isEmpty) Left(bad("missing sql"))
+    else {
+      AdHoc.registerViews(spark, Seq(
+        Kinds.Observations -> weatherStore.readAll(Kinds.Observations),
+        Kinds.Forecasts -> weatherStore.readAll(Kinds.Forecasts))
+        .collect { case (n, Some(df)) => n -> df }.toMap)
+      try {
+        val df = AdHoc.run(spark, sql)
+        val cols = df.columns.toList
+        val rows = df.limit(cap).collect()
+        Right(JObject(
+          "columns" -> JArray(cols.map(JString(_))),
+          "rows" -> JArray(rows.toList.map(r =>
+            JArray(cols.indices.toList.map(i => sqlJson(r.get(i))))))))
+      } catch {
+        case AdHoc.NotAQueryException(m) => Left(bad(m))
+        case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+          Left(bad(s"parse error: ${e.getMessage}"))
+        case e: org.apache.spark.sql.AnalysisException =>
+          Left(bad(s"analysis error: ${e.getMessage}"))
+      }
+    }
+  }
+
+  /** Generic SQL value → JSON for the console transport (timestamps as
+    * RFC-3339, like every other route). */
+  private def sqlJson(v: Any): JValue = v match {
+    case null => JNull
+    case s: String => JString(s)
+    case b: Boolean => JBool(b)
+    case i: Int => JInt(BigInt(i))
+    case l: Long => JInt(BigInt(l))
+    case s: Short => JInt(BigInt(s.toInt))
+    case b: Byte => JInt(BigInt(b.toInt))
+    case d: Double => JDouble(d)
+    case f: Float => JDouble(f.toDouble)
+    case d: java.math.BigDecimal => JDecimal(BigDecimal(d))
+    case d: BigDecimal => JDecimal(d)
+    case t: Timestamp => JString(fmt(t))
+    case d: java.sql.Date => JString(d.toString)
+    case seq: scala.collection.Seq[_] => JArray(seq.toList.map(sqlJson))
+    case m: scala.collection.Map[_, _] =>
+      JObject(m.toList.map { case (k, x) => k.toString -> sqlJson(x) })
+    case r: Row =>
+      JObject(r.schema.fieldNames.toList.zip(r.toSeq.map(sqlJson)): _*)
+    case other => JString(other.toString)
+  }
 
   // --------------------------------------------------------------- files
 

@@ -293,6 +293,46 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(badTime == 400)
   }
 
+  test("console: POST /query runs guarded SELECTs and rejects writes") {
+    // plain scalar query — no view needed
+    val (c1, r1) = post("/query", """{"sql":"SELECT 1 AS one, 'a' AS s"}""")
+    assert(c1 == 200, s"got $c1: $r1")
+    assert((r1 \ "columns") == JArray(List(JString("one"), JString("s"))))
+    assert((r1 \ "rows") == JArray(List(JArray(List(JInt(1), JString("a"))))))
+
+    // guard: non-SELECT statements are 400, not executed
+    for (bad <- Seq(
+        "DROP TABLE observations",
+        "CREATE TABLE x AS SELECT 1",
+        "INSERT INTO observations SELECT 1")) {
+      val (code, body) = post("/query", JsonMethods.compact(JsonMethods.render(
+        JObject("sql" -> JString(bad)))))
+      assert(code == 400, s"'$bad' should be rejected, got $code: $body")
+    }
+    // parse errors are 400 too
+    val (cBad, _) = post("/query", """{"sql":"SELEKT oops"}""")
+    assert(cBad == 400)
+    // missing sql is 400
+    val (cMiss, _) = post("/query", """{}""")
+    assert(cMiss == 400)
+
+    // the weather views are queryable (store populated by earlier tests)
+    val (c2, r2) = post("/query",
+      """{"sql":"SELECT count(*) AS n FROM observations","limit":5}""")
+    assert(c2 == 200, s"got $c2: $r2")
+    val n = (r2 \ "rows") match {
+      case JArray(List(JArray(List(JInt(v))))) => v
+      case other => fail(s"unexpected rows shape: $other")
+    }
+    assert(n > 0, "observations view empty in console query")
+
+    // the console page itself
+    val rsp = client.send(
+      HttpRequest.newBuilder(URI.create(url("/console"))).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(rsp.statusCode() == 200 && rsp.body().contains("/query"))
+  }
+
   test("docs pair: /openapi.json covers every route; /docs serves HTML") {
     val (code, doc) = get("/openapi.json")
     assert(code == 200)
