@@ -178,33 +178,44 @@ object Components {
     // at its 3-exchange minimum (see withLoopConf). At toy scale this is
     // 1 partition; at cluster scale it is the data-sized width.
     val loopPartitions = if (converged) 1 else edges.rdd.getNumPartitions
+    // One large-star + small-star round, pure lineage (no materialization).
+    def round(edges0: DataFrame): DataFrame = {
+      // large-star: symmetrize; m(x) = min(Γ(x) ∪ {x}); attach every
+      // neighbor y > x to m(x). Every canonical edge is re-emitted from
+      // the perspective of its smaller endpoint, so connectivity holds.
+      val sym = edges0.select(col("u"), col("v"))
+        .unionByName(edges0.select(col("v").as("u"), col("u").as("v")))
+      val largeMins = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      // No dedup between the stars: the large-star output stays
+      // u-hash-partitioned out of its join, so the small-star groupBy
+      // and join below need NO further exchange — a distinct() here
+      // would repartition on (u,v) and force two extra exchanges per
+      // round. Duplicate (u,v) rows (several neighbors attaching v to
+      // the same min) are absorbed map-side by the min aggregate and
+      // swept by the round-end distinct; volume stays O(|edges|).
+      val afterLarge = sym.where(col("v") > col("u"))
+        .join(largeMins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      // small-star: per node, re-point all parents (smaller neighbors)
+      // at the minimum parent, keeping the node's own link to it.
+      val smallMins = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+      afterLarge.join(smallMins, Seq("u"))
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(smallMins.select(col("u"), col("m").as("v")))
+    }
     withLoopConf(pairs.sparkSession, loopPartitions) {
       converged = converged || isStarForest(edges)
       while (iter < maxIters && !converged) {
-        // large-star: symmetrize; m(x) = min(Γ(x) ∪ {x}); attach every
-        // neighbor y > x to m(x). Every canonical edge is re-emitted from
-        // the perspective of its smaller endpoint, so connectivity holds.
-        val sym = edges.select(col("u"), col("v"))
-          .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
-        val largeMins = sym.groupBy("u")
-          .agg(least(min(col("v")), first(col("u"))).as("m"))
-        // No dedup between the stars: the large-star output stays
-        // u-hash-partitioned out of its join, so the small-star groupBy
-        // and join below need NO further exchange — a distinct() here
-        // would repartition on (u,v) and force two extra exchanges per
-        // round. Duplicate (u,v) rows (several neighbors attaching v to
-        // the same min) are absorbed map-side by the min aggregate and
-        // swept by the final distinct; volume stays O(|edges|).
-        val afterLarge = sym.where(col("v") > col("u"))
-          .join(largeMins, Seq("u"))
-          .select(col("v").as("u"), col("m").as("v"))
-        // small-star: per node, re-point all parents (smaller neighbors)
-        // at the minimum parent, keeping the node's own link to it.
-        val smallMins = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
-        val next = afterLarge.join(smallMins, Seq("u"))
-          .where(col("v") =!= col("m"))
-          .select(col("v").as("u"), col("m").as("v"))
-          .unionByName(smallMins.select(col("u"), col("m").as("v")))
+        // ONE round per eager localCheckpoint. Fusing two rounds into a
+        // single lineage was measured 6-10× SLOWER (23-57 s vs ~4 s at
+        // sf0.1): the checkpoint is not only lineage truncation but
+        // MEMOIZATION — `sym` feeds both the groupBy and the join probe,
+        // so an unmaterialized round gets recomputed once per consumer,
+        // compounding across the fused pair. Spark shares no common
+        // subplans within a job beyond exchange reuse.
+        val next = round(edges)
           .distinct()
           .localCheckpoint(true)
         converged = isStarForest(next)
