@@ -228,6 +228,49 @@ class ImpliedScanRangesSpec extends AnyFunSuite {
       s"second application changed the plan:\n$once\nvs\n$twice")
   }
 
+  test("seeded fuzz: NTZ-cast scan column × date_trunc × every op lose no rows") {
+    // Same soundness sweep as the raw-nanos fuzz, but over the shape the
+    // NTZ events branch produces: a TimestampNTZ scan column wrapped in
+    // an explicitly-UTC cast. The rule's PushableTs base cases emit
+    // bounds on the cast, Spark's UnwrapCastInBinaryComparison rewrites
+    // them to NTZ-attribute bounds — this asserts the combination never
+    // drops a qualifying row.
+    val rnd = new scala.util.Random(11)
+    val base = 1723420800L * 1000000L // 2024-08-12T00:00:00Z µs
+    val fuzzUs = Seq.fill(200) {
+      val span = Seq(1000000L, 3600L * 1000000L, 40L * 86400L * 1000000L)(rnd.nextInt(3))
+      base + (rnd.nextLong() % span)
+    }
+    val dir =
+      java.nio.file.Files.createTempDirectory("isr-ntz").toString + "/t"
+    fuzzUs.toDF("us")
+      .selectExpr("us", "cast(timestamp_micros(us) AS timestamp_ntz) AS tsn")
+      .write.parquet(dir)
+    val fdf = spark.read.parquet(dir)
+      .withColumn("ts", expr("cast(tsn AS timestamp)")).cache()
+    assert(fdf.schema("tsn").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val t0us = base + 3600L * 1000000L // an hour in, so both sides populated
+    val thr = timestamp_micros(lit(t0us))
+    val cases: Seq[(String, org.apache.spark.sql.Column, Long => Boolean)] = Seq(
+      ("lt", col("ts") < thr, _ < t0us),
+      ("le", col("ts") <= thr, _ <= t0us),
+      ("gt", col("ts") > thr, _ > t0us),
+      ("ge", col("ts") >= thr, _ >= t0us),
+      ("trunc-ge", date_trunc("hour", col("ts")) >= thr,
+        us => us / (3600L * 1000000L) * (3600L * 1000000L) >= t0us),
+      ("trunc-le", date_trunc("hour", col("ts")) <= thr,
+        us => us / (3600L * 1000000L) * (3600L * 1000000L) <= t0us),
+      ("trunc-eq-day", date_trunc("day", col("ts")) === timestamp_micros(lit(
+          base / (86400L * 1000000L) * (86400L * 1000000L))),
+        us => us / (86400L * 1000000L) == base / (86400L * 1000000L)))
+    for ((tag, cond, p) <- cases) {
+      val got = fdf.where(cond).select("us").as[Long].collect().sorted.toSeq
+      assert(got == fuzzUs.filter(p).sorted, s"case $tag")
+    }
+    fdf.unpersist()
+  }
+
   test("q5-shaped predicates reach PushedFilters under BOTH events encodings") {
     // The round-5 regression taught that the events physical encoding can
     // flip under the repo. Whichever branch Tables.events takes — native
