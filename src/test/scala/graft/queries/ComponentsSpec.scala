@@ -71,6 +71,30 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.size == 200)
   }
 
+  test("star variant: a two-parent child is NOT treated as a fixpoint") {
+    // Regression lock for the early-stop's exact characterization: edges
+    // {(3,1),(3,2)} have disjoint child/parent sets (3 vs {1,2}) but are
+    // NOT a proper star forest — node 3 keeps two parents, the next
+    // small-star still rewires, and 1,2,3 are ONE component. A fixpoint
+    // test missing the single-parent requirement stops here and labels
+    // 2 as its own component (observed while deriving the check).
+    val got = Components.connectedComponentsStar(
+        Seq((3L, 1L), (3L, 2L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("star variant: an already-star-forest input converges with zero rounds") {
+    // The early-stop checks the INPUT too: a proper star forest (every
+    // child one parent, parents never children, roots the minima) is
+    // already the fixpoint, so the loop must not run — and must still
+    // label correctly, including the isolated self-pair node.
+    val got = Components.connectedComponentsStar(
+        Seq((2L, 1L), (3L, 1L), (5L, 4L), (6L, 6L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
   test("star variant: agrees with hash-min on clustered near-dup shapes") {
     val rnd = new scala.util.Random(31)
     // dense clusters + bridges — the d7 regime
