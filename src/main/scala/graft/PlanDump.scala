@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    // the engine-configured session: events' TIMESTAMP(NANOS) handling and
+    // the engine-configured session: events' footer-driven ts decoding and
     // the custom optimizer rules must be on, or the dumped plan isn't the
     // plan the engine runs (and events-reading queries fail outright)
     val spark = Sessions.local("8", "graft-plan-dump")

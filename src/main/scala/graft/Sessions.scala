@@ -12,9 +12,10 @@ import org.apache.spark.sql.SparkSession
   *  - UTC session timezone (all reference timestamps are UTC RFC-3339);
   *  - AQE on (runtime coalescing + skew-join splitting at scale).
   *
-  * `events.ts` (parquet TIMESTAMP(NANOS)) needs no session flag:
-  * [[Tables.events]] reads it through an explicit schema, so ad-hoc
-  * sessions built without this helper work too.
+  * `events.ts` needs no session flag in ANY of its observed physical
+  * encodings: [[Tables.events]] dispatches on the parquet footer
+  * (native read for micros/NTZ, explicit raw-long schema for nanos),
+  * so ad-hoc sessions built without this helper work too.
   */
 object Sessions {
 
