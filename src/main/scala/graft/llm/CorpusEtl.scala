@@ -418,6 +418,88 @@ object CorpusEtl {
             toks[CAST(chunk_id * 96 + 1 AS INT) :
                  CAST(chunk_id * 96 + LEAST(128, n_tokens - chunk_id * 96) AS INT)],
             ' ') AS chunk_text
-        FROM c ORDER BY doc_id, chunk_id"""))
+        FROM c ORDER BY doc_id, chunk_id""")),
+
+    // Temperature-based source mixing (the UniMax/mT5-shaped "sample
+    // sources ∝ size^α" pass, α = 1/2 here): where c3 rebalances to a
+    // UNIFORM mixture, c8 upweights small sources only partially —
+    // weight ∝ sqrt(source size) — the standard compromise between
+    // natural and uniform sampling for multi-source training corpora.
+    // Determinism contract: sqrt is correctly-rounded IEEE in both
+    // engines, and the weight is immediately QUANTIZED to a long
+    // (floor(sqrt·100)), so total_w is an exact integer sum (a float
+    // Σsqrt would be addition-order-dependent); every downstream ratio
+    // (mix_share, upsample_factor) is ONE division of exact longs, and
+    // the per-source keep threshold is pure integer arithmetic
+    // ((n_total·w·256) div (total_w·n_docs), capped at 256 — sources
+    // with factor ≥ 1 keep everything and repeat epochs instead).
+    // Membership itself reuses c2's hash-bucket convention (first byte
+    // of md5(doc_id)) — stable under re-runs and corpus growth, never a
+    // global sort. Scale shape: one low-cardinality groupBy(source)
+    // that collapses map-side, 1-row totals + per-source thresholds
+    // broadcast back, and the sampling decision is a per-row map over
+    // the scan; the integer products assume corpus counts ≪ 2^53 per
+    // factor — at larger magnitudes the same ratios move to
+    // DECIMAL(38) unchanged in shape.
+    Q("c8_temperature_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val per = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .withColumn("weight",
+            floor(sqrt(col("sum_chars").cast("double")) * 100).cast("long"))
+        val totals = per.agg(sum(col("weight")).cast("long").as("total_w"),
+          sum(col("n_docs")).cast("long").as("n_total"))
+        val rated = per.crossJoin(broadcast(totals))
+          .withColumn("mix_share",
+            col("weight").cast("double") / col("total_w").cast("double"))
+          .withColumn("upsample_factor",
+            (col("n_total") * col("weight")).cast("double") /
+              (col("total_w") * col("n_docs")).cast("double"))
+          .withColumn("keep_buckets",
+            least(lit(256L), expr("(n_total * weight * 256) div (total_w * n_docs)")))
+        val kept = docs
+          .withColumn("bucket",
+            expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int)"))
+          .join(broadcast(rated.select("source", "keep_buckets")), Seq("source"))
+          .where(col("bucket") < col("keep_buckets"))
+          .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+        rated.join(kept, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("sum_chars"), col("weight"),
+            col("mix_share"), col("upsample_factor"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+          .orderBy("source")
+      },
+      Some("""WITH per AS (
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM documents GROUP BY source),
+        w AS (SELECT source, n_docs, sum_chars,
+            CAST(floor(sqrt(CAST(sum_chars AS DOUBLE)) * 100) AS BIGINT) AS weight
+          FROM per),
+        totals AS (SELECT CAST(SUM(weight) AS BIGINT) AS total_w,
+            CAST(SUM(n_docs) AS BIGINT) AS n_total FROM w),
+        rated AS (
+          SELECT source, n_docs, sum_chars, weight,
+            CAST(weight AS DOUBLE) / CAST(total_w AS DOUBLE) AS mix_share,
+            CAST(n_total * weight AS DOUBLE) / CAST(total_w * n_docs AS DOUBLE)
+              AS upsample_factor,
+            LEAST(256, (n_total * weight * 256) // (total_w * n_docs))
+              AS keep_buckets
+          FROM w, totals),
+        b AS (
+          SELECT source,
+            (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*16 +
+            (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1) AS bucket
+          FROM documents),
+        kept AS (
+          SELECT b.source, COUNT(*) AS n_sampled
+          FROM b JOIN rated ON b.source = rated.source
+          WHERE bucket < keep_buckets GROUP BY b.source)
+        SELECT rated.source, n_docs, sum_chars, weight, mix_share,
+          upsample_factor, COALESCE(kept.n_sampled, 0) AS n_sampled
+        FROM rated LEFT JOIN kept ON rated.source = kept.source
+        ORDER BY rated.source"""))
   )
 }

@@ -339,24 +339,29 @@ object TextOps {
     * doubles), so results are bit-exact across engines and against the
     * driver-side reference in BigramLmFuzzSpec. Documents with fewer
     * than 2 tokens have no bigrams and are absent from the output. */
-  def bigramLm(input: DataFrame): DataFrame = {
-    // Two tokenize+explode passes over the corpus (model training,
-    // scoring) — and only two: the MODEL is cached, so the prefix
-    // aggregate derives from it instead of re-tokenizing a third time
-    // (Catalyst would otherwise inline the HOF chain into every
-    // consumer). The cache deliberately holds the aggregated model, not
-    // the exploded bigram stream: the model is vocabulary-bounded while
-    // the stream is corpus-sized × tokens — the one you could never pin
-    // at 100 TB.
-    // Both the bigram and its prefix word are hashed to xxhash64 longs
-    // in the narrow projection right after the explode: the model
-    // aggregate, the prefix aggregate, and the corpus-sized scoring
-    // join all exchange 8-byte keys instead of bigram strings, and
-    // every aggregate stays on mutable-buffer types (a string-valued
-    // agg would demote HashAggregate to SortAggregate). w1_h is
-    // functionally dependent on bg_h, so grouping by both is the same
-    // grouping; collisions (~n²/2⁶⁵) are negligible at any vocabulary
-    // size, and the oracle keeps its string keys — values must agree.
+  /** Corpus bigram stream rejoined with its own trained model: one row
+    * per bigram OCCURRENCE, carrying the model counts `(c_bg, c_w1)` so
+    * `p(w2|w1) = c_bg / c_w1`. Shared by t9 (probability stats) and t13
+    * (surprisal quantization).
+    *
+    * Two tokenize+explode passes over the corpus (model training,
+    * scoring) — and only two: the MODEL is cached, so the prefix
+    * aggregate derives from it instead of re-tokenizing a third time
+    * (Catalyst would otherwise inline the HOF chain into every
+    * consumer). The cache deliberately holds the aggregated model, not
+    * the exploded bigram stream: the model is vocabulary-bounded while
+    * the stream is corpus-sized × tokens — the one you could never pin
+    * at 100 TB.
+    * Both the bigram and its prefix word are hashed to xxhash64 longs
+    * in the narrow projection right after the explode: the model
+    * aggregate, the prefix aggregate, and the corpus-sized scoring
+    * join all exchange 8-byte keys instead of bigram strings, and
+    * every aggregate stays on mutable-buffer types (a string-valued
+    * agg would demote HashAggregate to SortAggregate). w1_h is
+    * functionally dependent on bg_h, so grouping by both is the same
+    * grouping; collisions (~n²/2⁶⁵) are negligible at any vocabulary
+    * size, and the oracle keeps its string keys — values must agree. */
+  private def bigramScored(input: DataFrame): DataFrame = {
     val docBg = input.select(col("doc_id"),
       explode(ngramsExpr(2, distinct = false)).as("bigram"))
       .select(col("doc_id"), xxhash64(col("bigram")).as("bg_h"),
@@ -364,15 +369,17 @@ object TextOps {
     val model = docBg.groupBy("bg_h", "w1_h").agg(count(lit(1)).as("c_bg"))
       .cache()
     val prefix = model.groupBy("w1_h").agg(sum(col("c_bg")).cast("long").as("c_w1"))
-    val scored = docBg
-      .join(model.join(prefix, Seq("w1_h")).select("bg_h", "c_bg", "c_w1"),
-        Seq("bg_h"))
+    docBg.join(model.join(prefix, Seq("w1_h")).select("bg_h", "c_bg", "c_w1"),
+      Seq("bg_h"))
+  }
+
+  def bigramLm(input: DataFrame): DataFrame =
+    bigramScored(input)
       .withColumn("p", col("c_bg").cast("double") / col("c_w1").cast("double"))
-    scored.groupBy("doc_id")
+      .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("c_bg") <= 1, 1L).otherwise(0L)).as("n_rare"),
         min(col("p")).as("min_p"), max(col("p")).as("max_p"))
-  }
 
   /** Per-node degree + incident-triangle counts over a canonical
     * (doc_a < doc_b, distinct) undirected edge set — the dedup-graph QA
@@ -1152,6 +1159,59 @@ object TextOps {
         SELECT doc_id, array_to_string(vec, ',') AS vec_csv,
           sqrt(CAST(list_sum(list_transform(vec, x -> x * x)) AS DOUBLE)) AS l2_norm
         FROM v ORDER BY doc_id""")),
+
+    // Quantized-surprisal perplexity filter — the CCNet-shaped "score
+    // documents by corpus-LM perplexity, keep the in-distribution ones"
+    // pass (Wenzek et al. 2020), on the same bigram model t9 trains.
+    // Each bigram's surprisal −log2 p(w2|w1) = log2(c_w1/c_bg) is
+    // QUANTIZED to its integer floor, computed exactly in integer space:
+    // for q = c_w1 div c_bg ≥ 1, floor(log2(c_w1/c_bg)) = bitlen(q) − 1
+    // (2^k ≤ q ≤ c_w1/c_bg and c_w1/c_bg < q+1 ≤ 2^(k+1)), and bitlen
+    // is the length of the exact integer→binary string (Spark `conv`,
+    // DuckDB `format('{:b}')`). Why quantize: neither engine's float
+    // log2 is guaranteed correctly rounded, so a sum of true logs is
+    // not hash-stable cross-engine — whereas the quantized sum is an
+    // exact long and mean_bits is ONE division of exact longs
+    // (bit-identical IEEE in both). The true-log score differs only in
+    // the final per-row map; the filter semantics (rank by mean
+    // surprisal, threshold) are the same. Scale shape: identical to t9
+    // — vocabulary-bounded model aggregate on hashed bigram keys, the
+    // corpus-sized scoring join co-partitioned on the same 8-byte key,
+    // one per-doc groupBy; quantization is a per-row integer map with
+    // no extra shuffle.
+    Q("t13_perplexity_filter",
+      (s, d) => bigramScored(Tables.documentsSpread(s, d))
+        .withColumn("bits",
+          (length(conv(expr("c_w1 div c_bg"), 10, 2)) - 1).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("bits")).cast("long").as("sum_bits"),
+          (sum(col("bits")).cast("double") / count(lit(1)).cast("double"))
+            .as("mean_bits"))
+        .withColumn("keep", col("mean_bits") <= 6.0)
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        bg AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(t)),
+            i -> t[i] || ' ' || t[i+1])) AS bigram
+          FROM tok WHERE len(t) >= 2),
+        model AS (
+          SELECT bigram, COUNT(*) AS c_bg,
+            string_split(bigram, ' ')[1] AS w1
+          FROM bg GROUP BY bigram),
+        prefix AS (
+          SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_w1 FROM model GROUP BY w1),
+        scored AS (
+          SELECT doc_id,
+            CAST(length(format('{:b}', p.c_w1 // m.c_bg)) - 1 AS BIGINT) AS bits
+          FROM bg JOIN model m ON bg.bigram = m.bigram
+                  JOIN prefix p ON m.w1 = p.w1)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          CAST(SUM(bits) AS BIGINT) AS sum_bits,
+          CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_bits,
+          (CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) <= 6.0 AS keep
+        FROM scored GROUP BY doc_id ORDER BY doc_id""")),
 
     // Multimodal plumbing: opaque binary payload column + typed metadata
     // (the schema/partitioning side of image/audio handling; decode is
