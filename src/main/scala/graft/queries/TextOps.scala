@@ -808,6 +808,84 @@ object TextOps {
         GROUP BY c.doc_id, b.doc_id HAVING COUNT(*) >= 2
         ORDER BY doc_id, bench_id""")),
 
+    // Content-defined chunk duplication — the alignment-FREE form of d9
+    // (FastCDC/Rabin chunking applied at token level): a cut is placed
+    // after token i whenever the digest of the trailing 4-token window
+    // satisfies `md5_byte0 mod 8 == 0` (expected chunk ≈ 8 tokens), so
+    // chunk boundaries are a function of CONTENT ONLY — a shared passage
+    // produces identical interior chunks at ANY offset in either
+    // document, closing exactly the recall boundary d9 documents (its
+    // stride grid misses passages whose occurrences disagree on offset
+    // mod 20). This is the storage-dedup technique (LBFS/FastCDC)
+    // applied to corpus text. Everything is engine-portable by
+    // construction: cut decisions and chunk identities are md5 (same
+    // hex in both engines) and integer arithmetic — no float anywhere.
+    // Scale shape: cut detection and chunk assembly are per-row HOFs
+    // over the token array (zero shuffle); the explode emits ~n/8
+    // chunks per doc (bounded fanout); dup detection is a two-level
+    // groupBy on the 128-bit chunk digest — (digest, doc) collapses
+    // map-side first, so a boilerplate chunk repeated 10^6× inside one
+    // shard never crosses the wire more than once per partition, the
+    // same skew-bounding two-phase shape d9 uses.
+    Q("d15_cdc_dup",
+      (s, d) => {
+        val cuts =
+          """filter(sequence(1, size(toks) - 1), i -> i >= 4 AND
+             cast(conv(substring(md5(cast(concat_ws(' ', slice(toks, i - 3, 4)) as binary)), 1, 2), 16, 10) as int) % 8 = 0)"""
+        val chunks = Tables.documentsSpread(s, d)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+          .withColumn("cuts", expr(cuts))
+          .withColumn("span", explode(expr(
+            """zip_with(
+                 concat(array(1), transform(cuts, c -> c + 1)),
+                 concat(cuts, array(size(toks))),
+                 (s, e) -> named_struct('s', s, 'e', e))""")))
+          .select(col("doc_id"),
+            md5(concat_ws(" ",
+              expr("slice(toks, span.s, span.e - span.s + 1)"))).as("digest"),
+            (col("span.e") - col("span.s") + 1).as("n_tokens"))
+        chunks.groupBy("digest", "doc_id")
+          .agg(count(lit(1)).as("occ"), min(col("n_tokens")).as("nt"))
+          .groupBy("digest")
+          .agg(count(lit(1)).cast("int").as("n_docs"),
+            sum(col("occ")).cast("int").as("n_occ"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+            min(col("nt")).cast("int").as("n_tokens"))
+          .where(col("n_docs") >= 2)
+          .orderBy("digest")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        c AS (
+          SELECT doc_id, toks,
+            list_filter(range(1, len(toks)), i -> i >= 4 AND
+              ((strpos('0123456789abcdef', substr(md5(array_to_string(toks[i-3:i], ' ')),1,1))-1)*16 +
+               (strpos('0123456789abcdef', substr(md5(array_to_string(toks[i-3:i], ' ')),2,1))-1)) % 8 = 0) AS cuts
+          FROM d),
+        sp AS (
+          SELECT doc_id, toks,
+            list_prepend(1, list_transform(cuts, x -> x + 1)) AS starts,
+            list_append(cuts, len(toks)) AS ends
+          FROM c),
+        e AS (
+          SELECT doc_id, toks, starts, ends,
+            unnest(range(1, len(starts) + 1)) AS k
+          FROM sp),
+        ch AS (
+          SELECT doc_id,
+            md5(array_to_string(toks[CAST(starts[k] AS INT):CAST(ends[k] AS INT)], ' ')) AS digest,
+            ends[k] - starts[k] + 1 AS n_tokens
+          FROM e),
+        l1 AS (
+          SELECT digest, doc_id, COUNT(*) AS occ, MIN(n_tokens) AS nt
+          FROM ch GROUP BY digest, doc_id)
+        SELECT digest, CAST(COUNT(*) AS INT) AS n_docs,
+          CAST(SUM(occ) AS INT) AS n_occ,
+          MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+          CAST(MIN(nt) AS INT) AS n_tokens
+        FROM l1 GROUP BY digest HAVING COUNT(*) >= 2
+        ORDER BY digest""")),
+
     // Substring-level duplication (the Lee-et-al "deduplicating training
     // data" modality — doc-level dedup misses long shared passages inside
     // otherwise-distinct documents): slide a 40-char window at stride 20
@@ -817,9 +895,10 @@ object TextOps {
     // detected only when its occurrences agree on start offset mod 20 —
     // which full-document copies, copies sharing a prefix, and
     // grid-aligned boilerplate all do. Arbitrary-offset passage recall
-    // needs stride 1 on one side (20× the rows) or the Lee-et-al suffix
-    // construction; this strided form is the cheap screening pass run
-    // before either. Scale shape: explode factor is
+    // needs stride 1 on one side (20× the rows), the Lee-et-al suffix
+    // construction, or d15's content-defined chunking (alignment-free
+    // by construction); this strided form is the cheap screening pass
+    // run before any of them. Scale shape: explode factor is
     // len/stride per doc (bounded), then ONE groupBy on the 128-bit
     // window digest with map-side partial aggregation — hot boilerplate
     // windows collapse before the shuffle, so skew is bounded.
