@@ -23,8 +23,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "d2_dedup_ngram_jaccard", "d4_minhash_pairs", "d6_simhash_pairs",
     "v2_knn_lsh", "v4_embed_near_dup", "q12_bucket_join", "q14_range_join",
     "q22_asof_join", "q23_salted_agg", "t6_repetition", "c1_corpus_prep",
-    "d8_decontaminate", "t9_bigram_lm", "d10_dup_graph_metrics",
-    "d11_source_overlap",
+    "d8_decontaminate", "t9_bigram_lm", "t13_perplexity_filter",
+    "d10_dup_graph_metrics", "d11_source_overlap", "d15_cdc_dup",
     // correlated subqueries must decorrelate to windows/joins —
     // per-outer-row re-execution would surface as a nested-loop join
     "q36_lateral_topk", "q38_scalar_subquery")
