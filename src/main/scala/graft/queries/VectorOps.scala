@@ -282,7 +282,66 @@ object VectorOps {
             WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.3)
         SELECT vec_id, cell FROM assigned
         WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // Scalar-quantized two-stage ANN (the int8-SQ retrieval pattern,
+    // e.g. FAISS SQ8 / Lucene int8 HNSW): quantize every dimension to
+    // an int8 code, generate candidates under the INTEGER dot product
+    // (4× smaller vectors, SIMD-friendly integer math, and — here —
+    // an EXACT cross-engine gate, since code extraction multiplies by
+    // 128 = 2^7, which shifts the float exponent without rounding, and
+    // candidate ranking never touches a float), then re-rank the top-10
+    // candidates with exact double cosine and keep 3. This is the
+    // memory-bound scale lever ANN deployments stack on top of IVF/LSH
+    // partition pruning (v2/v5 gate those): at 100 TB of embeddings the
+    // scan reads 1 byte/dim instead of 4, and only re-ranked survivors
+    // ever load the full-precision vector. Shape: broadcast the query
+    // codes, map-side integer scoring, per-query top-k window — the
+    // corpus never shuffles.
+    Q("v7_sq_knn",
+      (s, d) => {
+        val codes = expr(
+          "transform(embedding, x -> cast(floor(cast(x as double) * 128.0D) as int))")
+        val e = Tables.embeddingsSpread(s, d).withColumn("code", codes)
+        val q = e.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("code").as("qc"))
+        val cand = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"), col("qe"),
+            col("embedding").as("ne"),
+            expr("aggregate(zip_with(qc, code, (a, b) -> a * b), 0, (acc, v) -> acc + v)")
+              .as("dot_q"))
+        val w1 = Window.partitionBy("qid").orderBy(col("dot_q").desc, col("nid"))
+        val top = cand.withColumn("r", row_number().over(w1)).where(col("r") <= 10)
+          .withColumn("cos_sim", cosine(col("qe"), col("ne")))
+        val w2 = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+        top.withColumn("rnk", row_number().over(w2).cast("int"))
+          .where(col("rnk") <= 3)
+          .select("qid", "nid", "rnk", "dot_q", "cos_sim")
+          .orderBy("qid", "rnk")
+      },
+      Some(s"""WITH e AS (
+          SELECT vec_id, embedding,
+            list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 128.0) AS INT)) AS code
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, embedding AS qe, code AS qc
+              FROM e WHERE vec_id < 20),
+        cand AS (
+          SELECT qid, e.vec_id AS nid, qe, e.embedding AS ne,
+            CAST(list_sum(list_transform(range(1, len(qc) + 1),
+              i -> qc[i] * code[i])) AS INT) AS dot_q
+          FROM e JOIN q ON e.vec_id <> q.qid),
+        top AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY dot_q DESC, nid) AS r FROM cand)
+          WHERE r <= 10),
+        rr AS (
+          SELECT qid, nid, dot_q, ${duckCos("qe", "ne")} AS cos_sim FROM top)
+        SELECT qid, nid, CAST(rnk AS INT) AS rnk, dot_q, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+                      ORDER BY cos_sim DESC, nid) AS rnk FROM rr)
+        WHERE rnk <= 3 ORDER BY qid, rnk"""))
   )
 
   /** Production SemDeDup (the scale path v6's gate fixture stands in
