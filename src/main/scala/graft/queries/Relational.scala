@@ -804,6 +804,86 @@ object Relational {
         FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
         GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 20""")),
 
+    // KMV (k-minimum-values) sketch set operations — estimated
+    // cross-source content overlap (Beyer et al. 2007): per source,
+    // the sketch is the k=64 smallest values of a uniform content hash
+    // over its DISTINCT documents; for each source pair, the k smallest
+    // of the sketch union are inspected and Jaccard ≈ |in both| / k.
+    // This is the SCALE path for pairwise overlap matrices: d11
+    // computes the exact answer by shuffling corpus-sized shingle sets;
+    // KMV reduces every source to a fixed k values, so the pair stage
+    // is sketch-sized (pairs × 2k rows) no matter how big the corpus —
+    // at 100 TB the only corpus-sized work is one distinct + one
+    // bounded per-source top-k. Deterministic by construction: the
+    // "uniform hash" is the first 15 hex chars of md5 (identical in
+    // both engines) parsed as an exact 60-bit integer, every rank is
+    // over exact integers, and the estimate is ONE division of exact
+    // ints — no float anywhere until the last division.
+    Q("x4_kmv_jaccard",
+      (s, d) => {
+        val k = 64
+        val docs = Tables.documentsSpread(s, d)
+        val hv = docs.select(col("source"),
+          expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)").as("hv"))
+          .distinct()
+        val wk = Window.partitionBy("source").orderBy("hv")
+        val sk = hv.withColumn("rn", row_number().over(wk)).where(col("rn") <= k)
+          .select("source", "hv")
+        val srcs = sk.select("source").distinct()
+        val pairs = srcs.select(col("source").as("s1"))
+          .crossJoin(srcs.select(col("source").as("s2")))
+          .where(col("s1") < col("s2"))
+        val members = pairs
+          .join(sk.select(col("source").as("s1"), col("hv"), lit(1).as("in_a")),
+            Seq("s1"))
+          .select(col("s1"), col("s2"), col("hv"), col("in_a"), lit(0).as("in_b"))
+          .unionByName(pairs
+            .join(sk.select(col("source").as("s2"), col("hv"), lit(1).as("in_b")),
+              Seq("s2"))
+            .select(col("s1"), col("s2"), col("hv"), lit(0).as("in_a"), col("in_b")))
+          .groupBy("s1", "s2", "hv")
+          .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+        val wu = Window.partitionBy("s1", "s2").orderBy("hv")
+        members.withColumn("rn", row_number().over(wu)).where(col("rn") <= k)
+          .groupBy("s1", "s2")
+          .agg(count(lit(1)).cast("int").as("k_used"),
+            sum(col("in_a") * col("in_b")).cast("int").as("n_shared"))
+          .withColumn("jaccard_est",
+            col("n_shared").cast("double") / col("k_used").cast("double"))
+          .orderBy("s1", "s2")
+      },
+      Some("""WITH hv AS (
+          SELECT DISTINCT source,
+            ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv
+          FROM documents),
+        sk AS (
+          SELECT source, hv FROM (
+            SELECT source, hv,
+              row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+            FROM hv)
+          WHERE rn <= 64),
+        srcs AS (SELECT DISTINCT source FROM sk),
+        pairs AS (
+          SELECT a.source AS s1, b.source AS s2
+          FROM srcs a JOIN srcs b ON a.source < b.source),
+        members AS (
+          SELECT s1, s2, hv, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+            SELECT p.s1, p.s2, k.hv, 1 AS in_a, 0 AS in_b
+            FROM pairs p JOIN sk k ON p.s1 = k.source
+            UNION ALL
+            SELECT p.s1, p.s2, k.hv, 0 AS in_a, 1 AS in_b
+            FROM pairs p JOIN sk k ON p.s2 = k.source)
+          GROUP BY s1, s2, hv),
+        unioned AS (
+          SELECT s1, s2, in_a, in_b,
+            row_number() OVER (PARTITION BY s1, s2 ORDER BY hv) AS rn
+          FROM members)
+        SELECT s1, s2, CAST(COUNT(*) AS INT) AS k_used,
+          CAST(SUM(in_a * in_b) AS INT) AS n_shared,
+          CAST(SUM(in_a * in_b) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS jaccard_est
+        FROM unioned WHERE rn <= 64
+        GROUP BY s1, s2 ORDER BY s1, s2""")),
+
     // CUBE + GROUPING() — all 2^k grouping-set aggregates in ONE pass:
     // Spark plans cube as a single Expand + hash aggregate (each input
     // row fans out to its 4 grouping sets before the shuffle, partials
