@@ -82,6 +82,31 @@ object SnapshotStream {
         obs("obs_time") >= fc("begin_time") && obs("obs_time") < fc("end_time"))
       .drop(fc("station_id"))
 
+  /** LEFT OUTER form of [[matchObservationsToForecasts]]: observations
+    * with no containing forecast slot are still emitted — with null
+    * forecast payload — once the forecast side's watermark proves no
+    * matching slot can still arrive. That is the streaming "report
+    * unmatched records" pattern (coverage monitoring: which stations
+    * observe weather we never forecast?), and it needs one extra piece
+    * the inner join doesn't: an explicit match HORIZON
+    * (`begin_time >= obs_time − horizon`). Containment alone bounds
+    * begin_time only from above, so an arbitrarily OLD forecast could
+    * in principle match any future observation — the engine could never
+    * conclude "unmatched" nor evict outer state. With the horizon, both
+    * event times bound each other, state stays O(stations × horizon),
+    * and null rows emit exactly once the watermark passes
+    * obs_time + horizon. Semantics contract: slots longer than
+    * `horizon` are out of match range — callers size the horizon to
+    * the maximum forecast-slot age worth matching. */
+  def matchObservationsToForecastsOuter(
+      obs: DataFrame, fc: DataFrame, horizon: String = "6 hours"): DataFrame =
+    obs.join(fc,
+      obs("station_id") === fc("station_id") &&
+        obs("obs_time") >= fc("begin_time") && obs("obs_time") < fc("end_time") &&
+        fc("begin_time") >= obs("obs_time") - expr(s"interval $horizon"),
+      "left_outer")
+      .drop(fc("station_id"))
+
   /** Event-time session windows — the streaming twin of the batch
     * gap-sessionization (q20_session_gap): per key, events closer than
     * `gap` merge into one session, a quiet period longer than `gap`

@@ -113,6 +113,45 @@ class SnapshotStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched observations as nulls after the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val obsIn = MemoryStream[(String, Timestamp, Long)](spark)
+    val fcIn = MemoryStream[(String, Timestamp, Timestamp, Long)](spark)
+    val obs = obsIn.toDS().toDF("station_id", "obs_time", "observed")
+      .withWatermark("obs_time", "1 hour")
+    val fc = fcIn.toDS().toDF("station_id", "begin_time", "end_time", "forecast")
+      .withWatermark("begin_time", "1 hour")
+    val joined = SnapshotStream.matchObservationsToForecastsOuter(obs, fc)
+      .select("station_id", "obs_time", "observed", "forecast")
+    val q = joined.writeStream.format("memory").queryName("obs_fc_outer")
+      .outputMode("append").start()
+    try {
+      fcIn.addData(
+        ("A", ts("2024-08-12T00:00:00Z"), ts("2024-08-12T03:00:00Z"), 30L))
+      obsIn.addData(
+        ("A", ts("2024-08-12T01:30:00Z"), 29L),  // matches A's slot
+        ("B", ts("2024-08-12T01:00:00Z"), 19L))  // no B forecast exists
+      q.processAllAvailable()
+      // push both watermarks far past obs_time + horizon so the engine
+      // can prove B's observation is unmatchable (two batches: the
+      // watermark advances at batch end, nulls emit in the next one)
+      fcIn.addData(
+        ("A", ts("2024-08-13T00:00:00Z"), ts("2024-08-13T03:00:00Z"), 31L))
+      obsIn.addData(("A", ts("2024-08-13T00:30:00Z"), 28L))
+      q.processAllAvailable()
+      fcIn.addData(
+        ("A", ts("2024-08-14T00:00:00Z"), ts("2024-08-14T03:00:00Z"), 32L))
+      obsIn.addData(("A", ts("2024-08-14T00:30:00Z"), 27L))
+      q.processAllAvailable()
+      val rows = spark.table("obs_fc_outer").collect()
+        .map(r => (r.getString(0), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(rows.contains(("A", 29L, 30L)), s"matched row missing: $rows")
+      assert(rows.contains(("B", 19L, -1L)),
+        s"unmatched obs must surface with null forecast: $rows")
+    } finally q.stop()
+  }
+
   test("sessionRollup merges within-gap events, splits on quiet periods, emits on watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val input = MemoryStream[(String, Timestamp)](spark)
