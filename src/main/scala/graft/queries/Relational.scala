@@ -812,23 +812,32 @@ object Relational {
     // This is the SCALE path for pairwise overlap matrices: d11
     // computes the exact answer by shuffling corpus-sized shingle sets;
     // KMV reduces every source to a fixed k values, so the pair stage
-    // is sketch-sized (pairs × 2k rows) no matter how big the corpus —
-    // at 100 TB the only corpus-sized work is one distinct + one
-    // bounded per-source top-k. Deterministic by construction: the
-    // "uniform hash" is the first 15 hex chars of md5 (identical in
-    // both engines) parsed as an exact 60-bit integer, every rank is
-    // over exact integers, and the estimate is ONE division of exact
-    // ints — no float anywhere until the last division.
+    // is sketch-sized (pairs × 2k rows) no matter how big the corpus.
+    // The sketch itself is built by [[graft.functions.MinKDistinctLongs]]
+    // — a bounded-state Catalyst aggregate whose partials are ≤k-element
+    // sorted sets merged map-side, so the ONLY corpus-sized work is the
+    // scan: no distinct, no per-source window sort, and the shuffle
+    // carries at most k longs per (map partition × source). Deterministic
+    // by construction: the "uniform hash" is the first 15 hex chars of
+    // md5 (identical in both engines) parsed as an exact 60-bit integer,
+    // every rank is over exact integers, and the estimate is ONE
+    // division of exact ints — no float anywhere until the last
+    // division. (The oracle computes the same sketch the readable way —
+    // distinct + ranked window — which IS the semantic contract the
+    // aggregate implements.)
     Q("x4_kmv_jaccard",
       (s, d) => {
         val k = 64
         val docs = Tables.documentsSpread(s, d)
-        val hv = docs.select(col("source"),
+        import org.apache.spark.sql.graft.ColumnBridge
+        val sk = docs.select(col("source"),
           expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)").as("hv"))
-          .distinct()
-        val wk = Window.partitionBy("source").orderBy("hv")
-        val sk = hv.withColumn("rn", row_number().over(wk)).where(col("rn") <= k)
-          .select("source", "hv")
+          .groupBy("source")
+          .agg(ColumnBridge.column(
+            graft.functions.MinKDistinctLongs(
+              ColumnBridge.expression(col("hv")), k)
+              .toAggregateExpression()).as("mink"))
+          .select(col("source"), explode(col("mink")).as("hv"))
         val srcs = sk.select("source").distinct()
         val pairs = srcs.select(col("source").as("s1"))
           .crossJoin(srcs.select(col("source").as("s2")))
