@@ -63,6 +63,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"benchmark side should broadcast:\n$plan")
   }
 
+  test("x4_kmv_jaccard: sketch built by the bounded min-k aggregate, never a corpus window sort") {
+    val plan = SparkEntry.queries("x4_kmv_jaccard")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("min_k_distinct"),
+      s"KMV sketch should use MinKDistinctLongs:\n$plan")
+    // the scale property: the CORPUS-side per-source top-k must be the
+    // k-bounded aggregate, never a row_number window partitioned by
+    // source (that sorts the corpus one source per task). The pair-stage
+    // union rank IS a window — over (s1, s2), sketch-sized by
+    // construction — so assert on the partition spec, not on Window
+    // existing at all.
+    assert(!plan.contains("windowspecdefinition(source"),
+      s"corpus-sorting per-source window crept back into the sketch stage:\n$plan")
+  }
+
   test("t8_bm25: one tokenization per pass and only the stats row exchanges") {
     val plan = SparkEntry.queries("t8_bm25")(spark, sf)
       .queryExecution.executedPlan.toString
