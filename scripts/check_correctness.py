@@ -51,6 +51,8 @@ for _name in oracle:
         print(f"WARN {_name}: result dir missing or stale — rerun graft.Verify")
 
 def norm(v):
+    if v is None:
+        return "\0NULL"  # sortable sentinel: None < str comparisons raise
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

@@ -500,6 +500,108 @@ object CorpusEtl {
         SELECT rated.source, n_docs, sum_chars, weight, mix_share,
           upsample_factor, COALESCE(kept.n_sampled, 0) AS n_sampled
         FROM rated LEFT JOIN kept ON rated.source = kept.source
-        ORDER BY rated.source"""))
+        ORDER BY rated.source""")),
+
+    // Duplicate-span REMOVAL — the transform half of Lee et al. 2022's
+    // "Deduplicating Training Data Makes Language Models Better": d15
+    // detects cross-document duplicated passages; c9 REWRITES the corpus
+    // so each duplicated chunk survives in exactly ONE place (its
+    // keeper: the globally first occurrence by (doc_id, chunk index))
+    // and is dropped everywhere else — turning detection into the
+    // cleaned training set. Chunking is d15's content-defined cuts, so
+    // removal is alignment-free too. The keeper is chosen with
+    // AGGREGATES only (two-step argmin: min doc per digest, then min
+    // index within that doc) — a per-digest map-side-combining groupBy,
+    // never a corpus-wide window — and document reassembly is a bounded
+    // per-doc collect + sort (a doc's own chunk list, ~n/8 entries).
+    // Gate emits per-doc chunk counts + the md5 of the rewritten text,
+    // so the oracle verifies every byte of every cleaned document
+    // without shipping the corpus through the compare.
+    Q("c9_dedup_rewrite",
+      (s, d) => {
+        val cuts =
+          """filter(sequence(1, size(toks) - 1), i -> i >= 4 AND
+             cast(conv(substring(md5(cast(concat_ws(' ', slice(toks, i - 3, 4)) as binary)), 1, 2), 16, 10) as int) % 8 = 0)"""
+        val chunks = Tables.documentsSpread(s, d)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+          .withColumn("cuts", expr(cuts))
+          .select(col("doc_id"), posexplode(expr(
+            """zip_with(
+                 concat(array(1), transform(cuts, c -> c + 1)),
+                 concat(cuts, array(size(toks))),
+                 (s, e) -> concat_ws(' ', slice(toks, s, e - s + 1)))""")))
+          .select(col("doc_id"), col("pos").cast("int").as("idx"),
+            col("col").as("chunk_text"))
+          .withColumn("digest", md5(col("chunk_text")))
+        // The keeper is found with aggregates ONLY, in one pass over the
+        // chunk stream: level-1 collapses to (digest, doc, min idx) — so
+        // the digest-level count of level-1 rows IS the distinct-doc
+        // count, no count-distinct Expand — and min(struct(doc, midx))
+        // is the global first occurrence. That leaves exactly TWO
+        // evaluations of the tokenize+md5 chunk pipeline (this aggregate
+        // + the reassembly join below); a naive chunks⋈chunks keeper
+        // self-join both re-evaluated it a third time and tripped
+        // Spark's ambiguous-self-join check. The dup side's columns are
+        // renamed (dd) so the reassembly join stays unambiguous.
+        val l1 = chunks.groupBy("digest", "doc_id").agg(min(col("idx")).as("midx"))
+        val dup = l1.groupBy("digest")
+          .agg(count(lit(1)).as("nd"),
+            min(struct(col("doc_id"), col("midx"))).as("kp"))
+          .where(col("nd") >= 2)
+          .select(col("digest").as("dd"),
+            col("kp.doc_id").as("keeper_doc"), col("kp.midx").as("keeper_idx"))
+        val marked = chunks.join(dup, col("digest") === col("dd"), "left")
+          .withColumn("keep",
+            col("keeper_doc").isNull ||
+              (col("doc_id") === col("keeper_doc") && col("idx") === col("keeper_idx")))
+        marked.groupBy("doc_id")
+          .agg(count(lit(1)).cast("int").as("n_chunks"),
+            sum(when(col("keep"), 0L).otherwise(1L)).cast("int").as("n_dropped"),
+            md5(array_join(expr(
+              "transform(array_sort(collect_list(case when keep then struct(idx, chunk_text) end)), x -> x.chunk_text)"),
+              " ")).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        c AS (
+          SELECT doc_id, toks,
+            list_filter(range(1, len(toks)), i -> i >= 4 AND
+              ((strpos('0123456789abcdef', substr(md5(array_to_string(toks[i-3:i], ' ')),1,1))-1)*16 +
+               (strpos('0123456789abcdef', substr(md5(array_to_string(toks[i-3:i], ' ')),2,1))-1)) % 8 = 0) AS cuts
+          FROM d),
+        sp AS (
+          SELECT doc_id, toks,
+            list_prepend(1, list_transform(cuts, x -> x + 1)) AS starts,
+            list_append(cuts, len(toks)) AS ends
+          FROM c),
+        e AS (
+          SELECT doc_id, toks, starts, ends,
+            unnest(range(1, len(starts) + 1)) AS k
+          FROM sp),
+        ch AS (
+          SELECT doc_id, CAST(k - 1 AS INT) AS idx,
+            array_to_string(toks[CAST(starts[k] AS INT):CAST(ends[k] AS INT)], ' ') AS chunk_text,
+            md5(array_to_string(toks[CAST(starts[k] AS INT):CAST(ends[k] AS INT)], ' ')) AS digest
+          FROM e),
+        dup AS (
+          SELECT digest, MIN(doc_id) AS keeper_doc
+          FROM ch GROUP BY digest HAVING COUNT(DISTINCT doc_id) >= 2),
+        keepers AS (
+          SELECT ch.digest, MIN(ch.idx) AS keeper_idx, MIN(ch.doc_id) AS keeper_doc
+          FROM ch JOIN dup ON ch.digest = dup.digest AND ch.doc_id = dup.keeper_doc
+          GROUP BY ch.digest),
+        marked AS (
+          SELECT ch.doc_id, ch.idx, ch.chunk_text,
+            (k.digest IS NULL OR
+             (ch.doc_id = k.keeper_doc AND ch.idx = k.keeper_idx)) AS keep
+          FROM ch LEFT JOIN keepers k ON ch.digest = k.digest)
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_chunks,
+          CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS INT) AS n_dropped,
+          md5(COALESCE(array_to_string(list_transform(list_sort(
+            list({'idx': idx, 'chunk_text': chunk_text})
+              FILTER (WHERE keep)),
+            x -> x.chunk_text), ' '), '')) AS clean_md5
+        FROM marked GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
