@@ -1129,6 +1129,80 @@ object Relational {
           CAST(NTILE(4) OVER w AS INT) AS quartile
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ORDER BY user_id, ts, event_id"""))
+        ORDER BY user_id, ts, event_id""")),
+
+    // Exact distributed percentiles (nearest-rank), the exact twin of
+    // x2's GK sketch: ONE hash exchange on the group key + ONE
+    // in-partition sort serves every requested percentile (the window's
+    // row_number and count share the sort). The value at rank
+    // ceil(p·n) is deterministic under ORDER BY the value alone —
+    // duplicate values at the boundary rank all carry the same value —
+    // so no tiebreak column is needed for a stable gate. Interpolating
+    // percentile_cont is deliberately NOT used: its float interpolation
+    // (`lo + frac·(hi−lo)`) is evaluated in engine-specific operand
+    // order, while nearest-rank returns a value PRESENT in the data,
+    // bit-identical on both engines. The rank arithmetic stays exact:
+    // 0.25/0.5/0.75 parse as DECIMAL literals in both engines, so
+    // ceil(p·n) is exact decimal math, never float. Scale: with a
+    // billion rows per group the in-partition sort is the cost —
+    // that is the known price of EXACT percentiles (x2 is the sketch
+    // path when ε-approximation is acceptable).
+    Q("q41_percentile",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(percentileSql)
+      },
+      Some(percentileSql)),
+
+    // Z-order (Morton) interleave — the multi-dimensional data-layout
+    // key behind min/max data skipping (Delta/Iceberg OPTIMIZE ZORDER;
+    // the reference's date-partition pruning generalized to 2 keys).
+    // Writing files clustered by zval keeps BOTH pk16 and sk16 locally
+    // narrow in every file, so a predicate on EITHER column prunes
+    // ~√F of F files via footer min/max instead of scanning all of
+    // them (ZOrderSpec measures the span shrinkage on real range
+    // partitions). The interleave itself is 32 codegen'd bit ops per
+    // row — a pure map over the scan, no exchange; the gate aggregates
+    // the full table into 256 z-buckets to pin every row's key on both
+    // engines.
+    Q("q42_zorder",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(zorderSql)
+      },
+      Some(zorderSql))
   )
+
+  /** Shared engine-identical SQL for q41 (see the Q for semantics). */
+  private lazy val percentileSql =
+    """WITH ranked AS (
+        SELECT l_returnflag, l_quantity,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+          COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem)
+      SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_rows,
+        MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN l_quantity END) AS p25,
+        MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_quantity END) AS p50,
+        MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN l_quantity END) AS p75,
+        MAX(CASE WHEN rn = n THEN l_quantity END) AS p100
+      FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Shared engine-identical SQL for q42: 16+16-bit Morton interleave of
+    * (l_partkey, l_suppkey), generated as explicit shift/mask terms —
+    * disjoint bits, so `+` composes them on both engines with no
+    * precedence traps. */
+  private lazy val zorderSql = {
+    val terms = (0 until 16).map(i =>
+      s"(((pk16 >> $i) & 1) << ${2 * i}) + (((sk16 >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH keyed AS (
+        SELECT l_orderkey, (l_partkey % 65536) AS pk16, (l_suppkey % 65536) AS sk16
+        FROM lineitem),
+      z AS (SELECT l_orderkey, pk16, sk16, CAST($terms AS BIGINT) AS zval FROM keyed)
+      SELECT (zval >> 12) AS zbucket, COUNT(*) AS n,
+        CAST(MIN(zval) AS BIGINT) AS min_z, CAST(MAX(zval) AS BIGINT) AS max_z,
+        CAST(MIN(pk16) AS BIGINT) AS min_pk, CAST(MAX(pk16) AS BIGINT) AS max_pk,
+        CAST(SUM(l_orderkey) AS BIGINT) AS id_sig
+      FROM z GROUP BY 1 ORDER BY zbucket"""
+  }
 }

@@ -1292,6 +1292,67 @@ object TextOps {
           (CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) <= 6.0 AS keep
         FROM scored GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Character-entropy quality signal (low entropy = repeated-char /
+    // boilerplate junk, very high = binary-ish noise — a standard cheap
+    // web-corpus filter next to t2's ratios and t6's Gopher rules).
+    // Shannon entropy needs log2 of counts; true log2 is transcendental
+    // and NOT bit-stable cross-engine, so the t13 trick applies: per
+    // count, take the EXACT integer floor(log2 c) = length(bin(c)) − 1,
+    // making the quantized entropy
+    //   hq = n·⌊log2 n⌋ − Σ_c cnt_c·⌊log2 cnt_c⌋
+    // pure long arithmetic (bit-identical anywhere), with one final
+    // division for the per-char rate. Characters are enumerated with
+    // the SAME 1-based substring walk on both engines — no reliance on
+    // engines' divergent empty-separator split semantics. Scale shape:
+    // char explode → two keyed aggregations; duplicate chars collapse
+    // MAP-SIDE in the (doc_id, ch) partial aggregate, so the exchange
+    // carries ≤ |alphabet| rows per document, not n_chars.
+    Q("t14_char_entropy",
+      (s, d) => {
+        // length ≥ 1 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) where
+        // DuckDB's range(1, 1) is empty — an empty document would diverge.
+        val chars = Tables.documentsSpread(s, d)
+          .where(length(col("text")) >= 1)
+          .select(col("doc_id"),
+            explode(expr(
+              "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+              .as("ch"))
+        val perChar = chars.groupBy("doc_id", "ch")
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("doc_id"), col("cnt"),
+            ((length(bin(col("cnt"))) - 1).cast("long") * col("cnt")).as("cbits"))
+        perChar.groupBy("doc_id")
+          .agg(sum(col("cnt")).cast("long").as("n_chars_seen"),
+            count(lit(1)).cast("long").as("n_distinct_chars"),
+            sum(col("cbits")).cast("long").as("sum_cbits"))
+          .select(col("doc_id"), col("n_chars_seen"), col("n_distinct_chars"),
+            ((length(bin(col("n_chars_seen"))) - 1).cast("long") * col("n_chars_seen")
+              - col("sum_cbits")).as("hq"))
+          .withColumn("hq_rate", col("hq").cast("double") / col("n_chars_seen").cast("double"))
+          .withColumn("keep", col("hq_rate") >= 1.0 && col("hq_rate") <= 5.0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH ch AS (
+          SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+            i -> substr(text, i, 1))) AS ch
+          FROM documents WHERE length(text) >= 1),
+        per_char AS (
+          SELECT doc_id, COUNT(*) AS cnt,
+            (length(bin(COUNT(*))) - 1) * COUNT(*) AS cbits
+          FROM ch GROUP BY doc_id, ch),
+        per_doc AS (
+          SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars_seen,
+            CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+            CAST(SUM(cbits) AS BIGINT) AS sum_cbits
+          FROM per_char GROUP BY doc_id)
+        SELECT doc_id, n_chars_seen, n_distinct_chars,
+          CAST((length(bin(n_chars_seen)) - 1) * n_chars_seen - sum_cbits AS BIGINT) AS hq,
+          CAST((length(bin(n_chars_seen)) - 1) * n_chars_seen - sum_cbits AS DOUBLE)
+            / CAST(n_chars_seen AS DOUBLE) AS hq_rate,
+          (CAST((length(bin(n_chars_seen)) - 1) * n_chars_seen - sum_cbits AS DOUBLE)
+            / CAST(n_chars_seen AS DOUBLE)) BETWEEN 1.0 AND 5.0 AS keep
+        FROM per_doc ORDER BY doc_id""")),
+
     // Multimodal plumbing: opaque binary payload column + typed metadata
     // (the schema/partitioning side of image/audio handling; decode is
     // stubbed in graft.llm.Multimodal).
