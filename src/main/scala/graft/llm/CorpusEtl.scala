@@ -602,6 +602,73 @@ object CorpusEtl {
             list({'idx': idx, 'chunk_text': chunk_text})
               FILTER (WHERE keep)),
             x -> x.chunk_text), ' '), '')) AS clean_md5
-        FROM marked GROUP BY doc_id ORDER BY doc_id"""))
+        FROM marked GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Leakage-safe train/eval split — c2's deterministic md5-bucket
+    // split COMPOSED with cross-split near-dup decontamination: a train
+    // document that lands in the same MinHash band bucket as any
+    // val/test document is a leakage risk (the eval set's near-dups
+    // would be trained on, inflating eval scores) and is relabeled out
+    // of train. The candidate test is the d3/d4 LSH bucket — the same
+    // approximate-near-dup definition the dedup family uses, computed
+    // once and shared by both sides. Emission is a 4-way label
+    // (train / train_dropped / val / test) so the gate pins the dropped
+    // set exactly, not just the survivor count. Scale shape: band
+    // buckets are the ONLY join key (never doc text); the eval side of
+    // the semi-join is |eval| × 8 band rows (a few % of the corpus by
+    // construction); the final rollup is one map-side-combining
+    // aggregate. No window, no pair materialization — contamination is
+    // decided by a LEFT SEMI join, so no train row duplicates even
+    // when a doc collides with many eval docs.
+    Q("c10_leakage_safe_split",
+      (s, d) => {
+        val docs = Tables.documentsSpread(s, d)
+        val split = docs.withColumn("bucket",
+            expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int)"))
+          .withColumn("split",
+            when(col("bucket") < 230, "train")
+              .when(col("bucket") < 243, "val").otherwise("test"))
+        val bands = TextOps.sigFrame(docs)
+          .select(col("doc_id"), posexplode(col("sigs")).as(Seq("band", "h")))
+          .join(split.select("doc_id", "split"), Seq("doc_id"))
+        val evalBands = bands.where(col("split") =!= "train")
+          .select("band", "h")
+        val contaminated = bands.where(col("split") === "train")
+          .join(evalBands, Seq("band", "h"), "left_semi")
+          .select("doc_id").distinct()
+        split.join(contaminated.withColumn("cont", lit(true)), Seq("doc_id"), "left")
+          .withColumn("label",
+            when(col("split") === "train" && col("cont"), "train_dropped")
+              .otherwise(col("split")))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(col("doc_id")).cast("long").as("id_sig"))
+          .orderBy("label")
+      },
+      Some(s"""WITH b AS (
+          SELECT doc_id, n_chars,
+            (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*16 +
+            (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1) AS bucket
+          FROM documents),
+        sp AS (
+          SELECT doc_id, n_chars,
+            CASE WHEN bucket < 230 THEN 'train'
+                 WHEN bucket < 243 THEN 'val' ELSE 'test' END AS split
+          FROM b),
+        sig AS (${TextOps.duckSigsFrom("documents")}),
+        bands AS (
+          SELECT s.doc_id, k AS band, sigs[k + 1] AS h, sp.split
+          FROM sig s JOIN sp ON s.doc_id = sp.doc_id, range(0, 8) t(k)),
+        contaminated AS (
+          SELECT DISTINCT a.doc_id
+          FROM bands a JOIN bands e ON a.band = e.band AND a.h = e.h
+          WHERE a.split = 'train' AND e.split <> 'train')
+        SELECT CASE WHEN sp.split = 'train' AND c.doc_id IS NOT NULL
+                    THEN 'train_dropped' ELSE sp.split END AS label,
+          COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          CAST(SUM(sp.doc_id) AS BIGINT) AS id_sig
+        FROM sp LEFT JOIN contaminated c ON sp.doc_id = c.doc_id
+        GROUP BY 1 ORDER BY label"""))
   )
 }

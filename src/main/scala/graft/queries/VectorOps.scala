@@ -22,7 +22,7 @@ import graft.Tables
 object VectorOps {
 
   /** Sequential-fold double dot product of two float-array columns. */
-  private def dot(a: Column, b: Column): Column =
+  private[queries] def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -30,17 +30,17 @@ object VectorOps {
   /** Fused single-pass cosine (graft.functions.CosineSimilarity, codegen).
     * Bit-identical to `dot(a,b)/(√dot(a,a)·√dot(b,b))` — proven by
     * CosineSimilaritySpec — so the DuckDB oracle SQL stays the fold form. */
-  private def cosine(a: Column, b: Column): Column = {
+  private[queries] def cosine(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(graft.functions.CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
   /** DuckDB mirror of [[dot]] (list_sum is a sequential fold too). */
-  private def duckDot(a: String, b: String): String =
+  private[queries] def duckDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
 
-  private def duckCos(a: String, b: String): String =
+  private[queries] def duckCos(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
   /** 6-bit sign-signature over fixed dims (axis-aligned hyperplane LSH). */
@@ -339,6 +339,111 @@ object VectorOps {
         rr AS (
           SELECT qid, nid, dot_q, ${duckCos("qe", "ne")} AS cos_sim FROM top)
         SELECT qid, nid, CAST(rnk AS INT) AS rnk, dot_q, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+                      ORDER BY cos_sim DESC, nid) AS rnk FROM rr)
+        WHERE rnk <= 3 ORDER BY qid, rnk""")),
+
+    // Product-quantization ADC retrieval (Jégou et al. 2011 — the
+    // 100 TB ANN standard FAISS IVF-PQ is built on, one lever beyond
+    // v7's scalar quantization): split each 64-dim vector into m=4
+    // 16-dim subvectors, encode each against a 16-codeword-per-subspace
+    // codebook (here the deterministic fixture: the 16 lowest-id
+    // vectors' subvectors — the production path trains per-subspace
+    // k-means exactly like v6/KMeans), so a vector compresses 256 B →
+    // 4 codes. Queries never decode: ADC precomputes a per-query
+    // 4×16 distance TABLE and scores candidates by 4 table lookups —
+    // compute per candidate is O(m), independent of dimension. Exact
+    // cross-engine gate: every table entry is the same 16-term double
+    // fold, the ADC sum is 4 terms in fixed subspace order, and argmin
+    // encoding breaks ties on the lower codeword id (min-of-struct here,
+    // rank window in the oracle). Scale shape: encoding is a broadcast
+    // codebook join whose (vec, subspace) argmin collapses MAP-SIDE
+    // (partial min-of-struct aggregate — the exchange carries m rows
+    // per vector, no sort window); candidate scoring broadcasts the
+    // 10-row query table; and ONLY the ≤10 ADC survivors per query
+    // rejoin the full-precision vectors for the exact re-rank — the
+    // corpus embedding column is never shuffled.
+    Q("v8_pq_adc",
+      (s, d) => {
+        val e = Tables.embeddingsSpread(s, d)
+        val subs = expr("transform(sequence(0, 3), s -> slice(embedding, s * 16 + 1, 16))")
+        val parts = e.select(col("vec_id"),
+          posexplode(subs).as(Seq("sub", "sv")))
+        val cb = parts.where(col("vec_id") < 16)
+          .select(col("vec_id").cast("int").as("j"), col("sub"), col("sv").as("cw"))
+        val l2 = expr("""aggregate(zip_with(sv, cw,
+            (x, y) -> (cast(x as double) - cast(y as double)) *
+                      (cast(x as double) - cast(y as double))),
+          0d, (acc, v) -> acc + v)""")
+        val dists = parts.join(broadcast(cb), Seq("sub"))
+          .select(col("vec_id"), col("sub"), col("j"), l2.as("dist"))
+        val enc = dists
+          .groupBy("vec_id", "sub")
+          .agg(min(struct(col("dist"), col("j"))).as("m"))
+          .select(col("vec_id"), col("sub"), col("m.j").as("code"))
+          .groupBy("vec_id")
+          .agg(expr("transform(array_sort(collect_list(struct(sub, code))), x -> x.code)")
+            .as("codes"))
+        val dtab = dists.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), (col("sub") * 16 + col("j")).as("pos"), col("dist"))
+          .groupBy("qid")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, dist))), x -> x.dist)")
+            .as("dt"))
+        val adc = enc.join(broadcast(dtab), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            (element_at(col("dt"), expr("codes[0] + 1")) +
+              element_at(col("dt"), expr("codes[1] + 17")) +
+              element_at(col("dt"), expr("codes[2] + 33")) +
+              element_at(col("dt"), expr("codes[3] + 49"))).as("adc_dist"))
+        val w1 = Window.partitionBy("qid").orderBy(col("adc_dist"), col("nid"))
+        val top = adc.withColumn("r", row_number().over(w1)).where(col("r") <= 10)
+        val rr = top
+          .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
+          .join(broadcast(e.where(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding").as("qe"))), Seq("qid"))
+          .select(col("qid"), col("nid"), col("adc_dist"),
+            cosine(col("qe"), col("ne")).as("cos_sim"))
+        val w2 = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+        rr.withColumn("rnk", row_number().over(w2).cast("int"))
+          .where(col("rnk") <= 3)
+          .select("qid", "nid", "rnk", "adc_dist", "cos_sim")
+          .orderBy("qid", "rnk")
+      },
+      Some(s"""WITH sub AS (
+          SELECT vec_id, s AS sub, embedding[s*16+1 : s*16+16] AS sv
+          FROM embeddings, range(0, 4) t(s)),
+        cb AS (SELECT vec_id AS j, sub, sv AS cw FROM sub WHERE vec_id < 16),
+        dist AS (
+          SELECT p.vec_id, p.sub, c.j,
+            list_sum(list_transform(range(1, 17),
+              i -> (p.sv[i]::DOUBLE - c.cw[i]::DOUBLE) *
+                   (p.sv[i]::DOUBLE - c.cw[i]::DOUBLE))) AS dist
+          FROM sub p JOIN cb c ON p.sub = c.sub),
+        enc1 AS (
+          SELECT vec_id, sub, j AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                        ORDER BY dist, j) AS rn FROM dist)
+          WHERE rn = 1),
+        enc AS (SELECT vec_id, list(code ORDER BY sub) AS codes
+                FROM enc1 GROUP BY vec_id),
+        dtab AS (SELECT vec_id AS qid, list(dist ORDER BY sub, j) AS dt
+                 FROM dist WHERE vec_id < 10 GROUP BY vec_id),
+        adc AS (
+          SELECT qid, e.vec_id AS nid,
+            dt[codes[1] + 1] + dt[codes[2] + 17] +
+            dt[codes[3] + 33] + dt[codes[4] + 49] AS adc_dist
+          FROM enc e, dtab WHERE e.vec_id <> qid),
+        top AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY adc_dist, nid) AS r FROM adc)
+          WHERE r <= 10),
+        rr AS (
+          SELECT qid, nid, adc_dist,
+            ${duckCos("qe.embedding", "ne.embedding")} AS cos_sim
+          FROM top JOIN embeddings ne ON top.nid = ne.vec_id
+                   JOIN embeddings qe ON top.qid = qe.vec_id)
+        SELECT qid, nid, CAST(rnk AS INT) AS rnk, adc_dist, cos_sim FROM (
           SELECT *, row_number() OVER (PARTITION BY qid
                       ORDER BY cos_sim DESC, nid) AS rnk FROM rr)
         WHERE rnk <= 3 ORDER BY qid, rnk"""))

@@ -25,7 +25,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q22_asof_join", "q23_salted_agg", "t6_repetition", "c1_corpus_prep",
     "d8_decontaminate", "t9_bigram_lm", "t13_perplexity_filter",
     "d10_dup_graph_metrics", "d11_source_overlap", "d15_cdc_dup",
-    "c9_dedup_rewrite",
+    "c9_dedup_rewrite", "c10_leakage_safe_split",
     // correlated subqueries must decorrelate to windows/joins —
     // per-outer-row re-execution would surface as a nested-loop join
     "q36_lateral_topk", "q38_scalar_subquery")
@@ -140,6 +140,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(gen.nonEmpty && scan >= 0 &&
       aggs.exists(a => a > gen.head && a < scan),
       s"t10: no aggregate between the pair explode and the corpus scan:\n$plan")
+  }
+
+  test("v8_pq_adc: encoding argmin is a map-side aggregate, codebook broadcasts") {
+    val plan = SparkEntry.queries("v8_pq_adc")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // PQ encoding must be the min-of-struct HASH aggregate (partial
+    // combine map-side) — a row_number window partitioned by
+    // (vec_id, sub) would sort the m-times-exploded corpus instead.
+    assert(!plan.contains("windowspecdefinition(vec_id"),
+      s"v8 encoding regressed to a per-vector sort window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"v8 codebook should broadcast:\n$plan")
+  }
+
+  test("h1_rrf_hybrid: both candidate lists end in k-bounded top-k sorts") {
+    val plan = SparkEntry.queries("h1_rrf_hybrid")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // orderBy+limit must plan as TakeOrdered (partial top-k map-side),
+    // never a full global Sort of the corpus feeding a Limit.
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2,
+      s"h1 lost the k-bounded top-k on a candidate branch:\n$plan")
   }
 
   test("c7_chunk_overlap: pure per-row fanout — only the output sort exchanges") {
