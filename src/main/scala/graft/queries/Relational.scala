@@ -1170,7 +1170,166 @@ object Relational {
         Tables.registerAll(s, d)
         s.sql(zorderSql)
       },
-      Some(zorderSql))
+      Some(zorderSql)),
+
+    // Time-series resampling with linear interpolation — the gap-fill
+    // step between q13's forward fill (step function) and a model-ready
+    // regular grid: project each user's event stream onto an hourly
+    // grid, interpolating between the surrounding events. Same
+    // union+one-window shape as AsOf/q13: grid points and events merge
+    // into ONE stream, a single per-user sort serves BOTH directions
+    // (last non-null before via the preceding frame, first non-null
+    // after via the following frame) — never a per-grid-point range
+    // join. Bit-exactness: anchor times are exact epoch-µs longs, the
+    // interpolation is one double division plus a fixed-order
+    // fused-free chain (`vp + (vn−vp)·ratio`), identical text on both
+    // engines; an on-grid event hits ratio=0 and returns vp exactly.
+    // Edges clamp to the available neighbor. Scale: the shuffle key is
+    // user_id; grid density is a constant per key, so skew follows the
+    // event skew and the q23 salting applies if a key is hot.
+    Q("q43_resample",
+      (s, d) => {
+        val ev = Tables.events(s, d).where(col("user_id") % 100 === 0)
+          .select(col("user_id"), col("ts"), col("value"))
+        val grid = ev.groupBy("user_id")
+          .agg(date_trunc("hour", min(col("ts"))).as("t0"),
+            date_trunc("hour", max(col("ts"))).as("t1"))
+          .select(col("user_id"),
+            explode(expr("sequence(t0, t1, interval 1 hour)")).as("ts"))
+        val ptT = "struct<t:bigint,v:double>"
+        val evm = ev.select(col("user_id"), col("ts"), lit(0).as("is_grid"),
+          struct(unix_micros(col("ts")).as("t"), col("value").as("v")).as("pt"))
+        val gm = grid.select(col("user_id"), col("ts"), lit(1).as("is_grid"),
+          lit(null).cast(ptT).as("pt"))
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("is_grid"))
+        val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        evm.unionAll(gm)
+          .select(col("user_id"), col("ts"), col("is_grid"),
+            last(col("pt"), ignoreNulls = true).over(wPrev).as("p"),
+            first(col("pt"), ignoreNulls = true).over(wNext).as("n"))
+          .where(col("is_grid") === 1)
+          .select(col("user_id"), col("ts"),
+            when(col("p").isNull, col("n.v"))
+              .when(col("n").isNull, col("p.v"))
+              .when(col("n.t") === col("p.t"), col("p.v"))
+              .otherwise(col("p.v") + (col("n.v") - col("p.v")) *
+                ((unix_micros(col("ts")) - col("p.t")).cast("double") /
+                  (col("n.t") - col("p.t")).cast("double")))
+              .as("v_interp"),
+            col("p").isNotNull.as("has_prev"), col("n").isNotNull.as("has_next"))
+          .orderBy("user_id", "ts")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, ts, value FROM events WHERE user_id % 100 = 0),
+        b AS (
+          SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+            date_trunc('hour', max(ts)) AS t1
+          FROM ev GROUP BY user_id),
+        grid AS (
+          SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts
+          FROM b),
+        u AS (
+          SELECT user_id, ts, 0 AS is_grid,
+            {'t': epoch_us(ts), 'v': value} AS pt FROM ev
+          UNION ALL
+          SELECT user_id, ts, 1, CAST(NULL AS STRUCT(t BIGINT, v DOUBLE)) FROM grid),
+        wv AS (
+          SELECT user_id, ts, is_grid,
+            last_value(pt IGNORE NULLS) OVER (PARTITION BY user_id
+              ORDER BY ts, is_grid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+            first_value(pt IGNORE NULLS) OVER (PARTITION BY user_id
+              ORDER BY ts, is_grid
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+          FROM u)
+        SELECT user_id, ts,
+          CASE WHEN p IS NULL THEN n.v
+               WHEN n IS NULL THEN p.v
+               WHEN n.t = p.t THEN p.v
+               ELSE p.v + (n.v - p.v) *
+                 (CAST(epoch_us(ts) - p.t AS DOUBLE) / CAST(n.t - p.t AS DOUBLE))
+          END AS v_interp,
+          p IS NOT NULL AS has_prev, n IS NOT NULL AS has_next
+        FROM wv WHERE is_grid = 1 ORDER BY user_id, ts""")),
+
+    // Deequ-style data-quality audit — the validation gate a pipeline
+    // runs before publishing a snapshot (the reference validates uploads
+    // file-by-file, upload.rs; this is the table-level generalization).
+    // One check SUITE, three honest passes, each the minimal plan for
+    // its check class: (1) completeness + range checks fold into a
+    // SINGLE conditional-aggregate scan (adding a check adds a column,
+    // not a pass); (2) key uniqueness is the two-phase partial-distinct
+    // aggregate (q29's shape); (3) referential integrity is ONE
+    // left-anti join against the parent keys. Metrics are exact-count
+    // divisions — bit-stable. Output is long-format (check, value,
+    // pass) so a scheduler can diff suites across snapshots.
+    Q("q44_quality_audit",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val scan = li.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("null_rf"),
+          sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_qty"),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("range_qty"))
+        val checksScan = scan.select(explode(array(
+          struct(lit("completeness_l_returnflag").as("check"),
+            ((col("n") - col("null_rf")).cast("double") / col("n").cast("double")).as("value"),
+            (col("null_rf") === 0).as("pass")),
+          struct(lit("completeness_l_quantity").as("check"),
+            ((col("n") - col("null_qty")).cast("double") / col("n").cast("double")).as("value"),
+            (col("null_qty") === 0).as("pass")),
+          struct(lit("range_l_quantity_1_50").as("check"),
+            col("range_qty").cast("double").as("value"),
+            (col("range_qty") === 0).as("pass")),
+          struct(lit("row_count_positive").as("check"),
+            col("n").cast("double").as("value"), (col("n") > 0).as("pass"))))
+          .as("c")).select("c.*")
+        val uniq = li.groupBy("l_orderkey", "l_linenumber")
+          .agg(count(lit(1)).as("cnt"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("dup_keys"))
+          .select(lit("uniqueness_orderkey_linenumber").as("check"),
+            col("dup_keys").cast("double").as("value"),
+            (col("dup_keys") === 0).as("pass"))
+        val o = Tables.orders(s, d)
+        val fk = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("orphans"))
+          .select(lit("fk_lineitem_orders").as("check"),
+            col("orphans").cast("double").as("value"),
+            (col("orphans") === 0).as("pass"))
+        checksScan.unionAll(uniq).unionAll(fk).orderBy("check")
+      },
+      Some("""WITH scan AS (
+          SELECT COUNT(*) AS n,
+            SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_rf,
+            SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
+            SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS range_qty
+          FROM lineitem),
+        uniq AS (
+          SELECT COUNT(*) AS n_keys,
+            SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS dup_keys
+          FROM (SELECT l_orderkey, l_linenumber, COUNT(*) AS cnt
+                FROM lineitem GROUP BY l_orderkey, l_linenumber)),
+        fk AS (
+          SELECT COUNT(*) AS orphans FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        SELECT * FROM (
+          SELECT 'completeness_l_returnflag' AS "check",
+            CAST(n - null_rf AS DOUBLE) / CAST(n AS DOUBLE) AS value,
+            null_rf = 0 AS pass FROM scan
+          UNION ALL SELECT 'completeness_l_quantity',
+            CAST(n - null_qty AS DOUBLE) / CAST(n AS DOUBLE), null_qty = 0 FROM scan
+          UNION ALL SELECT 'range_l_quantity_1_50',
+            CAST(range_qty AS DOUBLE), range_qty = 0 FROM scan
+          UNION ALL SELECT 'row_count_positive',
+            CAST(n AS DOUBLE), n > 0 FROM scan
+          UNION ALL SELECT 'uniqueness_orderkey_linenumber',
+            CAST(dup_keys AS DOUBLE), dup_keys = 0 FROM uniq
+          UNION ALL SELECT 'fk_lineitem_orders',
+            CAST(orphans AS DOUBLE), orphans = 0 FROM fk)
+        ORDER BY "check""""))
   )
 
   /** Shared engine-identical SQL for q41 (see the Q for semantics). */
