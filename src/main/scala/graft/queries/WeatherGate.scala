@@ -501,6 +501,34 @@ object WeatherGate {
           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
           COUNT(*) AS n_events
         FROM s GROUP BY user_id, sid
-        ORDER BY user_id, session_start"""))
+        ORDER BY user_id, session_start""")),
+
+    // §2.8 — windowed distinct-cardinality sketch, batch-gated like w9:
+    // streaming.WindowNdv.hourlyUserNdv runs the SAME plan on a
+    // watermarked stream (WindowNdvSpec drives append-mode emission and
+    // batch equivalence); here the x1 gate pattern pins it to the exact
+    // per-hour COUNT(DISTINCT): the oracle computes exact + TRUE, Spark
+    // computes sketch, exact, and the bound row. ±(5% + 1) covers 2.5σ
+    // at rsd 0.01 plus a one-count floor for tiny windows (Spark's
+    // HLL++ has no sparse-mode exact path — see WindowNdv's rsd note;
+    // n_events pins the window contents exactly, so the bound row is
+    // not a loophole).
+    Q("w13_window_ndv",
+      (s, d) => {
+        val ev = graft.Tables.events(s, d)
+        val approx = graft.streaming.WindowNdv.hourlyUserNdv(ev)
+        val exact = ev
+          .select(date_trunc("hour", col("ts")).as("h"), col("user_id")).distinct()
+          .groupBy("h").agg(count(lit(1)).as("exact_users"))
+        approx.join(broadcast(exact), col("hour_start") === col("h"))
+          .select(col("hour_start"), col("exact_users"), col("n_events"),
+            (abs(col("approx_users") - col("exact_users"))
+              <= col("exact_users") * lit(0.05) + lit(1.0)).as("ndv_ok"))
+          .orderBy("hour_start")
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour_start,
+          COUNT(DISTINCT user_id) AS exact_users, COUNT(*) AS n_events,
+          TRUE AS ndv_ok
+        FROM events GROUP BY 1 ORDER BY hour_start"""))
   )
 }

@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tumbling-window distinct-key cardinality sketch — the streaming form
+  * of x1's approximate NDV. One HLL++ buffer
+  * (`approx_count_distinct`) per open window is the ENTIRE state: KBs
+  * per window regardless of event volume, so a 100 TB/day stream holds
+  * `open-windows × KB` of state where exact windowed
+  * `COUNT(DISTINCT ...)` would buffer every key. Works identically on
+  * batch and streaming inputs; the streaming caller watermarks the
+  * event-time column, and in append mode a window's estimate emits
+  * exactly once — when the watermark passes its end and the buffer is
+  * evicted (WindowNdvSpec drives both the emission and the
+  * batch-equivalence property).
+  */
+object WindowNdv {
+
+  /** Per-hour (tumbling) distinct `user_id` estimate over an event
+    * stream carrying `eventTime`. `window(ts, "1 hour").start` ≡
+    * `date_trunc('hour', ts)`, which is what the oracle gate joins on.
+    *
+    * rsd 0.01 (2^14 registers, ~16 KB/window): Spark's HLL++ carries no
+    * sparse-mode exact path, so at coarser precision even tiny windows
+    * can miss by register collisions (measured: 9 for 11 distinct at
+    * rsd 0.02) — at 0.01 the w13 gate's ±(5% + 1) bound holds on every
+    * window while state stays KB-sized. */
+  def hourlyUserNdv(events: DataFrame, eventTime: String = "ts",
+      rsd: Double = 0.01): DataFrame =
+    events
+      .groupBy(window(col(eventTime), "1 hour").as("w"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("hour_start"),
+        col("approx_users"), col("n_events"))
+}
