@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Scale-pattern exemplars: the three table-maintenance moves a 100 TB
+  * deployment of this engine leans on daily, each oracle-gated like every
+  * other operator.
+  *
+  *  - q45: incremental rollup maintenance — merging stored partial
+  *    aggregate states with a delta batch's states instead of rescanning
+  *    history (the reference recomputes its daily forecast rollups from
+  *    the full snapshot each request, crates/oracle/src/db/weather_data.rs:172-212;
+  *    at 100 TB the only viable form is state merge).
+  *  - q46: bucketed co-located fact join — both sides pre-bucketed on the
+  *    join key so the join needs NO shuffle of either table (the layout
+  *    contract `repartition` can only fake per-job; bucketing persists it).
+  *  - x5: mergeable-sketch rollup — per-day HLL sketches union-merged to
+  *    a coarser grain, answering week/month NDV without touching raw data
+  *    (the x1 sketch made storable and re-aggregatable).
+  */
+object ScaleOps {
+
+  /** Exact 2-dp double sum via long cents — see [[Relational]] for the
+    * bit-exactness argument (same helper, kept private there). */
+  private def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
+
+  /** Partial aggregate state for one batch of events: the algebraic
+    * (commutative-monoid) form of the q45 rollup — count, exact cent sum,
+    * min, max per event_type. Any partition of the input into batches
+    * merges back to the same state, which is the property incremental
+    * maintenance relies on. */
+  private def partialState(ev: DataFrame): DataFrame =
+    ev.groupBy("event_type").agg(
+      count(lit(1)).as("cnt"),
+      sum(cents(col("value"))).as("cents"),
+      min("value").as("vmin"),
+      max("value").as("vmax"))
+
+  val all: Seq[Q] = Seq(
+
+    // Incremental aggregate maintenance (incremental view maintenance for
+    // distributive/algebraic aggregates): history's partial states plus a
+    // delta batch's partial states re-aggregate to exactly the full
+    // recompute. Here the "stored" state is everything before the cutoff
+    // and the "delta" is everything after; at scale the base state is
+    // read from a tiny state table (one row per group) while the delta
+    // scan touches only the new partition — the full-history scan the
+    // oracle performs never happens. avg is derived from the merged
+    // exact sum and count at the END (avg is algebraic, not
+    // distributive: merging averages directly would be wrong under
+    // unequal batch sizes — the classic IVM trap).
+    // Bit-exactness: counts and cent-sums are exact longs, so the merged
+    // values are literally the full-scan values; the two final double
+    // divisions see identical operands in both engines.
+    Q("q45_incremental_rollup",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val cutoff = lit("2024-01-16").cast("timestamp")
+        val base  = partialState(ev.where(col("ts") <  cutoff))
+        val delta = partialState(ev.where(col("ts") >= cutoff))
+        base.unionAll(delta)
+          .groupBy("event_type")
+          .agg(sum("cnt").as("n"),
+            (sum("cents") / 100.0).as("total_value"),
+            min("vmin").as("min_value"),
+            max("vmax").as("max_value"))
+          .withColumn("avg_value", col("total_value") / col("n"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+          SUM(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS total_value,
+          MIN(value) AS min_value, MAX(value) AS max_value,
+          (SUM(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0) / COUNT(*) AS avg_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Bucketed co-located join: orders and lineitem are materialized ONCE
+    // as bucketed tables (8 buckets on the order key, sorted within
+    // buckets), after which every join on that key reads matching buckets
+    // side-by-side — no exchange of either table, ever again. This is the
+    // layout contract that makes repeated 100 TB fact-to-fact joins
+    // affordable: the shuffle is paid once at write time and amortized
+    // over every subsequent query (Spark's bucketed-scan path; the
+    // BucketedJoinSpec plan-asserts the join runs with ZERO shuffle
+    // exchanges when broadcast is disabled). The write is memoized per
+    // (session, data dir) via the catalog, so re-runs only pay the read.
+    Q("q46_bucketed_join",
+      (s, d) => {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        val base = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_buckets/$tag").getAbsolutePath
+        def ensure(name: String, sub: String, key: String,
+                   df: => DataFrame): Unit =
+          if (!s.catalog.tableExists(name)) {
+            df.write.mode("overwrite")
+              .bucketBy(8, key).sortBy(key)
+              .option("path", s"$base/$sub")
+              .format("parquet").saveAsTable(name)
+          }
+        val oT = s"graft_bkt_orders_$tag"
+        val lT = s"graft_bkt_lineitem_$tag"
+        ensure(oT, "orders", "o_orderkey",
+          Tables.orders(s, d).select("o_orderkey", "o_orderpriority"))
+        ensure(lT, "lineitem", "l_orderkey",
+          Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice"))
+        s.table(lT)
+          .join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            (sum(cents(col("l_extendedprice"))) / 100.0).as("total_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_items,
+          SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0 AS total_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Mergeable-sketch rollup (the "sketch cube"): per-DAY HLL sketches of
+    // a high-ish-cardinality composite are the stored artifact; any
+    // coarser grain (here ISO weeks) is answered by union-merging the
+    // fixed-size daily states — the raw scan happens once, at the finest
+    // grain, and every re-aggregation after it moves kilobytes. This is
+    // what x1's one-shot sketch becomes when the question is asked at
+    // many grains over 100 TB of history. Gate shape follows x1: sketch
+    // values are engine-specific, so Spark emits the exact weekly NDV
+    // plus an in-plan boolean asserting the MERGED estimate landed within
+    // ±5% (lgK=12 ⇒ σ≈1.6%, so the bound is ~3σ — generous, non-vacuous),
+    // and DuckDB emits the exact NDV with TRUE.
+    Q("x5_sketch_rollup",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"),
+            concat_ws("|", col("user_id"), col("props")).as("uk"))
+        val daily = ev.groupBy("day")
+          .agg(hll_sketch_agg(col("uk"), lit(12)).as("sk"))
+        val weekly = daily.groupBy(trunc(col("day"), "week").as("week"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exact = ev.select(trunc(col("day"), "week").as("wk"), col("uk"))
+          .distinct()
+          .groupBy("wk").agg(count(lit(1)).as("exact_ndv"))
+        weekly.join(broadcast(exact), col("week") === col("wk"))
+          .select(col("week"), col("exact_ndv"),
+            (abs(col("est") - col("exact_ndv"))
+              <= col("exact_ndv") * lit(0.05)).as("ndv_ok"))
+          .orderBy("week")
+      },
+      Some("""SELECT date_trunc('week', CAST(ts AS DATE)) AS week,
+          COUNT(DISTINCT CAST(user_id AS VARCHAR) || '|' || props) AS exact_ndv,
+          TRUE AS ndv_ok
+        FROM events GROUP BY 1 ORDER BY 1"""))
+  )
+}
