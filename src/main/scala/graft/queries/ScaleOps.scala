@@ -93,12 +93,9 @@ object ScaleOps {
           sys.props("java.io.tmpdir"), s"graft_buckets/$tag").getAbsolutePath
         def ensure(name: String, sub: String, key: String,
                    df: => DataFrame): Unit =
-          if (!s.catalog.tableExists(name)) {
-            df.write.mode("overwrite")
-              .bucketBy(8, key).sortBy(key)
-              .option("path", s"$base/$sub")
-              .format("parquet").saveAsTable(name)
-          }
+          if (!s.catalog.tableExists(name))
+            graft.store.Bucketed.write(df, name, Seq(key), 8,
+              path = Some(s"$base/$sub"))
         val oT = s"graft_bkt_orders_$tag"
         val lT = s"graft_bkt_lineitem_$tag"
         ensure(oT, "orders", "o_orderkey",

@@ -14,15 +14,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object Bucketed {
 
-  /** Write `df` as a bucketed, per-bucket-sorted managed table. */
+  /** Write `df` as a bucketed, per-bucket-sorted table. Managed (lives in
+    * the session's warehouse dir) unless `path` pins an external
+    * location — gated queries use an external tmp path so a verify run
+    * never writes inside the caller's working directory. */
   def write(df: DataFrame, table: String, bucketCols: Seq[String],
-      numBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+      numBuckets: Int, mode: SaveMode = SaveMode.Overwrite,
+      path: Option[String] = None): Unit = {
     require(bucketCols.nonEmpty && numBuckets > 0)
-    df.write
+    val w = df.write
       .mode(mode)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 }
