@@ -669,6 +669,94 @@ object CorpusEtl {
           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
           CAST(SUM(sp.doc_id) AS BIGINT) AS id_sig
         FROM sp LEFT JOIN contaminated c ON sp.doc_id = c.doc_id
-        GROUP BY 1 ORDER BY label"""))
+        GROUP BY 1 ORDER BY label""")),
+
+    // Epoching plan — materializing a data recipe: c3/c8 compute mixing
+    // WEIGHTS; this computes the integer per-document repeat counts that
+    // actually build the training corpus for a fixed token budget (here
+    // 2× corpus tokens, split evenly across sources). Per source:
+    // `full_epochs = target div src_tokens` full passes, and the
+    // remainder is filled by the greedy prefix of documents in md5
+    // order — deterministic under re-runs and appends, like c2's split.
+    // All arithmetic is exact longs, so the gate hash-matches DuckDB.
+    //
+    // Scale shape: the naive form is a per-source ORDER BY h cumsum —
+    // a full sort of every source. Instead the prefix is found
+    // hierarchically (the c6 trick): docs bucket by their first two hash
+    // hex chars (256 buckets), a per-bucket token-sum frame (≤256 rows
+    // per source) locates each bucket's global prefix start, buckets
+    // strictly below/above the remainder classify without looking at
+    // their documents, and ONLY the single boundary bucket per source
+    // (~1/256th of the source) pays an ordered in-bucket window. The
+    // oracle computes the same selection as the flat one-window cumsum —
+    // which IS the semantic contract the hierarchical plan implements.
+    Q("c11_epoch_plan",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          md5(col("doc_id").cast("string")).as("h"))
+        val src = docs.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+        val tot = src.agg(sum("src_tokens").as("all_tokens"),
+          count(lit(1)).as("n_src"))
+        val plan = src.crossJoin(broadcast(tot))
+          .withColumn("target_s", expr("(all_tokens * 2) div n_src"))
+          .select(col("source"),
+            expr("target_s div src_tokens").as("full_epochs"),
+            (col("target_s") % col("src_tokens")).as("rem"))
+        val withB = docs.withColumn("bucket",
+          conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
+        val bsum = withB.groupBy("source", "bucket")
+          .agg(sum("n_tokens").as("b_tokens"))
+        val wB = Window.partitionBy("source").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bcum = bsum.withColumn("b_start",
+          coalesce(sum("b_tokens").over(wB), lit(0L)))
+        val marked = withB
+          .join(bcum, Seq("source", "bucket"))
+          .join(plan, Seq("source"))
+        // whole buckets classify from the frame; null marks the one
+        // boundary bucket per source whose docs need the in-bucket order
+        val base = marked.withColumn("extra0",
+          when(col("b_start") + col("b_tokens") <= col("rem"), lit(1L))
+            .when(col("b_start") >= col("rem"), lit(0L)))
+        val wD = Window.partitionBy("source", "bucket")
+          .orderBy("h", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val boundary = base.where(col("extra0").isNull)
+          .withColumn("prev", coalesce(sum("n_tokens").over(wD), lit(0L)))
+          .select(col("doc_id").as("b_doc_id"),
+            when(col("b_start") + col("prev") < col("rem"), 1L)
+              .otherwise(0L).as("extra_b"))
+        base.join(boundary, col("doc_id") === col("b_doc_id"), "left")
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            (col("full_epochs") + coalesce(col("extra0"), col("extra_b")))
+              .as("repeats"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, source,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        src AS (SELECT source, SUM(n_tokens) AS src_tokens
+          FROM docs GROUP BY source),
+        tot AS (SELECT SUM(src_tokens) AS all_tokens, COUNT(*) AS n_src
+          FROM src),
+        plan AS (SELECT source,
+            ((SELECT all_tokens FROM tot) * 2) // (SELECT n_src FROM tot)
+              AS target_s, src_tokens
+          FROM src),
+        p2 AS (SELECT source, target_s // src_tokens AS full_epochs,
+            target_s % src_tokens AS rem FROM plan),
+        cum AS (SELECT doc_id, source, n_tokens,
+            COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+              ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+          FROM docs)
+        SELECT c.doc_id, c.source, c.n_tokens,
+          CAST(p.full_epochs +
+            CASE WHEN c.prev < p.rem THEN 1 ELSE 0 END AS BIGINT) AS repeats
+        FROM cum c JOIN p2 p USING (source)
+        ORDER BY doc_id"""))
   )
 }
