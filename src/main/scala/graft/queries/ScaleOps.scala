@@ -114,6 +114,46 @@ object ScaleOps {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // Dynamic partition pruning — the star-schema workhorse: the fact
+    // table is laid out partitioned by day (the reference snapshots
+    // partition by date the same way, store/WeatherStore.scala), the
+    // dimension carries the selective predicate (weekday = Monday), and
+    // the PLANNER turns the dim's filtered join keys into a runtime
+    // IN-filter on the fact's partition column — so the fact scan reads
+    // only Monday partitions even though no literal date appears in the
+    // query. At 100 TB this is the difference between scanning 1/7th of
+    // the fact and scanning all of it; static pushdown (S11) can't do it
+    // because the date set is only known after filtering the dim.
+    // ScaleOpsSpec asserts `dynamicpruningexpression` lands in the fact
+    // scan's PartitionFilters. The partitioned layout is written once per
+    // (session, dir) — the _SUCCESS marker memoizes, like q46's buckets.
+    Q("q47_dpp_join",
+      (s, d) => {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        val base = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_dpp/$tag").getAbsolutePath
+        if (!new java.io.File(s"$base/_SUCCESS").exists()) {
+          Tables.events(s, d)
+            .withColumn("event_date", to_date(col("ts")))
+            .write.mode("overwrite").partitionBy("event_date").parquet(base)
+        }
+        val fact = s.read.parquet(base)
+        val dim = Tables.events(s, d)
+          .select(to_date(col("ts")).as("dd")).distinct()
+          .withColumn("dow", date_format(col("dd"), "EEEE"))
+        fact.join(dim, col("event_date") === col("dd"))
+          .where(col("dow") === "Monday")
+          .groupBy("event_date")
+          .agg(count(lit(1)).as("n"),
+            (sum(cents(col("value"))) / 100.0).as("total_value"))
+          .orderBy("event_date")
+      },
+      Some("""SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n,
+          SUM(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS total_value
+        FROM events
+        WHERE dayname(CAST(ts AS DATE)) = 'Monday'
+        GROUP BY 1 ORDER BY 1""")),
+
     // Mergeable-sketch rollup (the "sketch cube"): per-DAY HLL sketches of
     // a high-ish-cardinality composite are the stored artifact; any
     // coarser grain (here ISO weeks) is answered by union-merging the

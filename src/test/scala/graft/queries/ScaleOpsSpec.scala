@@ -90,6 +90,16 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(gated == plain)
   }
 
+  test("q47: runtime pruning filter reaches the fact scan's PartitionFilters") {
+    val q = SparkEntry.queries("q47_dpp_join")(spark, sf)
+    // materialize once so the partitioned layout exists, then inspect
+    q.collect()
+    val plan = SparkEntry.queries("q47_dpp_join")(spark, sf)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$plan")
+  }
+
   test("x5: merged weekly estimate within bound, one stored sketch per day") {
     val gated = SparkEntry.queries("x5_sketch_rollup")(spark, sf).collect()
     assert(gated.nonEmpty)
