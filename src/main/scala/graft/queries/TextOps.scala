@@ -406,6 +406,47 @@ object TextOps {
       .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0)))
   }
 
+  /** Fixed-point integer PageRank over an undirected pair graph —
+    * importance scoring on the dedup graph (a high-rank node is the hub
+    * of a duplicate family; rank mass concentrates where d10's
+    * degree/triangle counts flag structure). Iterative-algorithm shape
+    * beyond connected components: rank flows along edges each round,
+    * one keyed shuffle per iteration (contributions partial-aggregate
+    * map-side in the hash agg), never an all-pairs product.
+    *
+    * Determinism: transcendental-free. Ranks live in integer micro-units
+    * (start 10^6); a node's contribution is `rank div degree` (exact
+    * floor), damping is `150000 + (85 * Σcontrib) div 100` — pure long
+    * arithmetic, bit-identical in any engine, where the float form would
+    * hash-diverge on summation order. */
+  def pageRank(pairsIn: DataFrame, iters: Int): DataFrame = {
+    val Seq(ca, cb) = pairsIn.columns.toSeq.take(2)
+    val pairs = pairsIn.select(col(ca).as("src"), col(cb).as("dst")).cache()
+    val ed = pairs.unionAll(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = ed.groupBy("src").agg(count(lit(1)).as("degree"))
+    val adj = ed.join(deg, "src").cache() // (src, dst, degree)
+    var rank = deg.select(col("src").as("doc_id"), lit(1000000L).as("rank"))
+    for (_ <- 1 to iters)
+      rank = adj.join(rank, adj("src") === rank("doc_id"))
+        .select(col("dst"), expr("rank div degree").as("c"))
+        .groupBy("dst")
+        .agg(expr("cast(150000 + (85 * sum(c)) div 100 as bigint)").as("rank"))
+        .select(col("dst").as("doc_id"), col("rank"))
+    rank
+  }
+
+  /** d16's oracle iterations — the same integer-unit rank flow as five
+    * chained CTEs (fixed iteration count, so no recursive CTE needed;
+    * DuckDB's `//`+HUGEINT matches Spark's `div`+long exactly). */
+  private val duckPrIters = (1 to 5).map { i =>
+    s"""it$i AS (SELECT e.dst AS doc_id,
+          CAST(150000 + (85 * SUM(p.rank // dg.degree)) // 100 AS BIGINT) AS rank
+        FROM it${i - 1} p JOIN deg dg ON p.doc_id = dg.src
+                          JOIN ed e ON e.src = p.doc_id
+        GROUP BY e.dst)"""
+  }.mkString(",\n        ")
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: hash-groupBy on content digest. At 100 TB this is one
@@ -558,6 +599,34 @@ object TextOps {
         SELECT deg.doc_id AS doc_id, degree, COALESCE(n_triangles, 0) AS n_triangles
         FROM deg LEFT JOIN tpn ON deg.doc_id = tpn.doc_id
         ORDER BY deg.doc_id""")),
+
+    // Fixed-point PageRank on the verified near-dup graph — see
+    // [[pageRank]] for the integer-unit determinism argument. The gate
+    // runs 5 iterations; the oracle replays the identical rank flow as
+    // five chained CTEs over the same verified pair set.
+    Q("d16_pagerank",
+      (s, d) => pageRank(jaccardPairs(s, d).select("doc_a", "doc_b"), 5)
+        .orderBy("doc_id"),
+      Some(s"""WITH sig AS ($duckSigs),
+          bands AS (SELECT doc_id, k AS band, sigs[k + 1] AS mh FROM sig, range(0, 8) t(k)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+          sh AS (SELECT doc_id, $duckShingles AS s
+                 FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)),
+          pairs AS (SELECT doc_a, doc_b FROM (
+              SELECT doc_a, doc_b,
+                CAST(CAST(len(list_intersect(a.s, b.s)) AS INT) AS DOUBLE) /
+                  CAST(len(a.s) + len(b.s) - CAST(len(list_intersect(a.s, b.s)) AS INT) AS DOUBLE) AS jaccard
+              FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+                        JOIN sh b ON cand.doc_b = b.doc_id)
+            WHERE jaccard >= 0.05),
+          ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+          deg AS (SELECT src, COUNT(*) AS degree FROM ed GROUP BY src),
+          it0 AS (SELECT src AS doc_id, CAST(1000000 AS BIGINT) AS rank FROM deg),
+          $duckPrIters
+        SELECT doc_id, rank FROM it5 ORDER BY doc_id""")),
 
     // Quality-aware keeper selection: per near-dup cluster, keep the
     // HIGHEST-QUALITY member (ties → lowest doc_id) — the canonicali-
