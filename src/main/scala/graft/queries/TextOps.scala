@@ -1464,6 +1464,48 @@ object TextOps {
         FROM e WHERE frame_idx % 4 = 0
         ORDER BY doc_id, frame_idx""")),
 
+    // Cross-asset frame dedup: m2's sampled frame digests grouped ACROSS
+    // documents — the multimodal analog of d1 (shared intro/outro/
+    // boilerplate frames repeat across videos; dedup keeps one). Exact
+    // two-level aggregation (per-(digest, doc) partial first, q29's
+    // shape — no count-distinct Expand), keeper = lowest doc_id, d1's
+    // policy. At 100 TB the digest groupBy is one shuffle of 16-byte
+    // keys; payload bytes never move (digests computed at the scan).
+    Q("m3_frame_dedup",
+      (s, d) => {
+        val frames = Tables.documentsSpread(s, d)
+          .withColumn("hexp", upper(hex(encode(col("text"), "UTF-8"))))
+          .withColumn("frame_idx", explode(expr(
+            "filter(sequence(0, greatest(int(ceil(length(hexp) / 32.0)), 1) - 1), i -> i % 4 = 0)")))
+          .select(col("doc_id"),
+            md5(expr("substring(hexp, frame_idx * 32 + 1, 32)")).as("frame_md5"))
+        frames.groupBy("frame_md5", "doc_id")
+          .agg(count(lit(1)).as("n_in_doc"))
+          .groupBy("frame_md5")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("n_in_doc").cast("long").as("n_occurrences"),
+            min("doc_id").as("keep_doc"))
+          .where(col("n_docs") >= 2)
+          .orderBy("frame_md5")
+      },
+      Some("""WITH f AS (
+          SELECT doc_id, upper(hex(encode(text))) AS hexp FROM documents),
+        e AS (
+          SELECT doc_id, hexp,
+            unnest(range(0, greatest(CAST(ceil(length(hexp) / 32.0) AS INT), 1))) AS frame_idx
+          FROM f),
+        fr AS (
+          SELECT doc_id, md5(substring(hexp, frame_idx * 32 + 1, 32)) AS frame_md5
+          FROM e WHERE frame_idx % 4 = 0),
+        pd AS (
+          SELECT frame_md5, doc_id, COUNT(*) AS n_in_doc
+          FROM fr GROUP BY frame_md5, doc_id)
+        SELECT frame_md5, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_in_doc) AS BIGINT) AS n_occurrences,
+          MIN(doc_id) AS keep_doc
+        FROM pd GROUP BY frame_md5 HAVING COUNT(*) >= 2
+        ORDER BY frame_md5""")),
+
     // PII scrubbing (graft.queries.Redact): detect + redact emails /
     // NANP phones / SSN-shaped ids, keeping per-type counts. The
     // synthetic corpus is PII-free, so deterministic spans are injected
