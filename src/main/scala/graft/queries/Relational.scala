@@ -42,7 +42,8 @@ object Relational {
     * correctly rounded double of S/100 — the same bits
     * `decimal(18,2) → double` yields. Verified bit-identical to the
     * decimal form on every sf0.1 group. */
-  private def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
+  private[queries] def cents(c: Column): Column =
+    floor(c * 100 + 0.5).cast("long")
   private def centsSum(c: Column): Column = sum(cents(c)) / 100.0
 
   /** `Σ price·(1−discount)` in exact 10^-4 units: the decimal product

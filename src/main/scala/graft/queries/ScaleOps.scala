@@ -23,9 +23,9 @@ import graft.Tables
   */
 object ScaleOps {
 
-  /** Exact 2-dp double sum via long cents — see [[Relational]] for the
-    * bit-exactness argument (same helper, kept private there). */
-  private def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
+  /** Exact 2-dp double sum via long cents — [[Relational.cents]], where
+    * the bit-exactness argument lives. */
+  private def cents(c: Column): Column = Relational.cents(c)
 
   /** Partial aggregate state for one batch of events: the algebraic
     * (commutative-monoid) form of the q45 rollup — count, exact cent sum,
@@ -59,8 +59,13 @@ object ScaleOps {
       (s, d) => {
         val ev = Tables.events(s, d)
         val cutoff = lit("2024-01-16").cast("timestamp")
-        val base  = partialState(ev.where(col("ts") <  cutoff))
-        val delta = partialState(ev.where(col("ts") >= cutoff))
+        // NULL timestamps ride the delta batch (a `>=` alone would drop
+        // them from BOTH partitions while the oracle's COUNT(*)/SUM over
+        // the whole table keeps them — a latent divergence the moment the
+        // generator emits a null ts). base ∪ delta must equal the table.
+        val base  = partialState(ev.where(col("ts") < cutoff))
+        val delta = partialState(
+          ev.where(col("ts") >= cutoff || col("ts").isNull))
         base.unionAll(delta)
           .groupBy("event_type")
           .agg(sum("cnt").as("n"),
@@ -126,16 +131,22 @@ object ScaleOps {
     // because the date set is only known after filtering the dim.
     // ScaleOpsSpec asserts `dynamicpruningexpression` lands in the fact
     // scan's PartitionFilters. The partitioned layout is written once per
-    // (session, dir) — the _SUCCESS marker memoizes, like q46's buckets.
+    // (SESSION, dir) — memoized via a session-scoped temp-view marker,
+    // the same staleness policy as q46's catalog tables. (An on-disk
+    // marker would outlive the JVM and silently serve a stale copy after
+    // the source dataset is regenerated — the round-5 testdata regen is
+    // exactly that scenario.)
     Q("q47_dpp_join",
       (s, d) => {
         val tag = d.replaceAll("[^A-Za-z0-9]", "_")
         val base = new java.io.File(
           sys.props("java.io.tmpdir"), s"graft_dpp/$tag").getAbsolutePath
-        if (!new java.io.File(s"$base/_SUCCESS").exists()) {
+        val marker = s"graft_dpp_marker_$tag"
+        if (!s.catalog.tableExists(marker)) {
           Tables.events(s, d)
             .withColumn("event_date", to_date(col("ts")))
             .write.mode("overwrite").partitionBy("event_date").parquet(base)
+          s.emptyDataFrame.createOrReplaceTempView(marker)
         }
         val fact = s.read.parquet(base)
         val dim = Tables.events(s, d)
@@ -167,7 +178,14 @@ object ScaleOps {
     // and DuckDB emits the exact NDV with TRUE.
     Q("x5_sketch_rollup",
       (s, d) => {
+        // Explicit null contract: rows with a null ts/user_id/props are
+        // excluded on BOTH sides. Without the filter the engines diverge
+        // subtly — concat_ws skips nulls where SQL `||` propagates them,
+        // COUNT(DISTINCT) drops a null key where Dataset.distinct keeps
+        // the row, and a null week never survives the equi-join.
         val ev = Tables.events(s, d)
+          .where(col("ts").isNotNull && col("user_id").isNotNull
+            && col("props").isNotNull)
           .select(to_date(col("ts")).as("day"),
             concat_ws("|", col("user_id"), col("props")).as("uk"))
         val daily = ev.groupBy("day")
@@ -186,6 +204,8 @@ object ScaleOps {
       Some("""SELECT date_trunc('week', CAST(ts AS DATE)) AS week,
           COUNT(DISTINCT CAST(user_id AS VARCHAR) || '|' || props) AS exact_ndv,
           TRUE AS ndv_ok
-        FROM events GROUP BY 1 ORDER BY 1"""))
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL AND props IS NOT NULL
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -433,7 +433,14 @@ object TextOps {
         .groupBy("dst")
         .agg(expr("cast(150000 + (85 * sum(c)) div 100 as bigint)").as("rank"))
         .select(col("dst").as("doc_id"), col("rank"))
-    rank
+    // Eager checkpoint so the per-call caches can be released here (the
+    // Components idiom): the returned frame no longer references adj, so
+    // unpersisting can't force a recompute through the LSH pipeline, and
+    // repeated invocations don't accumulate cached partitions.
+    val out = rank.localCheckpoint(true)
+    adj.unpersist()
+    pairs.unpersist()
+    out
   }
 
   /** d16's oracle iterations — the same integer-unit rank flow as five
@@ -446,6 +453,28 @@ object TextOps {
                           JOIN ed e ON e.src = p.doc_id
         GROUP BY e.dst)"""
   }.mkString(",\n        ")
+
+  /** m2/m3's shared frame contract — 16-byte frames addressed over the
+    * hex encoding (32 hex chars), keep every 4th, md5 digest each. Lives
+    * once so a stride/size change can't desynchronize the two gates. */
+  private def sampledFrames(docs: DataFrame): DataFrame =
+    docs.withColumn("hexp", upper(hex(encode(col("text"), "UTF-8"))))
+      .withColumn("frame_idx", explode(expr(
+        "filter(sequence(0, greatest(int(ceil(length(hexp) / 32.0)), 1) - 1), i -> i % 4 = 0)")))
+      .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+        md5(expr("substring(hexp, frame_idx * 32 + 1, 32)")).as("frame_md5"),
+        (length(expr("substring(hexp, frame_idx * 32 + 1, 32)")) / 2)
+          .cast("int").as("frame_bytes"))
+
+  /** DuckDB twin of [[sampledFrames]] (same columns, same contract). */
+  private val duckFrames =
+    """SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+         md5(substring(hexp, frame_idx * 32 + 1, 32)) AS frame_md5,
+         CAST(length(substring(hexp, frame_idx * 32 + 1, 32)) / 2 AS INT) AS frame_bytes
+       FROM (SELECT doc_id, hexp,
+               unnest(range(0, greatest(CAST(ceil(length(hexp) / 32.0) AS INT), 1))) AS frame_idx
+             FROM (SELECT doc_id, upper(hex(encode(text))) AS hexp FROM documents))
+       WHERE frame_idx % 4 = 0"""
 
   val all: Seq[Q] = Seq(
 
@@ -1442,26 +1471,13 @@ object TextOps {
     // via explode (executor-side, bounded per row), never a driver loop.
     // Frames are addressed over the hex encoding because DuckDB has no
     // BLOB substring; the Spark side mirrors it so the gate is exact.
+    // The frame contract (16-byte frames / every 4th) lives ONCE in
+    // [[sampledFrames]] + [[duckFrames]], shared with m3.
     Q("m2_frame_sample",
-      (s, d) => Tables.documentsSpread(s, d)
-        .withColumn("hexp", upper(hex(encode(col("text"), "UTF-8"))))
-        .withColumn("frame_idx", explode(expr(
-          "filter(sequence(0, greatest(int(ceil(length(hexp) / 32.0)), 1) - 1), i -> i % 4 = 0)")))
-        .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
-          md5(expr("substring(hexp, frame_idx * 32 + 1, 32)")).as("frame_md5"),
-          (length(expr("substring(hexp, frame_idx * 32 + 1, 32)")) / 2)
-            .cast("int").as("frame_bytes"))
+      (s, d) => sampledFrames(Tables.documentsSpread(s, d))
         .orderBy("doc_id", "frame_idx"),
-      Some("""WITH f AS (
-          SELECT doc_id, upper(hex(encode(text))) AS hexp FROM documents),
-        e AS (
-          SELECT doc_id, hexp,
-            unnest(range(0, greatest(CAST(ceil(length(hexp) / 32.0) AS INT), 1))) AS frame_idx
-          FROM f)
-        SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-          md5(substring(hexp, frame_idx * 32 + 1, 32)) AS frame_md5,
-          CAST(length(substring(hexp, frame_idx * 32 + 1, 32)) / 2 AS INT) AS frame_bytes
-        FROM e WHERE frame_idx % 4 = 0
+      Some(s"""WITH fr AS ($duckFrames)
+        SELECT doc_id, frame_idx, frame_md5, frame_bytes FROM fr
         ORDER BY doc_id, frame_idx""")),
 
     // Cross-asset frame dedup: m2's sampled frame digests grouped ACROSS
@@ -1473,12 +1489,8 @@ object TextOps {
     // keys; payload bytes never move (digests computed at the scan).
     Q("m3_frame_dedup",
       (s, d) => {
-        val frames = Tables.documentsSpread(s, d)
-          .withColumn("hexp", upper(hex(encode(col("text"), "UTF-8"))))
-          .withColumn("frame_idx", explode(expr(
-            "filter(sequence(0, greatest(int(ceil(length(hexp) / 32.0)), 1) - 1), i -> i % 4 = 0)")))
-          .select(col("doc_id"),
-            md5(expr("substring(hexp, frame_idx * 32 + 1, 32)")).as("frame_md5"))
+        val frames = sampledFrames(Tables.documentsSpread(s, d))
+          .select("doc_id", "frame_md5")
         frames.groupBy("frame_md5", "doc_id")
           .agg(count(lit(1)).as("n_in_doc"))
           .groupBy("frame_md5")
@@ -1488,15 +1500,7 @@ object TextOps {
           .where(col("n_docs") >= 2)
           .orderBy("frame_md5")
       },
-      Some("""WITH f AS (
-          SELECT doc_id, upper(hex(encode(text))) AS hexp FROM documents),
-        e AS (
-          SELECT doc_id, hexp,
-            unnest(range(0, greatest(CAST(ceil(length(hexp) / 32.0) AS INT), 1))) AS frame_idx
-          FROM f),
-        fr AS (
-          SELECT doc_id, md5(substring(hexp, frame_idx * 32 + 1, 32)) AS frame_md5
-          FROM e WHERE frame_idx % 4 = 0),
+      Some(s"""WITH fr AS ($duckFrames),
         pd AS (
           SELECT frame_md5, doc_id, COUNT(*) AS n_in_doc
           FROM fr GROUP BY frame_md5, doc_id)
