@@ -196,6 +196,48 @@ object Tokenize {
         FROM inter
         JOIN sizes sa ON src_a = sa.source
         JOIN sizes sb ON src_b = sb.source
-        ORDER BY src_a, src_b"""))
+        ORDER BY src_a, src_b""")),
+
+    // t15 — per-document n-gram novelty: the fraction of a document's
+    // distinct 3-gram shingles that appear in NO other document. The
+    // per-doc curation signal between t2's intrinsic quality and the
+    // d-family's pairwise dedup: low novelty flags boilerplate/templated
+    // content that near-dup thresholds may not catch, high novelty marks
+    // genuinely fresh text worth upweighting. Shape: d11's exact
+    // machinery pointed at docs instead of sources — shingles hash to
+    // 8-byte xxhash64 keys BEFORE the distinct (the d11 lesson: long
+    // shuffle keys, not ~30-byte trigram strings; the oracle keeps
+    // counting strings, identical modulo ~n²/2⁶⁵ collisions), one
+    // doc-count aggregate per shingle, one join back. Novelty is a
+    // single division of exact longs — bit-stable.
+    Q("t15_ngram_novelty",
+      (s, d) => {
+        val sh = Tables.documentsSpread(s, d)
+          .select(col("doc_id"),
+            explode(TextOps.ngramsExpr(3, distinct = false)).as("shingle"))
+          .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+          .distinct() // per-doc distinct shingles
+        val docsPer = sh.groupBy("sh").agg(count(lit(1)).as("n_docs"))
+        sh.join(docsPer, "sh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_shingles"),
+            sum(when(col("n_docs") === 1, 1L).otherwise(0L)).cast("long")
+              .as("n_unique"))
+          .withColumn("novelty",
+            col("n_unique").cast("double") / col("n_shingles").cast("double"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+               FROM tok WHERE len(t) >= 3),
+        dps AS (SELECT shingle, COUNT(*) AS n_docs FROM sh GROUP BY shingle)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+          CAST(SUM(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+          CAST(SUM(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+            CAST(COUNT(*) AS DOUBLE) AS novelty
+        FROM sh JOIN dps USING (shingle)
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
