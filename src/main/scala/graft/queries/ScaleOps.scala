@@ -165,6 +165,54 @@ object ScaleOps {
         WHERE dayname(CAST(ts AS DATE)) = 'Monday'
         GROUP BY 1 ORDER BY 1""")),
 
+    // Snapshot diff audit — what changed between two corpus versions:
+    // per key, added / removed / changed / unchanged decided by content
+    // digest, reported as per-status counts plus an id-sum signature
+    // (so the gate pins WHICH rows, not just how many). The daily
+    // sanity report a 100 TB pipeline runs before promoting a snapshot;
+    // ONE full-outer shuffle on the key — digests computed at the scan,
+    // text never moves — where naive diffing would ship both corpora.
+    // The two "snapshots" derive deterministically from the documents
+    // table (membership by id mod, drift as a text suffix on every 5th
+    // doc), identical on both engines.
+    Q("q48_snapshot_diff",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val snapA = docs.where(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id").as("id_a"), md5(col("text")).as("h_a"))
+        val snapB = docs.where(col("doc_id") % 11 =!= 3)
+          .select(col("doc_id").as("id_b"),
+            md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))).as("h_b"))
+        snapA.join(snapB, col("id_a") === col("id_b"), "full_outer")
+          .select(coalesce(col("id_a"), col("id_b")).as("doc_id"),
+            when(col("id_a").isNull, "added")
+              .when(col("id_b").isNull, "removed")
+              .when(col("h_a") =!= col("h_b"), "changed")
+              .otherwise("unchanged").as("status"))
+          .groupBy("status")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("doc_id")).cast("long").as("id_sig"))
+          .orderBy("status")
+      },
+      Some("""WITH a AS (
+          SELECT doc_id AS id_a, md5(text) AS h_a
+          FROM documents WHERE doc_id % 7 <> 0),
+        b AS (
+          SELECT doc_id AS id_b,
+            md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h_b
+          FROM documents WHERE doc_id % 11 <> 3),
+        j AS (
+          SELECT COALESCE(id_a, id_b) AS doc_id,
+            CASE WHEN id_a IS NULL THEN 'added'
+                 WHEN id_b IS NULL THEN 'removed'
+                 WHEN h_a <> h_b THEN 'changed'
+                 ELSE 'unchanged' END AS status
+          FROM a FULL OUTER JOIN b ON id_a = id_b)
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(doc_id) AS BIGINT) AS id_sig
+        FROM j GROUP BY status ORDER BY status""")),
+
     // Mergeable-sketch rollup (the "sketch cube"): per-DAY HLL sketches of
     // a high-ish-cardinality composite are the stored artifact; any
     // coarser grain (here ISO weeks) is answered by union-merging the

@@ -446,7 +446,49 @@ object VectorOps {
         SELECT qid, nid, CAST(rnk AS INT) AS rnk, adc_dist, cos_sim FROM (
           SELECT *, row_number() OVER (PARTITION BY qid
                       ORDER BY cos_sim DESC, nid) AS rnk FROM rr)
-        WHERE rnk <= 3 ORDER BY qid, rnk"""))
+        WHERE rnk <= 3 ORDER BY qid, rnk""")),
+
+    // v9 — kNN-JOIN (the full neighbor graph): every vector gets its
+    // top-3 cosine neighbors, not just a query set. v1-v8 answer
+    // queries; the kNN graph is the INPUT to graph-based curation
+    // (SemDeDup cells, d16's rank flow, cluster pruning). Candidate
+    // generation is the v2 sign-LSH bucket SELF-join — work is
+    // Σ bucket², bounded by the 64-signature fanout, never corpus² —
+    // and the per-vector top-3 is one partitioned window over
+    // candidates. At 100 TB: more hyperplanes → smaller buckets; the
+    // shuffle stays keyed on the signature.
+    Q("v9_knn_graph",
+      (s, d) => {
+        val sig = lshDims.zipWithIndex.map { case (dim, k) =>
+          when(element_at(col("embedding"), dim) >= 0, 1 << k).otherwise(0)
+        }.reduce(_ + _).cast("int")
+        val e = Tables.embeddings(s, d).withColumn("sig", sig)
+        val b = e.select(col("sig"), col("vec_id").as("nid"),
+          col("embedding").as("ne"))
+        val cand = e.join(b, Seq("sig")).where(col("vec_id") =!= col("nid"))
+          .select(col("vec_id"), col("nid"),
+            cosine(col("embedding"), col("ne")).as("cos_sim"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("cos_sim").desc, col("nid"))
+        cand.withColumn("rnk", row_number().over(w).cast("int"))
+          .where(col("rnk") <= 3)
+          .select("vec_id", "nid", "rnk", "cos_sim")
+          .orderBy("vec_id", "rnk")
+      },
+      Some {
+        val sigSql = lshDims.zipWithIndex.map { case (dim, k) =>
+          s"CASE WHEN embedding[$dim] >= 0 THEN ${1 << k} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, embedding, CAST($sigSql AS INT) AS sig FROM embeddings),
+          cand AS (
+            SELECT a.vec_id, b.vec_id AS nid,
+              ${duckCos("a.embedding", "b.embedding")} AS cos_sim
+            FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id <> b.vec_id)
+          SELECT vec_id, nid, CAST(rnk AS INT) AS rnk, cos_sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nid) AS rnk
+            FROM cand)
+          WHERE rnk <= 3 ORDER BY vec_id, rnk"""
+      })
   )
 
   /** Production SemDeDup (the scale path v6's gate fixture stands in

@@ -25,7 +25,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q22_asof_join", "q23_salted_agg", "t6_repetition", "c1_corpus_prep",
     "d8_decontaminate", "t9_bigram_lm", "t13_perplexity_filter",
     "d10_dup_graph_metrics", "d11_source_overlap", "d15_cdc_dup",
-    "d16_pagerank", "t15_ngram_novelty",
+    "d16_pagerank", "t15_ngram_novelty", "v9_knn_graph",
     "c9_dedup_rewrite", "c10_leakage_safe_split",
     // correlated subqueries must decorrelate to windows/joins —
     // per-outer-row re-execution would surface as a nested-loop join

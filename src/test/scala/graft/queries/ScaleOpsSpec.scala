@@ -53,6 +53,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(merged == gated)
   }
 
+  test("q45: merge equals recompute for ANY cutoff, including the extremes") {
+    // The property must hold when one side is empty (cutoff before/after
+    // all data) and at arbitrary interior points — not just the gate's
+    // pinned date.
+    import org.apache.spark.sql.DataFrame
+    val ev = Tables.events(spark, sf)
+    def partial(df: DataFrame) = df.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"),
+        min("value").as("vmin"), max("value").as("vmax"))
+    val full = partial(ev)
+      .select(col("event_type"), col("cnt"), col("cents"), col("vmin"),
+        col("vmax")).orderBy("event_type").collect().toSeq
+    for (cut <- Seq("1970-01-01", "2024-01-05", "2024-01-22", "2030-01-01")) {
+      val c = lit(cut).cast("timestamp")
+      val merged = partial(ev.where(col("ts") < c))
+        .unionAll(partial(ev.where(col("ts") >= c || col("ts").isNull)))
+        .groupBy("event_type")
+        .agg(sum("cnt").as("cnt"), sum("cents").as("cents"),
+          min("vmin").as("vmin"), max("vmax").as("vmax"))
+        .orderBy("event_type").collect().toSeq
+      assert(merged == full, s"cutoff $cut diverged")
+    }
+  }
+
   test("q46: bucketed join runs with ZERO shuffle exchanges (broadcast off)") {
     // Materialize via the gated query first (memoized per session+dir).
     SparkEntry.queries("q46_bucketed_join")(spark, sf).collect()
