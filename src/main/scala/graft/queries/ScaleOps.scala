@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -212,6 +213,80 @@ object ScaleOps {
         SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
           CAST(SUM(doc_id) AS BIGINT) AS id_sig
         FROM j GROUP BY status ORDER BY status""")),
+
+    // Hierarchical EXACT percentiles — the answer to q41's documented
+    // trade ("with a billion rows per group the in-partition sort is
+    // the cost"): nearest-rank percentiles found WITHOUT ever sorting a
+    // group. Cents give an exact order-isomorphic long for the 2-dp
+    // domain (for arbitrary doubles the raw-IEEE-bits map plays the
+    // same role); values bucket by `cents div 2^17`, a per-(group,
+    // bucket) count frame (thousands of rows, not millions) locates
+    // each requested rank's boundary bucket via a tiny cumsum window,
+    // and ONLY the boundary buckets' rows — ~n/1300 of the group — pay
+    // an ordered window for the final in-bucket rank. Same
+    // boundary-bucket pattern as c11's remainder prefix, applied to
+    // rank selection. The oracle is the plain one-window nearest-rank
+    // SQL — the semantic contract the hierarchical plan implements;
+    // nearest-rank returns a value PRESENT in the data, so both plans
+    // agree bit-for-bit (q41's determinism argument).
+    Q("q49_percentile_hier",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_returnflag").as("rf"),
+            col("l_extendedprice").as("v"),
+            cents(col("l_extendedprice")).as("c"))
+          .withColumn("bucket", expr("c div 131072"))
+        val bframe = li.groupBy("rf", "bucket")
+          .agg(count(lit(1)).as("bc"))
+        val wB = Window.partitionBy("rf").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bcum = bframe
+          .withColumn("bstart", coalesce(sum("bc").over(wB), lit(0L)))
+        val totals = bframe.groupBy("rf").agg(sum("bc").as("n"))
+        val specs = totals.select(col("rf").as("s_rf"), col("n"),
+          explode(array(
+            struct(lit("p25").as("p"), expr("cast(ceil(0.25 * n) as bigint)").as("r")),
+            struct(lit("p50").as("p"), expr("cast(ceil(0.5 * n) as bigint)").as("r")),
+            struct(lit("p75").as("p"), expr("cast(ceil(0.75 * n) as bigint)").as("r")),
+            struct(lit("p100").as("p"), col("n").as("r")))).as("t"))
+          .select(col("s_rf"), col("n"), col("t.p").as("p"), col("t.r").as("r"))
+        // each spec's boundary bucket: the one whose prefix straddles r
+        val located = specs.join(broadcast(bcum),
+          col("s_rf") === col("rf") &&
+            col("bstart") < col("r") &&
+            col("r") <= col("bstart") + col("bc"))
+          .select(col("rf"), col("p"), col("n"),
+            col("bucket").as("b"), (col("r") - col("bstart")).as("local_r"))
+        val needed = located.select(col("rf").as("n_rf"), col("b")).distinct()
+        val inBucket = li.join(broadcast(needed),
+          col("rf") === col("n_rf") && col("bucket") === col("b"))
+        val wD = Window.partitionBy("rf", "bucket").orderBy("c")
+        val rankedRows = inBucket
+          .withColumn("rn", row_number().over(wD))
+          .select(col("rf").as("v_rf"), col("bucket").as("v_b"),
+            col("rn"), col("v"))
+        located.join(rankedRows,
+          col("rf") === col("v_rf") && col("b") === col("v_b") &&
+            col("local_r") === col("rn"))
+          .groupBy(col("rf").as("l_returnflag"))
+          .agg(max("n").as("n_rows"),
+            max(when(col("p") === "p25", col("v"))).as("p25"),
+            max(when(col("p") === "p50", col("v"))).as("p50"),
+            max(when(col("p") === "p75", col("v"))).as("p75"),
+            max(when(col("p") === "p100", col("v"))).as("p100"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH ranked AS (
+          SELECT l_returnflag, l_extendedprice,
+            ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+            COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM lineitem)
+        SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_rows,
+          MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN l_extendedprice END) AS p25,
+          MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_extendedprice END) AS p50,
+          MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN l_extendedprice END) AS p75,
+          MAX(CASE WHEN rn = n THEN l_extendedprice END) AS p100
+        FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // Mergeable-sketch rollup (the "sketch cube"): per-DAY HLL sketches of
     // a high-ish-cardinality composite are the stored artifact; any

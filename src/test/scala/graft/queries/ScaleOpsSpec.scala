@@ -125,6 +125,41 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"no dynamic partition pruning in plan:\n$plan")
   }
 
+  test("q49: hierarchical result equals q41-style one-window nearest rank") {
+    // sf0.01 — richer value distribution than the spec-default sf0.001
+    val big = "/root/testdata/sf0.01"
+    val hier = SparkEntry.queries("q49_percentile_hier")(spark, big)
+      .collect().toSeq
+    val flat = {
+      Tables.registerAll(spark, big)
+      spark.sql("""WITH ranked AS (
+          SELECT l_returnflag, l_extendedprice,
+            ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+            COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM lineitem)
+        SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_rows,
+          MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN l_extendedprice END) AS p25,
+          MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_extendedprice END) AS p50,
+          MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN l_extendedprice END) AS p75,
+          MAX(CASE WHEN rn = n THEN l_extendedprice END) AS p100
+        FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""").collect().toSeq
+    }
+    assert(hier == flat)
+  }
+
+  test("q49: every window in the plan is partitioned (no per-group global sort)") {
+    val windows = SparkEntry.queries("q49_percentile_hier")(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(windows.nonEmpty)
+    for (w <- windows)
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w")
+    // the in-bucket rank window partitions by (group, bucket) — the rows
+    // it sorts are a boundary bucket, never the whole group
+    assert(windows.exists(_.partitionSpec.size == 2))
+  }
+
   test("x5: merged weekly estimate within bound, one stored sketch per day") {
     val gated = SparkEntry.queries("x5_sketch_rollup")(spark, sf).collect()
     assert(gated.nonEmpty)
