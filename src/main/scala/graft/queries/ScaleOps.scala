@@ -28,6 +28,11 @@ object ScaleOps {
     * the bit-exactness argument lives. */
   private def cents(c: Column): Column = Relational.cents(c)
 
+  /** Token unique per (JVM, session instance) — the layout queries write
+    * under it so no two sessions ever share (and race on) a directory. */
+  private def sessionTag(s: SparkSession): String =
+    s"${s.sparkContext.applicationId}-${Integer.toHexString(System.identityHashCode(s))}"
+
   /** Partial aggregate state for one batch of events: the algebraic
     * (commutative-monoid) form of the q45 rollup — count, exact cent sum,
     * min, max per event_type. Any partition of the input into batches
@@ -95,8 +100,9 @@ object ScaleOps {
     Q("q46_bucketed_join",
       (s, d) => {
         val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-        val base = new java.io.File(
-          sys.props("java.io.tmpdir"), s"graft_buckets/$tag").getAbsolutePath
+        // session-unique path, same reasoning as q47's layout directory
+        val base = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_buckets/$tag/${sessionTag(s)}").getAbsolutePath
         def ensure(name: String, sub: String, key: String,
                    df: => DataFrame): Unit =
           if (!s.catalog.tableExists(name))
@@ -132,16 +138,19 @@ object ScaleOps {
     // because the date set is only known after filtering the dim.
     // ScaleOpsSpec asserts `dynamicpruningexpression` lands in the fact
     // scan's PartitionFilters. The partitioned layout is written once per
-    // (SESSION, dir) — memoized via a session-scoped temp-view marker,
-    // the same staleness policy as q46's catalog tables. (An on-disk
-    // marker would outlive the JVM and silently serve a stale copy after
-    // the source dataset is regenerated — the round-5 testdata regen is
-    // exactly that scenario.)
+    // (SESSION, dir) into a SESSION-UNIQUE directory, memoized via a
+    // session-scoped temp-view marker. Session-unique because the two
+    // simpler policies both fail: an on-disk marker outlives the JVM and
+    // silently serves a stale copy after the source dataset is
+    // regenerated (the round-5 testdata regen scenario), while a shared
+    // path + per-session rewrite lets one session overwrite the
+    // directory mid-scan of another. A fresh path per session has
+    // neither staleness nor a cross-process race.
     Q("q47_dpp_join",
       (s, d) => {
         val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-        val base = new java.io.File(
-          sys.props("java.io.tmpdir"), s"graft_dpp/$tag").getAbsolutePath
+        val base = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_dpp/$tag/${sessionTag(s)}").getAbsolutePath
         val marker = s"graft_dpp_marker_$tag"
         if (!s.catalog.tableExists(marker)) {
           Tables.events(s, d)
@@ -219,11 +228,13 @@ object ScaleOps {
     // the cost"): nearest-rank percentiles found WITHOUT ever sorting a
     // group. Cents give an exact order-isomorphic long for the 2-dp
     // domain (for arbitrary doubles the raw-IEEE-bits map plays the
-    // same role); values bucket by `cents div 2^17`, a per-(group,
-    // bucket) count frame (thousands of rows, not millions) locates
-    // each requested rank's boundary bucket via a tiny cumsum window,
-    // and ONLY the boundary buckets' rows — ~n/1300 of the group — pay
-    // an ordered window for the final in-bucket rank. Same
+    // same role); values bucket by `cents div 2^14` ($163.84-wide
+    // buckets — ~650 populated per group on this price range, so the
+    // count frame stays thousands of rows while each bucket holds
+    // ~n/650 of the group), a tiny cumsum window over that frame
+    // locates each requested rank's boundary bucket, and ONLY the ≤4
+    // boundary buckets' rows — measured ~0.6% of the group — pay an
+    // ordered window for the final in-bucket rank. Same
     // boundary-bucket pattern as c11's remainder prefix, applied to
     // rank selection. The oracle is the plain one-window nearest-rank
     // SQL — the semantic contract the hierarchical plan implements;
@@ -235,7 +246,7 @@ object ScaleOps {
           .select(col("l_returnflag").as("rf"),
             col("l_extendedprice").as("v"),
             cents(col("l_extendedprice")).as("c"))
-          .withColumn("bucket", expr("c div 131072"))
+          .withColumn("bucket", expr("c div 16384"))
         val bframe = li.groupBy("rf", "bucket")
           .agg(count(lit(1)).as("bc"))
         val wB = Window.partitionBy("rf").orderBy("bucket")

@@ -426,13 +426,7 @@ object TextOps {
       pairs.select(col("dst").as("src"), col("src").as("dst")))
     val deg = ed.groupBy("src").agg(count(lit(1)).as("degree"))
     val adj = ed.join(deg, "src").cache() // (src, dst, degree)
-    var rank = deg.select(col("src").as("doc_id"), lit(1000000L).as("rank"))
-    for (_ <- 1 to iters)
-      rank = adj.join(rank, adj("src") === rank("doc_id"))
-        .select(col("dst"), expr("rank div degree").as("c"))
-        .groupBy("dst")
-        .agg(expr("cast(150000 + (85 * sum(c)) div 100 as bigint)").as("rank"))
-        .select(col("dst").as("doc_id"), col("rank"))
+    val rank = pageRankIterations(adj, deg, iters)
     // Eager checkpoint so the per-call caches can be released here (the
     // Components idiom): the returned frame no longer references adj, so
     // unpersisting can't force a recompute through the LSH pipeline, and
@@ -441,6 +435,37 @@ object TextOps {
     adj.unpersist()
     pairs.unpersist()
     out
+  }
+
+  /** [[pageRank]]'s rank-flow loop as a LAZY plan (no cache, no
+    * checkpoint): the form PlanShapeSpec inspects — the checkpointed
+    * production frame's executed plan is just an ExistingRDD scan, which
+    * would make a cartesian-free assertion on it vacuous. */
+  private[queries] def pageRankLazyPlan(pairsIn: DataFrame,
+      iters: Int): DataFrame = {
+    val Seq(ca, cb) = pairsIn.columns.toSeq.take(2)
+    val pairs = pairsIn.select(col(ca).as("src"), col(cb).as("dst"))
+    val ed = pairs.unionAll(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = ed.groupBy("src").agg(count(lit(1)).as("degree"))
+    pageRankIterations(ed.join(deg, "src"), deg, iters)
+  }
+
+  /** d16's full pipeline in [[pageRankLazyPlan]] form (plan inspection). */
+  private[queries] def pageRankLazyGate(s: SparkSession,
+      d: String): DataFrame =
+    pageRankLazyPlan(jaccardPairs(s, d).select("doc_a", "doc_b"), 5)
+
+  private def pageRankIterations(adj: DataFrame, deg: DataFrame,
+      iters: Int): DataFrame = {
+    var rank = deg.select(col("src").as("doc_id"), lit(1000000L).as("rank"))
+    for (_ <- 1 to iters)
+      rank = adj.join(rank, adj("src") === rank("doc_id"))
+        .select(col("dst"), expr("rank div degree").as("c"))
+        .groupBy("dst")
+        .agg(expr("cast(150000 + (85 * sum(c)) div 100 as bigint)").as("rank"))
+        .select(col("dst").as("doc_id"), col("rank"))
+    rank
   }
 
   /** d16's oracle iterations — the same integer-unit rank flow as five

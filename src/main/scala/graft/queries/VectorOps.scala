@@ -46,6 +46,18 @@ object VectorOps {
   /** 6-bit sign-signature over fixed dims (axis-aligned hyperplane LSH). */
   private val lshDims = Seq(1, 9, 17, 25, 33, 41) // 1-based
 
+  /** The signature as a column / as DuckDB SQL — defined ONCE so v2's
+    * query-set ANN and v9's kNN-join bucket identically on both engines
+    * (a drifted copy would desynchronize their candidate sets while both
+    * gates stayed individually green). */
+  private def sigCol: Column = lshDims.zipWithIndex.map { case (dim, k) =>
+    when(element_at(col("embedding"), dim) >= 0, 1 << k).otherwise(0)
+  }.reduce(_ + _).cast("int")
+
+  private val sigSql = lshDims.zipWithIndex.map { case (dim, k) =>
+    s"CASE WHEN embedding[$dim] >= 0 THEN ${1 << k} ELSE 0 END"
+  }.mkString(" + ")
+
   val all: Seq[Q] = Seq(
 
     // Brute-force cosine top-k: the exact baseline. Query set is small →
@@ -77,10 +89,7 @@ object VectorOps {
     // bucket — the scale path for candidate generation.
     Q("v2_knn_lsh",
       (s, d) => {
-        val sig = lshDims.zipWithIndex.map { case (dim, k) =>
-          when(element_at(col("embedding"), dim) >= 0, 1 << k).otherwise(0)
-        }.reduce(_ + _).cast("int")
-        val e = Tables.embeddings(s, d).withColumn("sig", sig)
+        val e = Tables.embeddings(s, d).withColumn("sig", sigCol)
         val q = e.where(col("vec_id") < 50)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("sig"))
         val cand = e.join(q, Seq("sig")).where(col("vec_id") =!= col("qid"))
@@ -93,9 +102,6 @@ object VectorOps {
           .orderBy("qid", "rnk")
       },
       Some {
-        val sigSql = lshDims.zipWithIndex.map { case (dim, k) =>
-          s"CASE WHEN embedding[$dim] >= 0 THEN ${1 << k} ELSE 0 END"
-        }.mkString(" + ")
         s"""WITH e AS (SELECT vec_id, embedding, CAST($sigSql AS INT) AS sig FROM embeddings),
           q AS (SELECT vec_id AS qid, embedding AS qe, sig FROM e WHERE vec_id < 50),
           cand AS (
@@ -459,10 +465,7 @@ object VectorOps {
     // shuffle stays keyed on the signature.
     Q("v9_knn_graph",
       (s, d) => {
-        val sig = lshDims.zipWithIndex.map { case (dim, k) =>
-          when(element_at(col("embedding"), dim) >= 0, 1 << k).otherwise(0)
-        }.reduce(_ + _).cast("int")
-        val e = Tables.embeddings(s, d).withColumn("sig", sig)
+        val e = Tables.embeddings(s, d).withColumn("sig", sigCol)
         val b = e.select(col("sig"), col("vec_id").as("nid"),
           col("embedding").as("ne"))
         val cand = e.join(b, Seq("sig")).where(col("vec_id") =!= col("nid"))
@@ -476,9 +479,6 @@ object VectorOps {
           .orderBy("vec_id", "rnk")
       },
       Some {
-        val sigSql = lshDims.zipWithIndex.map { case (dim, k) =>
-          s"CASE WHEN embedding[$dim] >= 0 THEN ${1 << k} ELSE 0 END"
-        }.mkString(" + ")
         s"""WITH e AS (SELECT vec_id, embedding, CAST($sigSql AS INT) AS sig FROM embeddings),
           cand AS (
             SELECT a.vec_id, b.vec_id AS nid,

@@ -25,7 +25,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q22_asof_join", "q23_salted_agg", "t6_repetition", "c1_corpus_prep",
     "d8_decontaminate", "t9_bigram_lm", "t13_perplexity_filter",
     "d10_dup_graph_metrics", "d11_source_overlap", "d15_cdc_dup",
-    "d16_pagerank", "t15_ngram_novelty", "v9_knn_graph",
+    "t15_ngram_novelty", "v9_knn_graph",
     "c9_dedup_rewrite", "c10_leakage_safe_split",
     // correlated subqueries must decorrelate to windows/joins —
     // per-outer-row re-execution would surface as a nested-loop join
@@ -40,6 +40,19 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"),
         s"$name plan contains CartesianProduct:\n$plan")
     }
+
+  test("d16_pagerank: no cartesian / nested-loop join (lazy-plan form)") {
+    // The gated d16 frame is eagerly checkpointed (its executed plan is
+    // an ExistingRDD scan — asserting on it would be vacuous and would
+    // run the whole job), so the assertion targets the SAME pipeline in
+    // its lazy form.
+    val plan = TextOps.pageRankLazyGate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"d16 lazy plan contains BroadcastNestedLoopJoin:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"d16 lazy plan contains CartesianProduct:\n$plan")
+  }
 
   test("q4_inlist_project: IN-list + range predicates push to the parquet scan") {
     val plan = SparkEntry.queries("q4_inlist_project")(spark, sf)

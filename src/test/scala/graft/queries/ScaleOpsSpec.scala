@@ -130,19 +130,12 @@ class ScaleOpsSpec extends AnyFunSuite {
     val big = "/root/testdata/sf0.01"
     val hier = SparkEntry.queries("q49_percentile_hier")(spark, big)
       .collect().toSeq
+    // the oracle string IS the one-window contract and is valid Spark
+    // SQL — single-sourced, so a contract change can't desynchronize
+    // this differential from the DuckDB gate
     val flat = {
       Tables.registerAll(spark, big)
-      spark.sql("""WITH ranked AS (
-          SELECT l_returnflag, l_extendedprice,
-            ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
-            COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-          FROM lineitem)
-        SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_rows,
-          MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN l_extendedprice END) AS p25,
-          MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_extendedprice END) AS p50,
-          MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN l_extendedprice END) AS p75,
-          MAX(CASE WHEN rn = n THEN l_extendedprice END) AS p100
-        FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""").collect().toSeq
+      spark.sql(SparkEntry.oracleSql("q49_percentile_hier")).collect().toSeq
     }
     assert(hier == flat)
   }
