@@ -33,6 +33,54 @@ object ScaleOps {
   private def sessionTag(s: SparkSession): String =
     s"${s.sparkContext.applicationId}-${Integer.toHexString(System.identityHashCode(s))}"
 
+  /** q49's hierarchical exact nearest-rank percentiles over an arbitrary
+    * `(rf, v, c)` frame (`c` = any order-isomorphic long of `v`; the gate
+    * passes cents). Extracted so HierPercentileFuzz can differential it
+    * against the one-window form on adversarial fixtures (ties at every
+    * boundary, single-row groups, all-equal groups). */
+  private[queries] def hierPercentiles(in: DataFrame): DataFrame = {
+    val li = in.withColumn("bucket", expr("c div 16384"))
+    val bframe = li.groupBy("rf", "bucket")
+      .agg(count(lit(1)).as("bc"))
+    val wB = Window.partitionBy("rf").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bcum = bframe
+      .withColumn("bstart", coalesce(sum("bc").over(wB), lit(0L)))
+    val totals = bframe.groupBy("rf").agg(sum("bc").as("n"))
+    val specs = totals.select(col("rf").as("s_rf"), col("n"),
+      explode(array(
+        struct(lit("p25").as("p"), expr("cast(ceil(0.25 * n) as bigint)").as("r")),
+        struct(lit("p50").as("p"), expr("cast(ceil(0.5 * n) as bigint)").as("r")),
+        struct(lit("p75").as("p"), expr("cast(ceil(0.75 * n) as bigint)").as("r")),
+        struct(lit("p100").as("p"), col("n").as("r")))).as("t"))
+      .select(col("s_rf"), col("n"), col("t.p").as("p"), col("t.r").as("r"))
+    // each spec's boundary bucket: the one whose prefix straddles r
+    val located = specs.join(broadcast(bcum),
+      col("s_rf") === col("rf") &&
+        col("bstart") < col("r") &&
+        col("r") <= col("bstart") + col("bc"))
+      .select(col("rf"), col("p"), col("n"),
+        col("bucket").as("b"), (col("r") - col("bstart")).as("local_r"))
+    val needed = located.select(col("rf").as("n_rf"), col("b")).distinct()
+    val inBucket = li.join(broadcast(needed),
+      col("rf") === col("n_rf") && col("bucket") === col("b"))
+    val wD = Window.partitionBy("rf", "bucket").orderBy("c")
+    val rankedRows = inBucket
+      .withColumn("rn", row_number().over(wD))
+      .select(col("rf").as("v_rf"), col("bucket").as("v_b"),
+        col("rn"), col("v"))
+    located.join(rankedRows,
+      col("rf") === col("v_rf") && col("b") === col("v_b") &&
+        col("local_r") === col("rn"))
+      .groupBy(col("rf").as("l_returnflag"))
+      .agg(max("n").as("n_rows"),
+        max(when(col("p") === "p25", col("v"))).as("p25"),
+        max(when(col("p") === "p50", col("v"))).as("p50"),
+        max(when(col("p") === "p75", col("v"))).as("p75"),
+        max(when(col("p") === "p100", col("v"))).as("p100"))
+      .orderBy("l_returnflag")
+  }
+
   /** Partial aggregate state for one batch of events: the algebraic
     * (commutative-monoid) form of the q45 rollup — count, exact cent sum,
     * min, max per event_type. Any partition of the input into batches
@@ -241,52 +289,11 @@ object ScaleOps {
     // nearest-rank returns a value PRESENT in the data, so both plans
     // agree bit-for-bit (q41's determinism argument).
     Q("q49_percentile_hier",
-      (s, d) => {
-        val li = Tables.lineitem(s, d)
+      (s, d) => hierPercentiles(
+        Tables.lineitem(s, d)
           .select(col("l_returnflag").as("rf"),
             col("l_extendedprice").as("v"),
-            cents(col("l_extendedprice")).as("c"))
-          .withColumn("bucket", expr("c div 16384"))
-        val bframe = li.groupBy("rf", "bucket")
-          .agg(count(lit(1)).as("bc"))
-        val wB = Window.partitionBy("rf").orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val bcum = bframe
-          .withColumn("bstart", coalesce(sum("bc").over(wB), lit(0L)))
-        val totals = bframe.groupBy("rf").agg(sum("bc").as("n"))
-        val specs = totals.select(col("rf").as("s_rf"), col("n"),
-          explode(array(
-            struct(lit("p25").as("p"), expr("cast(ceil(0.25 * n) as bigint)").as("r")),
-            struct(lit("p50").as("p"), expr("cast(ceil(0.5 * n) as bigint)").as("r")),
-            struct(lit("p75").as("p"), expr("cast(ceil(0.75 * n) as bigint)").as("r")),
-            struct(lit("p100").as("p"), col("n").as("r")))).as("t"))
-          .select(col("s_rf"), col("n"), col("t.p").as("p"), col("t.r").as("r"))
-        // each spec's boundary bucket: the one whose prefix straddles r
-        val located = specs.join(broadcast(bcum),
-          col("s_rf") === col("rf") &&
-            col("bstart") < col("r") &&
-            col("r") <= col("bstart") + col("bc"))
-          .select(col("rf"), col("p"), col("n"),
-            col("bucket").as("b"), (col("r") - col("bstart")).as("local_r"))
-        val needed = located.select(col("rf").as("n_rf"), col("b")).distinct()
-        val inBucket = li.join(broadcast(needed),
-          col("rf") === col("n_rf") && col("bucket") === col("b"))
-        val wD = Window.partitionBy("rf", "bucket").orderBy("c")
-        val rankedRows = inBucket
-          .withColumn("rn", row_number().over(wD))
-          .select(col("rf").as("v_rf"), col("bucket").as("v_b"),
-            col("rn"), col("v"))
-        located.join(rankedRows,
-          col("rf") === col("v_rf") && col("b") === col("v_b") &&
-            col("local_r") === col("rn"))
-          .groupBy(col("rf").as("l_returnflag"))
-          .agg(max("n").as("n_rows"),
-            max(when(col("p") === "p25", col("v"))).as("p25"),
-            max(when(col("p") === "p50", col("v"))).as("p50"),
-            max(when(col("p") === "p75", col("v"))).as("p75"),
-            max(when(col("p") === "p100", col("v"))).as("p100"))
-          .orderBy("l_returnflag")
-      },
+            cents(col("l_extendedprice")).as("c"))),
       Some("""WITH ranked AS (
           SELECT l_returnflag, l_extendedprice,
             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
