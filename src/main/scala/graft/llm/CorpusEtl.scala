@@ -691,48 +691,10 @@ object CorpusEtl {
     // oracle computes the same selection as the flat one-window cumsum —
     // which IS the semantic contract the hierarchical plan implements.
     Q("c11_epoch_plan",
-      (s, d) => {
-        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      (s, d) => epochPlanFrom(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          md5(col("doc_id").cast("string")).as("h"))
-        val src = docs.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
-        val tot = src.agg(sum("src_tokens").as("all_tokens"),
-          count(lit(1)).as("n_src"))
-        val plan = src.crossJoin(broadcast(tot))
-          .withColumn("target_s", expr("(all_tokens * 2) div n_src"))
-          .select(col("source"),
-            expr("target_s div src_tokens").as("full_epochs"),
-            (col("target_s") % col("src_tokens")).as("rem"))
-        val withB = docs.withColumn("bucket",
-          conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
-        val bsum = withB.groupBy("source", "bucket")
-          .agg(sum("n_tokens").as("b_tokens"))
-        val wB = Window.partitionBy("source").orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val bcum = bsum.withColumn("b_start",
-          coalesce(sum("b_tokens").over(wB), lit(0L)))
-        val marked = withB
-          .join(bcum, Seq("source", "bucket"))
-          .join(plan, Seq("source"))
-        // whole buckets classify from the frame; null marks the one
-        // boundary bucket per source whose docs need the in-bucket order
-        val base = marked.withColumn("extra0",
-          when(col("b_start") + col("b_tokens") <= col("rem"), lit(1L))
-            .when(col("b_start") >= col("rem"), lit(0L)))
-        val wD = Window.partitionBy("source", "bucket")
-          .orderBy("h", "doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val boundary = base.where(col("extra0").isNull)
-          .withColumn("prev", coalesce(sum("n_tokens").over(wD), lit(0L)))
-          .select(col("doc_id").as("b_doc_id"),
-            when(col("b_start") + col("prev") < col("rem"), 1L)
-              .otherwise(0L).as("extra_b"))
-        base.join(boundary, col("doc_id") === col("b_doc_id"), "left")
-          .select(col("doc_id"), col("source"), col("n_tokens"),
-            (col("full_epochs") + coalesce(col("extra0"), col("extra_b")))
-              .as("repeats"))
-          .orderBy("doc_id")
-      },
+          md5(col("doc_id").cast("string")).as("h"))),
       Some("""WITH docs AS (
           SELECT doc_id, source,
             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -759,4 +721,50 @@ object CorpusEtl {
         FROM cum c JOIN p2 p USING (source)
         ORDER BY doc_id"""))
   )
+
+  /** c11's plan body over an arbitrary `(doc_id, source, n_tokens, h)`
+    * frame (`h` = any hex hash string; the gate passes md5(doc_id)).
+    * Extracted so EpochPlanSpec's fuzz can control the hash-prefix
+    * distribution directly — the adversarial cases (remainder landing
+    * exactly on a bucket boundary, rem = 0, a source entirely inside one
+    * bucket) are unreachable from the real table. */
+  private[graft] def epochPlanFrom(docs: DataFrame): DataFrame = {
+    val src = docs.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+    val tot = src.agg(sum("src_tokens").as("all_tokens"),
+      count(lit(1)).as("n_src"))
+    val plan = src.crossJoin(broadcast(tot))
+      .withColumn("target_s", expr("(all_tokens * 2) div n_src"))
+      .select(col("source"),
+        expr("target_s div src_tokens").as("full_epochs"),
+        (col("target_s") % col("src_tokens")).as("rem"))
+    val withB = docs.withColumn("bucket",
+      conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
+    val bsum = withB.groupBy("source", "bucket")
+      .agg(sum("n_tokens").as("b_tokens"))
+    val wB = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bcum = bsum.withColumn("b_start",
+      coalesce(sum("b_tokens").over(wB), lit(0L)))
+    val marked = withB
+      .join(bcum, Seq("source", "bucket"))
+      .join(plan, Seq("source"))
+    // whole buckets classify from the frame; null marks the one
+    // boundary bucket per source whose docs need the in-bucket order
+    val base = marked.withColumn("extra0",
+      when(col("b_start") + col("b_tokens") <= col("rem"), lit(1L))
+        .when(col("b_start") >= col("rem"), lit(0L)))
+    val wD = Window.partitionBy("source", "bucket")
+      .orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = base.where(col("extra0").isNull)
+      .withColumn("prev", coalesce(sum("n_tokens").over(wD), lit(0L)))
+      .select(col("doc_id").as("b_doc_id"),
+        when(col("b_start") + col("prev") < col("rem"), 1L)
+          .otherwise(0L).as("extra_b"))
+    base.join(boundary, col("doc_id") === col("b_doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("full_epochs") + coalesce(col("extra0"), col("extra_b")))
+          .as("repeats"))
+      .orderBy("doc_id")
+  }
 }

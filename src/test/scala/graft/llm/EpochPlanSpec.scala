@@ -59,6 +59,47 @@ class EpochPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: hierarchical prefix equals flat greedy on adversarial hash fixtures") {
+    import spark.implicits._
+    // flat reference over a (doc_id, source, n_tokens, h) fixture
+    def flat(docs: org.apache.spark.sql.DataFrame) = {
+      val src = docs.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+      val tot = src.agg(sum("src_tokens").as("all_tokens"), count(lit(1)).as("n_src"))
+      val plan = src.crossJoin(broadcast(tot))
+        .withColumn("target_s", expr("(all_tokens * 2) div n_src"))
+        .select(col("source"), expr("target_s div src_tokens").as("full_epochs"),
+          (col("target_s") % col("src_tokens")).as("rem"))
+      val w = Window.partitionBy("source").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.withColumn("prev", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .join(plan, Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          (col("full_epochs") +
+            when(col("prev") < col("rem"), 1L).otherwise(0L)).as("repeats"))
+        .orderBy("doc_id").collect().toSeq
+    }
+    val rnd = new scala.util.Random(20260814L)
+    def hex(n: Int) = (1 to n).map(_ => "0123456789abcdef"(rnd.nextInt(16))).mkString
+    // adversarial: two equal sources (rem = 0), a single-doc source, a
+    // source whose docs all share one hash prefix (one bucket), plus
+    // random rounds
+    val crafted = Seq(
+      (1L, "eq", 10L, "aa" + hex(6)), (2L, "eq", 10L, "bb" + hex(6)),
+      (3L, "eq2", 10L, "cc" + hex(6)), (4L, "eq2", 10L, "dd" + hex(6)),
+      (5L, "solo", 7L, hex(8)),
+      (6L, "onebkt", 3L, "7f" + hex(6)), (7L, "onebkt", 4L, "7f" + hex(6)),
+      (8L, "onebkt", 5L, "7f" + hex(6)))
+    val craftedDf = crafted.toDF("doc_id", "source", "n_tokens", "h")
+    assert(CorpusEtl.epochPlanFrom(craftedDf).collect().toSeq == flat(craftedDf))
+    for (round <- 1 to 3) {
+      val rows = (1 to 300).map(i =>
+        (i.toLong, s"s${rnd.nextInt(5)}", (1 + rnd.nextInt(50)).toLong, hex(8)))
+      val df = rows.toDF("doc_id", "source", "n_tokens", "h")
+      assert(CorpusEtl.epochPlanFrom(df).collect().toSeq == flat(df),
+        s"round $round diverged")
+    }
+  }
+
   test("no unpartitioned window anywhere in the plan") {
     // Every Window must carry a partition spec: an ORDER BY-only window
     // would mean a global single-partition sort at corpus scale. (The
