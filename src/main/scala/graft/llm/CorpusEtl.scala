@@ -724,11 +724,18 @@ object CorpusEtl {
 
   /** c11's plan body over an arbitrary `(doc_id, source, n_tokens, h)`
     * frame (`h` = any hex hash string; the gate passes md5(doc_id)).
+    * `h` is lower-cased on entry: the hierarchical plan's equivalence to
+    * the flat `ORDER BY h` greedy needs the numeric order of the first
+    * two hex chars (`conv` base-16) to agree with full-string
+    * lexicographic order — true for uniform-case hex, silently wrong for
+    * mixed case ('A' < 'a' lexicographically, equal numerically), so the
+    * plan normalizes rather than trusting the caller.
     * Extracted so EpochPlanSpec's fuzz can control the hash-prefix
     * distribution directly — the adversarial cases (remainder landing
     * exactly on a bucket boundary, rem = 0, a source entirely inside one
     * bucket) are unreachable from the real table. */
-  private[graft] def epochPlanFrom(docs: DataFrame): DataFrame = {
+  private[graft] def epochPlanFrom(docsRaw: DataFrame): DataFrame = {
+    val docs = docsRaw.withColumn("h", lower(col("h")))
     val src = docs.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
     val tot = src.agg(sum("src_tokens").as("all_tokens"),
       count(lit(1)).as("n_src"))

@@ -33,6 +33,16 @@ object ScaleOps {
   private def sessionTag(s: SparkSession): String =
     s"${s.sparkContext.applicationId}-${Integer.toHexString(System.identityHashCode(s))}"
 
+  /** q46's catalog table names for (session, data dir) — session-tagged
+    * for the same reason the paths are (see q46 body); exposed so
+    * ScaleOpsSpec can plan-assert against the exact tables the gated
+    * query materialized. */
+  private[queries] def bucketTableNames(s: SparkSession, d: String): (String, String) = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val sTag = sessionTag(s).replaceAll("[^A-Za-z0-9]", "_")
+    (s"graft_bkt_orders_${tag}_$sTag", s"graft_bkt_lineitem_${tag}_$sTag")
+  }
+
   /** q49's hierarchical exact nearest-rank percentiles over an arbitrary
     * `(rf, v, c)` frame (`c` = any order-isomorphic long of `v`; the gate
     * passes cents). Extracted so HierPercentileFuzz can differential it
@@ -54,15 +64,26 @@ object ScaleOps {
         struct(lit("p75").as("p"), expr("cast(ceil(0.75 * n) as bigint)").as("r")),
         struct(lit("p100").as("p"), col("n").as("r")))).as("t"))
       .select(col("s_rf"), col("n"), col("t.p").as("p"), col("t.r").as("r"))
-    // each spec's boundary bucket: the one whose prefix straddles r
-    val located = specs.join(broadcast(bcum),
+    // Each spec's boundary bucket: the one whose prefix straddles r.
+    // Neither join carries a broadcast HINT on purpose: the count frame
+    // is groups × ~650 rows and `needed` is groups × ≤4 rows, so a
+    // forced broadcast is groups-proportional driver memory — fine for
+    // a handful of return flags, a driver OOM when the group column is
+    // high-cardinality. AQE (on in every graft session) converts these
+    // to broadcast joins at runtime from their MEASURED post-shuffle
+    // sizes, which is the size-gated behavior we want: small frames
+    // broadcast, large ones stay as shuffle joins on (rf[, bucket]) —
+    // and the boundary-bucket prefilter semantics are identical either
+    // way (HierPercentileFuzzSpec plan-asserts the ordered window still
+    // sits above the prefilter join, never over the raw input).
+    val located = specs.join(bcum,
       col("s_rf") === col("rf") &&
         col("bstart") < col("r") &&
         col("r") <= col("bstart") + col("bc"))
       .select(col("rf"), col("p"), col("n"),
         col("bucket").as("b"), (col("r") - col("bstart")).as("local_r"))
     val needed = located.select(col("rf").as("n_rf"), col("b")).distinct()
-    val inBucket = li.join(broadcast(needed),
+    val inBucket = li.join(needed,
       col("rf") === col("n_rf") && col("bucket") === col("b"))
     val wD = Window.partitionBy("rf", "bucket").orderBy("c")
     val rankedRows = inBucket
@@ -156,8 +177,15 @@ object ScaleOps {
           if (!s.catalog.tableExists(name))
             graft.store.Bucketed.write(df, name, Seq(key), 8,
               path = Some(s"$base/$sub"))
-        val oT = s"graft_bkt_orders_$tag"
-        val lT = s"graft_bkt_lineitem_$tag"
+        // The table NAME carries the session tag too, not just the path:
+        // the external catalog is shared by every SparkSession of one
+        // SparkContext, so a dir-only tag lets two sessions both pass
+        // !tableExists and race saveAsTable on the same name (Overwrite
+        // repoints the table out from under the first), and a long-lived
+        // JVM would serve a stale bucketed copy after the source dir is
+        // regenerated. Session-unique name + session-unique path has
+        // neither failure, matching q47's marker discipline.
+        val (oT, lT) = bucketTableNames(s, d)
         ensure(oT, "orders", "o_orderkey",
           Tables.orders(s, d).select("o_orderkey", "o_orderpriority"))
         ensure(lT, "lineitem", "l_orderkey",

@@ -100,6 +100,40 @@ class EpochPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed-case hex input is normalized, not mis-ordered") {
+    import spark.implicits._
+    // 'F' < 'a' lexicographically but 0xF? > 0xa? numerically, so without
+    // lower() the bucket order (numeric, via conv) and the in-bucket /
+    // flat order (lexicographic) disagree and the remainder prefix lands
+    // on the wrong docs. The contract is "greedy over lower(h)": the
+    // plan must equal the flat greedy computed over the LOWERED hashes
+    // regardless of the case the caller passed in.
+    val rnd = new scala.util.Random(42L)
+    def hexMixed(n: Int) =
+      (1 to n).map(_ => "0123456789abcdefABCDEF"(rnd.nextInt(22))).mkString
+    val rows = (1 to 200).map(i =>
+      (i.toLong, s"s${rnd.nextInt(3)}", (1 + rnd.nextInt(40)).toLong, hexMixed(8)))
+    val df = rows.toDF("doc_id", "source", "n_tokens", "h")
+    val lowered = df.withColumn("h", lower(col("h")))
+    def flatLow(docs: org.apache.spark.sql.DataFrame) = {
+      val src = docs.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+      val tot = src.agg(sum("src_tokens").as("all_tokens"), count(lit(1)).as("n_src"))
+      val plan = src.crossJoin(broadcast(tot))
+        .withColumn("target_s", expr("(all_tokens * 2) div n_src"))
+        .select(col("source"), expr("target_s div src_tokens").as("full_epochs"),
+          (col("target_s") % col("src_tokens")).as("rem"))
+      val w = Window.partitionBy("source").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.withColumn("prev", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .join(plan, Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          (col("full_epochs") +
+            when(col("prev") < col("rem"), 1L).otherwise(0L)).as("repeats"))
+        .orderBy("doc_id").collect().toSeq
+    }
+    assert(CorpusEtl.epochPlanFrom(df).collect().toSeq == flatLow(lowered))
+  }
+
   test("no unpartitioned window anywhere in the plan") {
     // Every Window must carry a partition spec: an ORDER BY-only window
     // would mean a global single-partition sort at corpus scale. (The

@@ -74,4 +74,41 @@ class HierPercentileFuzzSpec extends AnyFunSuite {
     }
     assert(hier(rows) == flat(rows))
   }
+
+  test("high-cardinality groups: correct, and ordered window stays on the prefilter") {
+    import org.apache.spark.sql.catalyst.expressions.WindowExpression
+    import org.apache.spark.sql.catalyst.expressions.RowNumber
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    import spark.implicits._
+    // 1,500 groups — the regime where a forced broadcast of the
+    // per-(group, bucket) count frame would be groups-proportional
+    // driver memory. The hints are gone (AQE size-gates at runtime);
+    // this asserts the SEMANTIC shape survived: the row_number window
+    // still consumes the boundary-bucket prefilter JOIN, never the raw
+    // input, so only ~4 buckets per group ever pay an ordered sort.
+    val rnd = new scala.util.Random(7L)
+    val rows = (1 to 6000).map { i =>
+      val g = f"g${i % 1500}%04d"
+      val v = math.floor(rnd.nextDouble() * 200000) / 100.0
+      (g, v)
+    }
+    assert(hier(rows) == flat(rows))
+
+    val df = ScaleOps.hierPercentiles(
+      rows.toDF("rf", "v")
+        .withColumn("c", floor(col("v") * 100 + 0.5).cast("long")))
+    val plan = df.queryExecution.optimizedPlan
+    val rowNumWindows = plan.collect {
+      case w: LWindow if w.windowExpressions.exists(_.exists {
+        case we: WindowExpression => we.windowFunction.isInstanceOf[RowNumber]
+        case _ => false
+      }) => w
+    }
+    assert(rowNumWindows.nonEmpty, "expected a row_number window in the plan")
+    for (w <- rowNumWindows) {
+      val joinsBelow = w.child.collect { case j: Join => j }
+      assert(joinsBelow.nonEmpty,
+        s"ordered row_number window runs over raw input (no prefilter join below it):\n$w")
+    }
+  }
 }

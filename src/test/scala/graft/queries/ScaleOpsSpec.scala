@@ -81,12 +81,12 @@ class ScaleOpsSpec extends AnyFunSuite {
   test("q46: bucketed join runs with ZERO shuffle exchanges (broadcast off)") {
     // Materialize via the gated query first (memoized per session+dir).
     SparkEntry.queries("q46_bucketed_join")(spark, sf).collect()
-    val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
+    val (ordersT, lineitemT) = ScaleOps.bucketTableNames(spark, sf)
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val bare = spark.table(s"graft_bkt_lineitem_$tag")
-        .join(spark.table(s"graft_bkt_orders_$tag"),
+      val bare = spark.table(lineitemT)
+        .join(spark.table(ordersT),
           col("l_orderkey") === col("o_orderkey"))
       val plan = bare.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
