@@ -479,26 +479,44 @@ object TextOps {
         GROUP BY e.dst)"""
   }.mkString(",\n        ")
 
-  /** m2/m3's shared frame contract — 16-byte frames addressed over the
-    * hex encoding (32 hex chars), keep every 4th, md5 digest each. Lives
-    * once so a stride/size change can't desynchronize the two gates. */
-  private def sampledFrames(docs: DataFrame): DataFrame =
-    docs.withColumn("hexp", upper(hex(encode(col("text"), "UTF-8"))))
+  /** m2/m3's shared frame contract — 16-BYTE frames sliced directly from
+    * the binary payload, keep every 4th, md5 each byte slice. Lives once
+    * so a stride/size change can't desynchronize the two gates.
+    *
+    * Addressing is in the BYTE domain (Spark `substring`/`length`/`md5`
+    * all operate bytewise on BinaryType): this is the contract real
+    * codec output needs — frames of an mp4/wav are byte ranges, and any
+    * hex round-trip would double the scan/explode width for nothing.
+    * FrameSampleSpec pins the bytewise semantics on non-UTF-8-boundary
+    * payloads against JVM-computed digests, which the SQL oracle can't
+    * exercise (see [[duckFrames]]). */
+  private[queries] def sampledFrames(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", encode(col("text"), "UTF-8"))
       .withColumn("frame_idx", explode(expr(
-        "filter(sequence(0, greatest(int(ceil(length(hexp) / 32.0)), 1) - 1), i -> i % 4 = 0)")))
+        "filter(sequence(0, greatest(int(ceil(length(payload) / 16.0)), 1) - 1), i -> i % 4 = 0)")))
       .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
-        md5(expr("substring(hexp, frame_idx * 32 + 1, 32)")).as("frame_md5"),
-        (length(expr("substring(hexp, frame_idx * 32 + 1, 32)")) / 2)
+        md5(expr("substring(payload, frame_idx * 16 + 1, 16)")).as("frame_md5"),
+        length(expr("substring(payload, frame_idx * 16 + 1, 16)"))
           .cast("int").as("frame_bytes"))
 
-  /** DuckDB twin of [[sampledFrames]] (same columns, same contract). */
+  /** DuckDB twin of [[sampledFrames]] (same columns, same contract).
+    * This DuckDB build has no BLOB substring/md5, so the oracle slices
+    * the VARCHAR by characters and md5s that — byte-identical to the
+    * Spark side exactly when the text is pure ASCII, which the corpus
+    * is. The precondition is asserted IN the oracle (`error(...)`), so a
+    * regenerated corpus with multi-byte text fails the gate loudly
+    * instead of hash-diverging in silence. */
   private val duckFrames =
     """SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-         md5(substring(hexp, frame_idx * 32 + 1, 32)) AS frame_md5,
-         CAST(length(substring(hexp, frame_idx * 32 + 1, 32)) / 2 AS INT) AS frame_bytes
-       FROM (SELECT doc_id, hexp,
-               unnest(range(0, greatest(CAST(ceil(length(hexp) / 32.0) AS INT), 1))) AS frame_idx
-             FROM (SELECT doc_id, upper(hex(encode(text))) AS hexp FROM documents))
+         md5(substr(t, frame_idx * 16 + 1, 16)) AS frame_md5,
+         CAST(length(substr(t, frame_idx * 16 + 1, 16)) AS INT) AS frame_bytes
+       FROM (SELECT doc_id, t,
+               unnest(range(0, greatest(CAST(ceil(length(t) / 16.0) AS INT), 1))) AS frame_idx
+             FROM (SELECT doc_id,
+                     CASE WHEN octet_length(encode(text)) = length(text) THEN text
+                          ELSE error('duckFrames oracle requires ASCII text; char-slicing diverges from the byte frames the engine computes')
+                     END AS t
+                   FROM documents))
        WHERE frame_idx % 4 = 0"""
 
   val all: Seq[Q] = Seq(
@@ -1482,9 +1500,13 @@ object TextOps {
     Q("m1_blob_meta",
       (s, d) => Tables.documentsSpread(s, d)
         .withColumn("payload", encode(col("text"), "UTF-8"))
+        // byte-domain: slice the 8 magic-number bytes THEN hex them —
+        // hexing the whole payload to keep 16 chars doubles the scan
+        // width (the oracle hexes first only because DuckDB can't slice
+        // a BLOB; hex-of-slice == slice-of-hex at byte boundaries)
         .select(col("doc_id"),
           length(col("payload")).cast("int").as("n_bytes"),
-          upper(substring(hex(col("payload")), 1, 16)).as("hex_prefix"))
+          upper(hex(substring(col("payload"), 1, 8))).as("hex_prefix"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
           upper(substr(hex(encode(text)), 1, 16)) AS hex_prefix
@@ -1494,10 +1516,10 @@ object TextOps {
     // graft.llm.Multimodal.sampleFrames): split an opaque payload into
     // fixed 16-byte frames, keep every 4th, digest each — one-to-many
     // via explode (executor-side, bounded per row), never a driver loop.
-    // Frames are addressed over the hex encoding because DuckDB has no
-    // BLOB substring; the Spark side mirrors it so the gate is exact.
-    // The frame contract (16-byte frames / every 4th) lives ONCE in
-    // [[sampledFrames]] + [[duckFrames]], shared with m3.
+    // Frames are byte slices of the binary payload, digested directly
+    // (the contract codec output needs); the frame contract (16-byte
+    // frames / every 4th) lives ONCE in [[sampledFrames]] +
+    // [[duckFrames]], shared with m3.
     Q("m2_frame_sample",
       (s, d) => sampledFrames(Tables.documentsSpread(s, d))
         .orderBy("doc_id", "frame_idx"),
