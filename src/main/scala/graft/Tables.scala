@@ -163,6 +163,39 @@ object Tables {
     })
   }
 
+  /** Streaming twin of [[events]]: a file-source micro-batch stream over
+    * the same path with the same footer-dispatched `ts` normalization,
+    * so watermarked consumers (w13b, DocStream-style jobs) see exactly
+    * the µs-precision UTC instants the batch reader produces. The batch
+    * probe below reads only the footer (and is how the dispatch learns
+    * the physical encoding — a stream source needs an explicit schema).
+    * Not memoized: a streaming DataFrame is a fresh query per start. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val path = s"$dir/events.parquet"
+    val glob = s"$dir/[e]vents.parquet"
+    val footer = scala.util.Try(spark.read.parquet(path).schema).toOption
+    footer.flatMap(sch => sch.fields.find(_.name == "ts").map(f => (sch, f.dataType))) match {
+      // The source path is a single FILE. FileStreamSource force-sets
+      // basePath to the source path itself for NON-glob paths (and then
+      // rejects it: "Option 'basePath' must be a directory"), so the
+      // stream reads a glob form of the same name, which keeps the
+      // explicit directory basePath below in effect.
+      case Some((sch, TimestampType)) =>
+        spark.readStream.schema(sch).option("basePath", dir).parquet(glob)
+      case Some((sch, TimestampNTZType)) =>
+        import org.apache.spark.sql.graft.ColumnBridge
+        spark.readStream.schema(sch).option("basePath", dir).parquet(glob)
+          .withColumn("ts", ColumnBridge.column(
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              ColumnBridge.expression(col("ts")), TimestampType, Some("UTC"))))
+      case _ =>
+        spark.readStream.schema(eventsRawSchema)
+          .option("basePath", dir).parquet(glob)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+  }
+
   /** Register every table as a temp view (ad-hoc SQL surface; SURVEY §3.3). */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders",

@@ -529,6 +529,37 @@ object WeatherGate {
       Some("""SELECT date_trunc('hour', ts) AS hour_start,
           COUNT(DISTINCT user_id) AS exact_users, COUNT(*) AS n_events,
           TRUE AS ndv_ok
-        FROM events GROUP BY 1 ORDER BY hour_start"""))
+        FROM events GROUP BY 1 ORDER BY hour_start""")),
+
+    // §2.8 — w13's TRUE streaming path: the same hourlyUserNdv plan
+    // executed as a watermarked file-source micro-batch stream, append
+    // mode, and the gate reads the EMITTED sink rows — so what's pinned
+    // here is watermark EVICTION (a window emits exactly once, when the
+    // watermark passes its end; the tail window holding max(ts) stays
+    // open and must NOT appear), the streaming counterpart of what w9
+    // gates for the rollup. The oracle mirrors emission with the
+    // `hour + 1h ≤ max(ts)` filter; n_events comes from the sink rows,
+    // so a double- or early-emission can't hide. Spark deliberately does
+    // NOT filter its side — every emitted row reaches the compare, so
+    // over-emission fails the gate too (row-count mismatch), not just
+    // under-emission.
+    Q("w13b_window_ndv_stream",
+      (s, d) => {
+        val emitted = graft.streaming.WindowNdv.emittedHourlyNdv(s, d)
+        val exact = graft.Tables.events(s, d)
+          .select(date_trunc("hour", col("ts")).as("h"), col("user_id")).distinct()
+          .groupBy("h").agg(count(lit(1)).as("exact_users"))
+        emitted.join(broadcast(exact), col("hour_start") === col("h"))
+          .select(col("hour_start"), col("exact_users"), col("n_events"),
+            (abs(col("approx_users") - col("exact_users"))
+              <= col("exact_users") * lit(0.05) + lit(1.0)).as("ndv_ok"))
+          .orderBy("hour_start")
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour_start,
+          COUNT(DISTINCT user_id) AS exact_users, COUNT(*) AS n_events,
+          TRUE AS ndv_ok
+        FROM events
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+        GROUP BY 1 ORDER BY hour_start"""))
   )
 }

@@ -34,4 +34,30 @@ object WindowNdv {
         count(lit(1)).as("n_events"))
       .select(col("w.start").as("hour_start"),
         col("approx_users"), col("n_events"))
+
+  /** w13b's EXECUTED streaming path: [[hourlyUserNdv]] over a
+    * file-source micro-batch stream of the events table, zero-delay
+    * watermark, append mode into a memory sink — returns the emitted
+    * rows, i.e. every window whose end the final watermark passed. The
+    * still-open tail window (the one containing max(ts)) is held in
+    * state awaiting later data, exactly what a production append sink
+    * sees mid-stream; the w13b oracle carries the matching
+    * `window end ≤ max(ts)` filter, so the gate pins the EMISSION
+    * semantics (watermark eviction), not just the window arithmetic the
+    * batch twin w13 already covers. Eviction needs a batch AFTER the
+    * one that advanced the watermark — that's Spark's no-data
+    * micro-batch (on by default), which `processAllAvailable` waits
+    * out. */
+  def emittedHourlyNdv(spark: org.apache.spark.sql.SparkSession,
+      dir: String, rsd: Double = 0.01): DataFrame = {
+    val sink = "w13b_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = graft.Tables.eventsStream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+    val q = hourlyUserNdv(stream, rsd = rsd)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sink)
+  }
 }

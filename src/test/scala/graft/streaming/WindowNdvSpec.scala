@@ -54,4 +54,25 @@ class WindowNdvSpec extends AnyFunSuite {
       assert(batch.getAs[Long]("approx_users") == 3L)
     } finally q.stop()
   }
+
+  test("w13b path: file-source stream emits exactly the closed windows, equal to batch") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val emitted = WindowNdv.emittedHourlyNdv(spark, sf)
+      .orderBy("hour_start").collect().toSeq.map(_.toSeq)
+    // expectation from the BATCH plan: every window whose end the final
+    // watermark (= max ts, zero delay) passed — and no others
+    val ev = graft.Tables.events(spark, sf)
+    val batch = WindowNdv.hourlyUserNdv(ev)
+      .crossJoin(broadcast(ev.agg(max("ts").as("mx"))))
+      .where(col("hour_start") + expr("INTERVAL 1 HOUR") <= col("mx"))
+      .select("hour_start", "approx_users", "n_events")
+      .orderBy("hour_start").collect().toSeq.map(_.toSeq)
+    assert(emitted.nonEmpty)
+    assert(emitted == batch)
+    // the tail window (the one containing max ts) must be held open
+    val allHours = WindowNdv.hourlyUserNdv(ev).count()
+    assert(emitted.size < allHours,
+      "tail window emitted — watermark eviction not exercised")
+  }
 }
