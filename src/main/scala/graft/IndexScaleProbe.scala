@@ -36,7 +36,15 @@ object IndexScaleProbe {
     // ---- corpus at m× ----
     val docs =
       if (m == 1) spark.read.parquet(s"$base/documents.parquet")
-      else spark.read.parquet(s"/tmp/graft-scale/${m}x/documents.parquet")
+      else {
+        // ScaleProbe builds <m>x; ScaleBuild's full replica (full<m>x)
+        // carries the same documents table — accept either
+        val cands = Seq(s"/tmp/graft-scale/${m}x/documents.parquet",
+          s"/tmp/graft-scale/full${m}x/documents.parquet")
+        val hit = cands.find(p => new java.io.File(p).exists())
+          .getOrElse(sys.error(s"no ${m}x documents replica; run ScaleProbe or ScaleBuild first"))
+        spark.read.parquet(hit)
+      }
     val nDocs = docs.count()
 
     // ---- DedupIndex: seed with the m× corpus, then one fixed batch ----
@@ -87,6 +95,30 @@ object IndexScaleProbe {
       graft.llm.VectorIndex.search(spark, vecDir, queries, 10, 4).count()
     searchOnce() // warm
     timed("vector search 100q k=10 np=4")(searchOnce())
+
+    // ---- KnnGraphIndex: seed with m× vectors, then one fixed batch ----
+    // Batch = 200 rotation-replica vectors OUTSIDE the corpus's rotation
+    // range (k=15; the corpus uses k < m ≤ 10), ids offset clear of every
+    // replica band. What should stay batch-sized as the base grows: the
+    // candidate join is pruned to the batch's buckets, and affected
+    // existing vectors rejoin only their stored k rows — the base is
+    // never rescanned. (Bucket OCCUPANCY itself grows with the corpus
+    // under the fixed 64-bucket signature, so the honest expectation is
+    // growth ∝ occupancy, far below the base-sized rebuild; SCALING.md
+    // records the measured pair.)
+    val knnDir = java.nio.file.Files.createTempDirectory("graft-iscale-knng").toString
+    timed(s"knngraph seed k=3 (${nEmb} vecs)") {
+      graft.llm.KnnGraphIndex.add(spark, knnDir, embC, 3)
+    }
+    val knnBatch = baseEmb.limit(200)
+      .withColumn("vec_id", col("vec_id") + lit(100000000L))
+      .withColumn("embedding",
+        concat(slice(col("embedding"), 16, dim - 15),
+          slice(col("embedding"), 1, 15)))
+      .localCheckpoint(true)
+    timed("knngraph add (200 vecs)") {
+      graft.llm.KnnGraphIndex.add(spark, knnDir, knnBatch, 3)
+    }
 
     spark.stop()
   }

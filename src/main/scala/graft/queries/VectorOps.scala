@@ -30,7 +30,7 @@ object VectorOps {
   /** Fused single-pass cosine (graft.functions.CosineSimilarity, codegen).
     * Bit-identical to `dot(a,b)/(√dot(a,a)·√dot(b,b))` — proven by
     * CosineSimilaritySpec — so the DuckDB oracle SQL stays the fold form. */
-  private[queries] def cosine(a: Column, b: Column): Column = {
+  private[graft] def cosine(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(graft.functions.CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -50,11 +50,11 @@ object VectorOps {
     * query-set ANN and v9's kNN-join bucket identically on both engines
     * (a drifted copy would desynchronize their candidate sets while both
     * gates stayed individually green). */
-  private def sigCol: Column = lshDims.zipWithIndex.map { case (dim, k) =>
+  private[graft] def sigCol: Column = lshDims.zipWithIndex.map { case (dim, k) =>
     when(element_at(col("embedding"), dim) >= 0, 1 << k).otherwise(0)
   }.reduce(_ + _).cast("int")
 
-  private val sigSql = lshDims.zipWithIndex.map { case (dim, k) =>
+  private[graft] val sigSql = lshDims.zipWithIndex.map { case (dim, k) =>
     s"CASE WHEN embedding[$dim] >= 0 THEN ${1 << k} ELSE 0 END"
   }.mkString(" + ")
 

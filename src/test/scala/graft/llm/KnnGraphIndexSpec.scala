@@ -1,0 +1,83 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** The stored kNN graph must be indistinguishable from v9's one-shot
+  * computation no matter how the corpus was batched in — the merge
+  * exactness the class doc argues (stored top-k ∪ batch edges re-ranked
+  * = true top-k), plus the service-lifecycle properties: re-delivered
+  * batches are no-ops and compaction preserves the resolved graph.
+  */
+class KnnGraphIndexSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val K = 3
+  private lazy val spark = TestSpark.spark
+
+  /** v9's plan over an arbitrary embedding frame — the reference. */
+  private def oneShot(emb: DataFrame): Seq[Seq[Any]] = {
+    val e = emb.withColumn("sig", graft.queries.VectorOps.sigCol)
+    val b = e.select(col("sig"), col("vec_id").as("nid"),
+      col("embedding").as("ne"))
+    val cand = e.join(b, Seq("sig")).where(col("vec_id") =!= col("nid"))
+      .select(col("vec_id"), col("nid"),
+        graft.queries.VectorOps.cosine(col("embedding"), col("ne")).as("cos_sim"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("nid"))
+    cand.withColumn("rnk", row_number().over(w).cast("int"))
+      .where(col("rnk") <= K)
+      .select("vec_id", "nid", "rnk", "cos_sim")
+      .orderBy("vec_id", "rnk").collect().toSeq.map(_.toSeq)
+  }
+
+  private def graphOf(dir: String): Seq[Seq[Any]] =
+    KnnGraphIndex.neighbors(spark, dir)
+      .orderBy("vec_id", "rnk").collect().toSeq.map(_.toSeq)
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-knngraph").toString
+
+  test("batched adds equal the one-shot graph, bit-for-bit") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val expected = oneShot(emb)
+    assert(expected.nonEmpty)
+
+    // one batch
+    val d1 = tmp()
+    KnnGraphIndex.add(spark, d1, emb, K)
+    assert(graphOf(d1) == expected)
+
+    // three uneven batches — later batches must both finalize their own
+    // rows and rewrite earlier vectors' lists they displace
+    val d2 = tmp()
+    KnnGraphIndex.add(spark, d2, emb.where(col("vec_id") % 3 === 0), K)
+    KnnGraphIndex.add(spark, d2, emb.where(col("vec_id") % 3 === 1), K)
+    KnnGraphIndex.add(spark, d2, emb.where(col("vec_id") % 3 === 2), K)
+    assert(graphOf(d2) == expected)
+    assert(KnnGraphIndex.size(spark, d2) == emb.count())
+  }
+
+  test("re-delivered batch is a no-op; compaction preserves the graph") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val d = tmp()
+    val (b1, b2) = (emb.where(col("vec_id") < 250), emb.where(col("vec_id") >= 250))
+    KnnGraphIndex.add(spark, d, b1, K)
+    KnnGraphIndex.add(spark, d, b2, K)
+    val before = graphOf(d)
+    assert(before == oneShot(emb))
+
+    KnnGraphIndex.add(spark, d, b1, K) // at-least-once redelivery
+    assert(graphOf(d) == before)
+    assert(KnnGraphIndex.size(spark, d) == emb.count())
+
+    KnnGraphIndex.compact(spark, d, numFiles = 2)
+    assert(graphOf(d) == before)
+    // folded flat: exactly one generation remains
+    val gens = spark.read.parquet(s"$d/graph").select("gen").distinct().count()
+    assert(gens == 1L)
+  }
+}
