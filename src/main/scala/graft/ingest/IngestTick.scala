@@ -120,7 +120,24 @@ object IngestTick {
     * sleep `intervalMillis`, repeat `ticks` times. A failed cycle is
     * logged and the loop continues — the daemon never dies on one bad
     * upstream hour. `pacer` injects virtual time for tests; `clock`
-    * supplies each cycle's logical timestamp. */
+    * supplies each cycle's logical timestamp.
+    *
+    * Storage maintenance rides the loop's own clock: when a tick's UTC
+    * date rolls past the previous tick's, the just-closed date's
+    * partitions (24 one-file hourly snapshots per kind) are compacted
+    * and z-ordered by (station_id, snapshot_ts) via
+    * [[WeatherStore.maintain]] — BEFORE the new day's first ingest, the
+    * window where no writer targets yesterday and the reference daemon
+    * would be between cycles. Hourly ingest without this accumulates
+    * ~8,760 tiny files per kind-year whose listing + footer cost
+    * dominates every scan; with it, a closed day is `maintainFiles`
+    * z-ordered files whose parquet stats skip on either station or
+    * time predicates. A failed maintenance pass logs and continues like
+    * a failed tick — the day stays scannable (just uncompacted) and the
+    * next rollover will not retry it, which is the right bias: the
+    * rewrite is an optimization, never required for correctness (the
+    * read path's dedup discipline tolerates the in-flight rename
+    * window the same way it tolerates re-served snapshot rows). */
   def runLoop(
       spark: SparkSession,
       fetcher: HttpFetcher,
@@ -130,15 +147,31 @@ object IngestTick {
       intervalMillis: Long = 3600000L,
       pacer: Pacer = SystemPacer,
       clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
-      etl: Option[(EventStore, Array[Byte])] = None): Seq[TickReport] = {
+      etl: Option[(EventStore, Array[Byte])] = None,
+      maintenance: Boolean = true,
+      maintainFiles: Int = 1): Seq[TickReport] = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
     val reports = scala.collection.mutable.ArrayBuffer.empty[TickReport]
+    var lastDate: Option[java.time.LocalDate] = None
     var i = 0
     while (i < ticks) {
-      try reports += runIngestTick(spark, fetcher, store, cfg, clock(), etl)
-      catch {
+      val now = clock()
+      val today = WeatherStore.toUtcDate(now)
+      lastDate.filter(d => maintenance && today.isAfter(d)).foreach { closed =>
+        try {
+          val r = store.maintain(closed, maintainFiles)
+          log.info(s"maintained $closed: $r")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            log.error(s"maintenance for $closed failed, day left uncompacted: ${e.getMessage}")
+        }
+      }
+      try {
+        reports += runIngestTick(spark, fetcher, store, cfg, now, etl)
+        lastDate = Some(today)
+      } catch {
         case scala.util.control.NonFatal(e) =>
-          org.slf4j.LoggerFactory.getLogger(getClass)
-            .error(s"ingest cycle failed, retrying next interval: ${e.getMessage}")
+          log.error(s"ingest cycle failed, retrying next interval: ${e.getMessage}")
       }
       i += 1
       if (i < ticks) pacer.sleep(intervalMillis)

@@ -107,7 +107,59 @@ final class WeatherStore(spark: SparkSession, root: String) {
     *
     * @return (filesBefore, filesAfter) for observability */
   def compactPartition(kind: String, date: java.time.LocalDate,
-      targetFiles: Int = 1): (Int, Int) = {
+      targetFiles: Int = 1): (Int, Int) =
+    rewritePartition(kind, date, targetFiles)(_.repartition(targetFiles))
+
+  /** [[compactPartition]] that also Z-ORDERS the rewritten files by
+    * (station_id, snapshot_ts) — the two columns every scoring/read
+    * path filters on (station lists + snapshot time windows;
+    * weather_data.rs:47-85's filename filter and the A1/J7 station
+    * predicates). The string dimension enters the Morton curve through
+    * its dense lexicographic rank (driver-sized: the station universe
+    * is the reference's ~2k-row index; a 100 TB deployment with an
+    * unbounded key would swap the literal map for a broadcast-join
+    * against a rank dimension), so per-file min/max stats stay narrow
+    * in BOTH dimensions and parquet footer skipping works for either
+    * predicate alone — the `OPTIMIZE ZORDER BY` nightly a lakehouse
+    * runs, here as the store's own maintenance op ([[maintain]] wires
+    * it to the ingest loop's day rollover). */
+  def zOrderPartition(kind: String, date: java.time.LocalDate,
+      targetFiles: Int = 1): (Int, Int) =
+    rewritePartition(kind, date, targetFiles) { df =>
+      val stations = df.select("station_id").distinct().orderBy("station_id")
+        .collect().map(_.getString(0))
+      val rankMap = stations.zipWithIndex.map { case (s, i) => s -> i.toLong }.toMap
+      val withDims = df
+        .withColumn("__rk", coalesce(
+          element_at(typedLit(rankMap), col("station_id")), lit(0L)))
+        .withColumn("__tsd", col("snapshot_ts").cast("double"))
+      val b = withDims.agg(min("__tsd"), max("__tsd")).head()
+      val (tsMin, tsMax) =
+        if (b.isNullAt(0)) (0.0, 0.0) else (b.getDouble(0), b.getDouble(1))
+      val z = ZOrder.zValue(Seq(col("__rk"), col("__tsd")),
+        Seq(0.0, tsMin), Seq(math.max(stations.length - 1, 1).toDouble, tsMax))
+      withDims.withColumn("__z", z)
+        .repartitionByRange(targetFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__rk", "__tsd", "__z")
+    }
+
+  /** The store's nightly maintenance for one closed `date`: both kinds
+    * compacted AND z-ordered in one rewrite each. Returns
+    * kind → (filesBefore, filesAfter). Called by the ingest loop when a
+    * tick's UTC date rolls past the previous tick's (IngestTick). */
+  def maintain(date: java.time.LocalDate,
+      targetFiles: Int = 1): Map[String, (Int, Int)] =
+    Seq(Kinds.Forecasts, Kinds.Observations)
+      .map(k => k -> zOrderPartition(k, date, targetFiles)).toMap
+
+  /** Shared rewrite-and-swap machinery of [[compactPartition]] /
+    * [[zOrderPartition]]: `arrange` shapes the partition's rows into
+    * the new file layout; everything else (dot-prefixed temp dir,
+    * rename-before-delete, abort-on-failed-rename) is the safety
+    * discipline documented on [[compactPartition]]. */
+  private def rewritePartition(kind: String, date: java.time.LocalDate,
+      targetFiles: Int)(arrange: DataFrame => DataFrame): (Int, Int) = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val dir = new org.apache.hadoop.fs.Path(s"$root/kind=$kind/date=$date")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -121,8 +173,7 @@ final class WeatherStore(spark: SparkSession, root: String) {
         // dir name, so the rewritten files carry exactly the data columns
         val tmp = new org.apache.hadoop.fs.Path(dir,
           ".compact-" + java.util.UUID.randomUUID().toString)
-        spark.read.option("mergeSchema", "true").parquet(dir.toString)
-          .repartition(targetFiles)
+        arrange(spark.read.option("mergeSchema", "true").parquet(dir.toString))
           .write.parquet(tmp.toString)
         val parts = fs.listStatus(tmp).map(_.getPath)
           .filter(p => p.getName.endsWith(".parquet"))

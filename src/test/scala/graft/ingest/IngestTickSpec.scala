@@ -191,4 +191,48 @@ class IngestTickSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(fc.where(org.apache.spark.sql.functions.col("station_id") === "KAAA").count() == 57)
     } finally deadChunk = false
   }
+
+  test("day rollover runs maintenance: closed day compacted+z-ordered, reads unchanged") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-tick3").toString
+    val store = new WeatherStore(spark, root)
+    val p = new VirtualPacer
+    val times = Seq("2024-08-12T21:00:00Z", "2024-08-12T22:00:00Z",
+      "2024-08-12T23:00:00Z", "2024-08-13T00:30:00Z")
+      .map(s => Timestamp.from(Instant.parse(s)))
+    val it = times.iterator
+
+    val reports = IngestTick.runLoop(spark, mkFetcher(p), store, cfg,
+      ticks = 4, intervalMillis = 3600000L, pacer = p, clock = () => it.next())
+    assert(reports.size == 4)
+
+    // The day-2 tick closed 2024-08-12 → its partitions are maintained
+    // down to ONE z-ordered file per kind; the open day is untouched.
+    def files(kind: String, date: String) =
+      new java.io.File(s"$root/kind=$kind/date=$date")
+        .listFiles().filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    for (k <- Seq(Kinds.Forecasts, Kinds.Observations)) {
+      assert(files(k, "2024-08-12").length == 1, s"$k not compacted")
+      assert(files(k, "2024-08-12").head.getName.startsWith("compact-"))
+    }
+
+    // Reads across the rewrite are unchanged: all three day-1 snapshots
+    // plus day 2's survive with their snapshot_ts intact, and the A1
+    // rollup still collapses the re-served slots to one row per day.
+    val fc = store.readAll(Kinds.Forecasts).get
+    assert(fc.select("snapshot_ts").distinct().count() == 4)
+    assert(fc.where(col("station_id") === "KAAA").count() == 4 * 57)
+    val daily = WeatherQueries.forecastsDaily(fc, Seq("KAAA"))
+      .orderBy("date").collect()
+    // 9 calendar days: day 1's ticks cover the 8-day week grid and the
+    // day-2 tick's grid starts one day later
+    assert(daily.length == 9 && daily.head.getAs[Long]("temp_high") == 83L)
+
+    // Partition pruning still lands on the compacted layout.
+    val pruned = store.read(Kinds.Observations,
+      times.head, Timestamp.from(Instant.parse("2024-08-12T23:59:00Z"))).get
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("date"))
+    assert(pruned.count() == 3) // day 1's three observation snapshots
+  }
 }

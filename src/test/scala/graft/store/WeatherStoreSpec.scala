@@ -132,4 +132,37 @@ class WeatherStoreSpec extends AnyFunSuite {
     assert(store.compactPartition(Kinds.Observations,
       java.time.LocalDate.parse("1999-01-01")) == (0, 0))
   }
+
+  test("zOrderPartition: rows unchanged, files clustered for two-column skipping") {
+    import org.apache.spark.sql.functions.col
+    val (store, dir) = newStore()
+    val date = java.time.LocalDate.parse("2024-08-12")
+    // 24 hourly snapshots × 8 stations — the shape a closed ingest day has
+    for (h <- 0 until 24)
+      store.write((0 until 8).map(s => (f"S$s%02d", h.toLong * 8 + s))
+        .toDF("station_id", "value"),
+        Kinds.Observations, ts(f"2024-08-12T$h%02d:00:00Z"))
+    def all() = store.readAll(Kinds.Observations).get
+      .select("station_id", "value", "snapshot_ts")
+      .collect().map(_.toSeq).toSet
+    val before = all()
+
+    assert(store.zOrderPartition(Kinds.Observations, date, targetFiles = 4) == (24, 4))
+    assert(all() == before)
+
+    // Each rewritten file covers a narrow station range (z clustering →
+    // narrow per-file min/max → footer skipping on station predicates):
+    // no file may span the whole universe.
+    val files = new java.io.File(s"$dir/kind=observations/date=$date")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4)
+    for (f <- files) {
+      val ids = spark.read.parquet(f.getAbsolutePath)
+        .select("station_id").distinct().collect().map(_.getString(0))
+      assert(ids.length < 8, s"${f.getName} spans the whole station universe")
+    }
+    // idempotent at target; maintain() covers both kinds without error
+    assert(store.zOrderPartition(Kinds.Observations, date, targetFiles = 4) == (4, 4))
+    assert(store.maintain(date, targetFiles = 4)(Kinds.Observations) == (4, 4))
+  }
 }
