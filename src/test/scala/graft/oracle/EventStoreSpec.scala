@@ -326,4 +326,39 @@ class EventStoreSpec extends AnyFunSuite {
     val att = store.events.head().attestation_signature.get
     assert(att.length == 1 && att.head == 100.toByte)
   }
+
+  test("crash between version write and commit marker: readers blind, next writer recovers") {
+    import org.apache.spark.sql.functions.lit
+    val rootDir = Files.createTempDirectory("graft-events-crash").toString
+    val store = new EventStore(spark, rootDir)
+    val e = Uuid7.generate()
+    store.insertEvents(Seq(mkEvent(e)))
+    val n1 = Uuid7.generate(); val n2 = Uuid7.generate()
+    store.insertEntries(Seq(EntryRow(n1, e, 1L, t0, t0), EntryRow(n2, e, 2L, t0, t0)), Nil)
+    store.updateScores(Seq((n1, 10L)).toDF("entry_id", "score"))
+    val liveBefore = store.tableVersions("events_entries").last
+    val rowsBefore = store.entries.collect().map(r => r.id -> r.score).toMap
+
+    // Simulate a writer that died AFTER fully writing the next version
+    // dir but BEFORE creating its commit marker: plausible-but-wrong
+    // data, no pointer. (The complementary torn state — marker without
+    // dir — cannot occur: commitPointer runs only after the write
+    // returns.)
+    val nextNum = liveBefore.drop(1).toInt + 1
+    val orphan = f"$rootDir/events_entries/v$nextNum%08d"
+    store.entries.toDF().withColumn("score", lit(999999L)).write.parquet(orphan)
+
+    // (1) readers resolve by marker, so the partial version is invisible
+    // to both the current read and the time-travel surface
+    assert(store.tableVersions("events_entries").last == liveBefore)
+    assert(store.entries.collect().map(r => r.id -> r.score).toMap == rowsBefore)
+
+    // (2) the next writer claims the same version number, overwrites the
+    // orphan bytes, and commits — the junk rows were reachable at no
+    // point before, during, or after
+    store.updateScores(Seq((n2, 20L)).toDF("entry_id", "score"))
+    assert(store.entries.collect().map(r => r.id -> r.score).toMap ==
+      Map(n1 -> 10L, n2 -> 20L))
+    assert(store.tableVersions("events_entries").last == f"v$nextNum%08d")
+  }
 }
