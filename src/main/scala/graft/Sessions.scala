@@ -19,6 +19,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
 
+  /** Token unique per (JVM, session instance) — layout-materializing
+    * queries (q46/q47/v9b) write under it so no two sessions ever share
+    * (and race on) a directory or catalog name. */
+  def sessionTag(s: SparkSession): String =
+    s"${s.sparkContext.applicationId}-${Integer.toHexString(System.identityHashCode(s))}"
+
   def local(cores: String, appName: String = "graft"): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")

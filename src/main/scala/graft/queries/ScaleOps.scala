@@ -30,8 +30,7 @@ object ScaleOps {
 
   /** Token unique per (JVM, session instance) — the layout queries write
     * under it so no two sessions ever share (and race on) a directory. */
-  private def sessionTag(s: SparkSession): String =
-    s"${s.sparkContext.applicationId}-${Integer.toHexString(System.identityHashCode(s))}"
+  private def sessionTag(s: SparkSession): String = graft.Sessions.sessionTag(s)
 
   /** q46's catalog table names for (session, data dir) — session-tagged
     * for the same reason the paths are (see q46 body); exposed so

@@ -478,18 +478,50 @@ object VectorOps {
           .select("vec_id", "nid", "rnk", "cos_sim")
           .orderBy("vec_id", "rnk")
       },
-      Some {
-        s"""WITH e AS (SELECT vec_id, embedding, CAST($sigSql AS INT) AS sig FROM embeddings),
-          cand AS (
-            SELECT a.vec_id, b.vec_id AS nid,
-              ${duckCos("a.embedding", "b.embedding")} AS cos_sim
-            FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id <> b.vec_id)
-          SELECT vec_id, nid, CAST(rnk AS INT) AS rnk, cos_sim FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nid) AS rnk
-            FROM cand)
-          WHERE rnk <= 3 ORDER BY vec_id, rnk"""
-      })
+      Some(knnGraphSql)),
+
+    // The SAME graph served from the STORED index
+    // (graft.llm.KnnGraphIndex): the gate builds the index inside a
+    // session-unique tmp dir by feeding the corpus in TWO batches — so
+    // what's oracle-gated here is the incremental merge path end-to-end
+    // (new-vector finalization + displaced-list rewrite + ledger
+    // discipline), against the ONE-SHOT flat SQL v9 uses. Memoized per
+    // session via a temp-view marker (q47's discipline: an on-disk
+    // marker would serve stale graphs after a testdata regen; a shared
+    // path would let two sessions race). Steady-state cost is the
+    // parquet read + latest-generation resolve — the consumer-side
+    // economics that justify storing the graph at all.
+    Q("v9b_knn_graph_index",
+      (s, d) => {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_knngraph/$tag/${graft.Sessions.sessionTag(s)}").getAbsolutePath
+        val marker = s"graft_knng_marker_$tag"
+        if (!s.catalog.tableExists(marker)) {
+          val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+          graft.llm.KnnGraphIndex.add(s, dir, emb.where(col("vec_id") % 2 === 0), 3)
+          graft.llm.KnnGraphIndex.add(s, dir, emb.where(col("vec_id") % 2 =!= 0), 3)
+          s.emptyDataFrame.createOrReplaceTempView(marker)
+        }
+        graft.llm.KnnGraphIndex.neighbors(s, dir)
+          .orderBy("vec_id", "rnk")
+      },
+      Some(knnGraphSql))
   )
+
+  /** v9 / v9b's shared oracle — the flat one-shot kNN-join SQL. Both
+    * gates must produce THIS, whether computed per-query (v9) or served
+    * from the incrementally-built index (v9b). */
+  private def knnGraphSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, CAST($sigSql AS INT) AS sig FROM embeddings),
+      cand AS (
+        SELECT a.vec_id, b.vec_id AS nid,
+          ${duckCos("a.embedding", "b.embedding")} AS cos_sim
+        FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id <> b.vec_id)
+      SELECT vec_id, nid, CAST(rnk AS INT) AS rnk, cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nid) AS rnk
+        FROM cand)
+      WHERE rnk <= 3 ORDER BY vec_id, rnk"""
 
   /** Production SemDeDup (the scale path v6's gate fixture stands in
     * for): learn a corpus-proportional k-means codebook

@@ -80,4 +80,50 @@ class KnnGraphIndexSpec extends AnyFunSuite {
     val gens = spark.read.parquet(s"$d/graph").select("gen").distinct().count()
     assert(gens == 1L)
   }
+
+  test("fuzz: exact-tie fixtures across batch splits still match one-shot") {
+    import spark.implicits._
+    // The merge's crux is tie order: identical embeddings give exactly
+    // equal cos_sim, so top-k membership is decided purely by nid — and
+    // a displaced existing vector's rewritten list must slot new tied
+    // neighbors into the SAME positions the one-shot window would.
+    // Clones deliberately span both batch parities.
+    val dim = 48 // sigCol samples dims up to 41 (1-based)
+    val base = Array.fill(dim)(0.5f)
+    val rnd = new scala.util.Random(20260814L)
+    val rows: Seq[(Long, Array[Float])] =
+      (0L until 6L).map(i => i -> base.clone()) ++          // 6 exact clones
+      (6L until 10L).map { i =>                             // near-clones
+        val v = base.clone(); v(0) = 0.5f + (i - 8) * 1e-3f; i -> v
+      } ++
+      (10L until 40L).map { i =>                            // background noise
+        i -> Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+      }
+    val emb = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+
+    def oneShotOf(e: org.apache.spark.sql.DataFrame) = {
+      val sig = e.withColumn("sig", graft.queries.VectorOps.sigCol)
+      val b = sig.select(col("sig"), col("vec_id").as("nid"), col("embedding").as("ne"))
+      val cand = sig.join(b, Seq("sig")).where(col("vec_id") =!= col("nid"))
+        .select(col("vec_id"), col("nid"),
+          graft.queries.VectorOps.cosine(col("embedding"), col("ne")).as("cos_sim"))
+      val w = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("nid"))
+      cand.withColumn("rnk", row_number().over(w).cast("int"))
+        .where(col("rnk") <= K)
+        .select("vec_id", "nid", "rnk", "cos_sim")
+        .orderBy("vec_id", "rnk").collect().toSeq.map(_.toSeq)
+    }
+    val expected = oneShotOf(emb)
+
+    for ((splitName, parts) <- Seq(
+        "mod2" -> Seq(emb.where(col("vec_id") % 2 === 0), emb.where(col("vec_id") % 2 === 1)),
+        "clones-last" -> Seq(emb.where(col("vec_id") >= 6), emb.where(col("vec_id") < 6)),
+        "mod3" -> Seq(0, 1, 2).map(r => emb.where(col("vec_id") % 3 === r)))) {
+      val d = tmp()
+      parts.foreach(p => KnnGraphIndex.add(spark, d, p, K))
+      assert(graphOf(d) == expected, s"split $splitName diverged from one-shot")
+    }
+  }
 }
