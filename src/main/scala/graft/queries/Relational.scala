@@ -161,12 +161,18 @@ object Relational {
         FROM events WHERE (CASE WHEN value >= 100 THEN value END) IS NOT NULL
         ORDER BY event_id""")),
 
-    // J1 — 3-way inner join on keys (event_data.rs:450-472), customer dim
-    // broadcast.
+    // J1 — 3-way inner join on keys (event_data.rs:450-472). customer is
+    // the join's SMALL side here, but unlike nation (a fixed 25-row dim)
+    // it scales with the fact tables — a forced broadcast hint would be
+    // wrong the day the deployment is 100 TB (driver/executor OOM on a
+    // TB-sized build side). Same posture as q49's count frames: no
+    // hint; AQE converts to a broadcast join at runtime from the
+    // MEASURED size while it fits, and degrades to a shuffle join when
+    // it doesn't.
     Q("q7_threeway_join",
       (s, d) => Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_items"), centsSum(col("l_extendedprice")).as("revenue"))
         .orderBy("c_mktsegment"),

@@ -49,8 +49,19 @@ object ScaleOps {
     * boundary, single-row groups, all-equal groups). */
   private[queries] def hierPercentiles(in: DataFrame): DataFrame = {
     val li = in.withColumn("bucket", expr("c div 16384"))
-    val bframe = li.groupBy("rf", "bucket")
-      .agg(count(lit(1)).as("bc"))
+    hierPercentilesFrom(li,
+      li.groupBy("rf", "bucket").agg(count(lit(1)).as("bc")))
+  }
+
+  /** q49's machinery with the count frame supplied by the CALLER — the
+    * q50 form, where `bframe` is not computed from the scan but MERGED
+    * from stored finer-grain states (counts are an exact monoid, so the
+    * merged frame is bit-identical to a fresh aggregation and every
+    * boundary-bucket location lands exactly where a from-scratch run
+    * would). `li` must already carry the same `bucket` column the
+    * states were keyed by. */
+  private[queries] def hierPercentilesFrom(li: DataFrame,
+      bframe: DataFrame): DataFrame = {
     val wB = Window.partitionBy("rf").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val bcum = bframe
@@ -332,6 +343,51 @@ object ScaleOps {
           MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN l_extendedprice END) AS p75,
           MAX(CASE WHEN rn = n THEN l_extendedprice END) AS p100
         FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // EXACT percentile rollup from stored state — x5's rollup idea with
+    // q49's machinery, and the reason the boundary-bucket form matters
+    // beyond one query: per-(day, bucket) COUNTS are the stored artifact
+    // (kilobytes per day; an exact monoid, unlike rank sketches), any
+    // coarser grain merges them with one tiny sum, the merged frame
+    // locates each rank's boundary bucket exactly as a from-scratch run
+    // would, and only those buckets' raw rows are re-read (~1/190th of
+    // each group at this bucket width). At 100 TB: percentiles at any
+    // grain over years of history without ever rescanning or sorting
+    // history — the raw-read is prunable because production layouts
+    // store/partition the bucket column. Bucket width here is $2.56
+    // (`c div 256`) — events.value spans only [0.01, 490], so q49's
+    // $163.84 width would give 3 buckets and a vacuous hierarchy.
+    // The oracle is the same flat one-window nearest-rank contract.
+    Q("q50_percentile_rollup",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .where(col("ts").isNotNull && col("value").isNotNull)
+          .select(to_date(col("ts")).as("day"), col("value").as("v"),
+            cents(col("value")).as("c"))
+          .withColumn("bucket", expr("c div 256"))
+        // the STORED daily state (what a deployment materializes nightly)
+        val daily = ev.groupBy("day", "bucket").agg(count(lit(1)).as("bc"))
+        // answering at week grain costs ONE merge of the daily states
+        val weekly = daily
+          .groupBy(trunc(col("day"), "week").as("rf"), col("bucket"))
+          .agg(sum("bc").as("bc"))
+        val li = ev.select(trunc(col("day"), "week").as("rf"),
+          col("v"), col("c"), col("bucket"))
+        hierPercentilesFrom(li, weekly)
+          .withColumnRenamed("l_returnflag", "week")
+          .orderBy("week")
+      },
+      Some("""WITH ranked AS (
+          SELECT date_trunc('week', CAST(ts AS DATE)) AS week, value,
+            ROW_NUMBER() OVER (PARTITION BY date_trunc('week', CAST(ts AS DATE)) ORDER BY value) AS rn,
+            COUNT(*) OVER (PARTITION BY date_trunc('week', CAST(ts AS DATE))) AS n
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+        SELECT week, CAST(MAX(n) AS BIGINT) AS n_rows,
+          MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN value END) AS p25,
+          MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+          MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN value END) AS p75,
+          MAX(CASE WHEN rn = n THEN value END) AS p100
+        FROM ranked GROUP BY week ORDER BY week""")),
 
     // Mergeable-sketch rollup (the "sketch cube"): per-DAY HLL sketches of
     // a high-ish-cardinality composite are the stored artifact; any

@@ -75,6 +75,33 @@ class HierPercentileFuzzSpec extends AnyFunSuite {
     assert(hier(rows) == flat(rows))
   }
 
+  test("count-frame merge path (q50 form) equals the from-scratch hierarchy") {
+    import spark.implicits._
+    // Split each fixture into 3 arbitrary "days", aggregate per-day
+    // count states, MERGE them, and feed hierPercentilesFrom — must be
+    // bit-identical to hierPercentiles computing the frame from the
+    // scan (counts are an exact monoid; any split merges back).
+    val rnd = new scala.util.Random(50L)
+    for (round <- 1 to 3) {
+      val rows = (1 to 500).map { i =>
+        (s"g${rnd.nextInt(5)}", math.floor(rnd.nextDouble() * 100000) / 100.0, i % 3)
+      }
+      val df = rows.toDF("rf", "v", "part")
+        .withColumn("c", floor(col("v") * 100 + 0.5).cast("long"))
+        .withColumn("bucket", expr("c div 16384"))
+      val merged = df.groupBy("rf", "part", "bucket")
+        .agg(count(lit(1)).as("bc"))          // per-"day" stored states
+        .groupBy("rf", "bucket").agg(sum("bc").as("bc")) // grain merge
+      val got = ScaleOps.hierPercentilesFrom(
+          df.select("rf", "v", "c", "bucket"), merged)
+        .collect().toSeq.map(_.toSeq)
+      val want = ScaleOps.hierPercentiles(
+          df.select(col("rf"), col("v"), col("c")))
+        .collect().toSeq.map(_.toSeq)
+      assert(got == want, s"round $round diverged")
+    }
+  }
+
   test("high-cardinality groups: correct, and ordered window stays on the prefilter") {
     import org.apache.spark.sql.catalyst.expressions.WindowExpression
     import org.apache.spark.sql.catalyst.expressions.RowNumber
