@@ -103,7 +103,9 @@ object DocStream {
       indexDir: String,
       pairsOutDir: String,
       checkpointDir: String,
-      maxFilesPerTrigger: Int = 100): StreamingQuery = {
+      maxFilesPerTrigger: Int = 100,
+      compactEvery: Int = 50,
+      compactTargetFiles: Int = 8): StreamingQuery = {
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -119,6 +121,17 @@ object DocStream {
         graft.llm.DedupIndex.checkAndAdd(batch.sparkSession, indexDir, batch,
           pairs => pairs.withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(pairsOutDir))
+        // Compaction rides the SERVICE's own cadence (the weather
+        // store's maintenance-in-the-loop discipline): every append-only
+        // batch adds files, and a long-lived screen accumulates
+        // thousands whose listing + footer cost grows every batch's
+        // index join. batchId is checkpointed and monotonic across
+        // restarts, so the cadence survives them; compact serializes
+        // against checkAndAdd on the shared WriterLock, and a replayed
+        // compaction batch just re-observes file counts at target.
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+          graft.llm.DedupIndex.compact(batch.sparkSession, indexDir,
+            compactTargetFiles)
         ()
       }
       .option("checkpointLocation", checkpointDir)

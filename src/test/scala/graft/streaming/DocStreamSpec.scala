@@ -115,4 +115,34 @@ class DocStreamSpec extends AnyFunSuite {
     assert(p2.contains((1L, 7L)) && p2.contains((2L, 7L)), p2.toString)
     assert(graft.llm.DedupIndex.size(spark, index) == 3L)
   }
+
+  test("nearDupScreen compacts the index on its batch cadence") {
+    val base = Files.createTempDirectory("graft-neardup-compact").toString
+    val landing = s"$base/landing"; val index = s"$base/index"
+    val pairs = s"$base/pairs"; val ckpt = s"$base/ckpt"
+    // four distinct docs in four files → four single-file batches at
+    // maxFilesPerTrigger=1; compactEvery=2 fires the fold at batches 1,3
+    val texts = Seq(
+      "alpha " + good, "bravo " + withPii.replace("admin", "ops"),
+      "charlie seventeen storks discuss estuaries at dawn near the weir",
+      "delta a completely different sentence about compilers and marshes")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      Seq((i.toLong + 1, t)).toDF("doc_id", "text")
+        .coalesce(1).write.parquet(s"$landing/f$i")
+    }
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+    DocStream.nearDupScreen(spark, s"$landing/*", schema, index, pairs, ckpt,
+      maxFilesPerTrigger = 1, compactEvery = 2, compactTargetFiles = 1)
+      .awaitTermination()
+
+    // batch 3's compaction folded everything appended since batch 1's:
+    // both index tables sit at the target file count, and the ledger
+    // still carries all four docs
+    for (t <- Seq("sigs", "bands")) {
+      val n = new java.io.File(s"$index/$t")
+        .listFiles().count(f => f.getName.endsWith(".parquet"))
+      assert(n == 1, s"$t holds $n files after cadence compaction")
+    }
+    assert(graft.llm.DedupIndex.size(spark, index) == 4L)
+  }
 }
