@@ -70,6 +70,52 @@ object KnnGraphIndex {
       !s.getPath.getName.startsWith("_"))
   }
 
+  private val GenPrefix = "_gen_"
+  private val GcommitPrefix = "_gcommit_"
+
+  /** Generations whose graph append COMPLETED (their `_gcommit_<n>`
+    * marker exists). Readers resolve only these, so a torn append —
+    * some of a batch's graph files visible, the rest lost with the
+    * writer — can never surface a PARTIAL neighbor list: the
+    * generation without its marker is invisible, and the replayed
+    * batch supersedes it wholesale at a fresh generation (resolve is
+    * latest-COMMITTED-gen-per-vector). The EventStore version-marker
+    * scheme, applied per delta. */
+  private def committedGens(spark: SparkSession, dir: String): Seq[Long] = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).map(_.getPath.getName)
+      .filter(_.startsWith(GcommitPrefix))
+      .map(_.stripPrefix(GcommitPrefix).toLong).toSeq.sorted
+  }
+
+  /** Reserve the next generation number: the high-water mark lives in a
+    * marker file whose NAME carries the value — one directory listing +
+    * one create + stale-marker deletes, O(1) in index size. Single
+    * writer by WriterLock, so list-then-create needs no further
+    * coordination. Indexes written before this scheme bootstrap from a
+    * one-time `max(gen)` scan. */
+  private def nextGen(spark: SparkSession, dir: String): Long = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(d)) fs.mkdirs(d)
+    val existing = fs.listStatus(d).map(_.getPath.getName)
+      .filter(_.startsWith(GenPrefix)).toSeq
+    val hwm = existing.map(_.stripPrefix(GenPrefix).toLong).maxOption
+      .getOrElse {
+        if (exists(spark, vecPath(dir)))
+          spark.read.parquet(vecPath(dir))
+            .agg(max("gen")).head.getLong(0)
+        else 0L
+      }
+    val gen = hwm + 1
+    fs.create(new org.apache.hadoop.fs.Path(d, GenPrefix + gen), true).close()
+    existing.foreach(m =>
+      fs.delete(new org.apache.hadoop.fs.Path(d, m), false))
+    gen
+  }
+
   private def guardCompaction(spark: SparkSession, dir: String): Unit =
     for (t <- Seq("vectors", "graph")) {
       val old = new org.apache.hadoop.fs.Path(s"$dir/$t.old")
@@ -89,8 +135,14 @@ object KnnGraphIndex {
 
     val ledger: Option[DataFrame] =
       if (hasLedger) Some(spark.read.parquet(vecPath(dir))) else None
-    val gen = ledger
-      .map(_.agg(max("gen")).head.getLong(0) + 1L).getOrElse(1L)
+    // Generation counter as a marker file (`_gen_<n>`, the EventStore
+    // sequence pattern): O(1) in index size where `max(gen)` over the
+    // ledger would be a corpus-sized column scan per batch — the exact
+    // base-proportional cost the add path exists to avoid. Advanced
+    // BEFORE the data writes: a crash in between burns a generation
+    // number (harmless — resolve takes the max that has rows), never
+    // reuses one under different contents.
+    val gen = nextGen(spark, dir)
 
     val fresh0 = ledger match {
       case None => newVectors.select("vec_id", "embedding")
@@ -132,38 +184,61 @@ object KnnGraphIndex {
               col("embedding").as("ne")), Seq("sig"))
           .select(col("vec_id"), col("nid"),
             VectorOps.cosine(col("embedding"), col("ne")).as("cos_sim"))
-        val stored = resolve(spark.read.parquet(graphPath(dir)))
+        // Drop any stored edge that points INTO this batch before the
+        // union: on the happy path there are none (batch ids were never
+        // indexed), but a replay after a crash between the graph commit
+        // and the ledger append resolves lists that ALREADY merged the
+        // batch's edges — without the anti-join those edges would enter
+        // the union twice and row_number would seat duplicate
+        // neighbors. With it the merge is idempotent AND exact: the
+        // stored list minus batch edges is precisely the old-mate
+        // members of the true top-k, and backEdges restores every
+        // batch edge exactly once.
+        val stored = resolve(spark, dir)
           .join(backEdges.select("vec_id").distinct(), Seq("vec_id"))
+          .join(fresh.select(col("vec_id").as("nid")), Seq("nid"), "left_anti")
           .select("vec_id", "nid", "cos_sim")
         stored.unionByName(backEdges)
           .withColumn("rnk", row_number().over(wK).cast("int"))
           .where(col("rnk") <= k)
     }
 
-    // graph first, ledger LAST (the commit point the anti-join keys on)
+    // Write order IS the crash contract: graph files, then the
+    // generation's commit marker (readers may now see the delta), then
+    // the ledger (the anti-join's commit point — only now is the batch
+    // "ingested"). A crash before the marker leaves invisible orphan
+    // files (reaped at compaction); between marker and ledger, the
+    // replay supersedes the committed delta at a fresh generation with
+    // the idempotent merge above.
     newRows.unionByName(affectedRows)
       .select(lit(gen).as("gen"), col("vec_id"), col("nid"),
         col("rnk"), col("cos_sim"))
       .write.mode(SaveMode.Append).parquet(graphPath(dir))
+    fsOf(spark, dir).create(
+      new org.apache.hadoop.fs.Path(dir, GcommitPrefix + gen), true).close()
     fresh.select(lit(gen).as("gen"), col("vec_id"), col("embedding"), col("sig"))
       .write.mode(SaveMode.Append).parquet(vecPath(dir))
   } // WriterLock released here
 
-  /** Latest-generation row set of a graph delta frame. distinct()
-    * collapses the identical duplicate rows a torn append can leave. */
-  private def resolve(graph: DataFrame): DataFrame = {
+  /** Latest COMMITTED generation's rows per vector. Uncommitted
+    * generations (torn appends) are filtered out by the marker set; no
+    * dedup pass is needed — a vector appears at most once per committed
+    * generation (newRows and affectedRows partition the id space), and
+    * replays write at fresh generations that win wholesale. */
+  private def resolve(spark: SparkSession, dir: String): DataFrame = {
+    val committed = committedGens(spark, dir)
     val wG = Window.partitionBy("vec_id")
-    graph
+    spark.read.parquet(graphPath(dir))
+      .where(col("gen").isin(committed: _*))
       .withColumn("maxg", max("gen").over(wG))
       .where(col("gen") === col("maxg"))
       .select("vec_id", "nid", "rnk", "cos_sim")
-      .distinct()
   }
 
   /** The current graph: (vec_id, nid, rnk, cos_sim), every indexed
     * vector's exact bucket-mate top-k. */
   def neighbors(spark: SparkSession, dir: String): DataFrame =
-    resolve(spark.read.parquet(graphPath(dir)))
+    resolve(spark, dir)
 
   /** Indexed vector count (observability). */
   def size(spark: SparkSession, dir: String): Long =
@@ -194,11 +269,23 @@ object KnnGraphIndex {
       }
       fs.delete(old, true)
     }
-    if (exists(spark, graphPath(dir)))
+    if (exists(spark, graphPath(dir))) {
+      val fs = fsOf(spark, dir)
+      // commit gen 0 BEFORE the swap: between marker and swap, gen 0
+      // simply has no rows; after the swap it carries the fold. The
+      // reverse order would give readers a window where the folded rows
+      // exist but no marker admits them — an empty graph.
+      fs.create(new org.apache.hadoop.fs.Path(dir, GcommitPrefix + 0L), true)
+        .close()
       swap(graphPath(dir),
-        resolve(spark.read.parquet(graphPath(dir)))
+        resolve(spark, dir)
           .select(lit(0L).as("gen"), col("vec_id"), col("nid"),
             col("rnk"), col("cos_sim")))
+      // retire the folded generations' markers (rows already gone);
+      // uncommitted orphan generations died in the swap too
+      committedGens(spark, dir).filter(_ > 0L).foreach(g =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, GcommitPrefix + g), false))
+    }
     if (exists(spark, vecPath(dir)))
       swap(vecPath(dir), spark.read.parquet(vecPath(dir)))
   } // WriterLock released here
