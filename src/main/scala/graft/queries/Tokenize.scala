@@ -88,9 +88,19 @@ object Tokenize {
     *
     * Returns the ordered merge list and the final vocabulary frame. */
   def bpeTrain(docs: DataFrame, nMerges: Int): (Seq[(String, String)], DataFrame) = {
+    val (log, vocab) = bpeTrainLog(docs, nMerges)
+    (log.map(m => (m._2, m._3)), vocab)
+  }
+
+  /** [[bpeTrain]] with the full training log — (iteration, left, right,
+    * pair count at selection time), the artifact the t16 gate pins
+    * (counts expose a subtly-wrong merge application even when the
+    * chosen pairs happen to agree). */
+  def bpeTrainLog(docs: DataFrame,
+      nMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     var vocab = charVocab(wordCounts(docs)).cache()
     vocab.count() // materialize once; every iteration reuses it
-    val merges = Seq.newBuilder[(String, String)]
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
     var i = 0
     var done = false
     while (i < nMerges && !done) {
@@ -104,7 +114,7 @@ object Tokenize {
           case Array(x, y) => Array(x, y)
           case other       => other
         }
-        merges += ((a, b))
+        merges += ((i + 1, a, b, top(0).getLong(1)))
         val next = applyMerge(vocab, a, b).cache()
         next.count()
         vocab.unpersist()
@@ -138,6 +148,55 @@ object Tokenize {
               FROM sym WHERE len(c) >= 2)
         SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
         FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""")),
+
+    // The FULL iterative BPE trainer, oracle-gated: four merge rounds,
+    // each = pair-count aggregate (vocab-sized, never corpus-sized — the
+    // corpus scan happened once at wordCounts) → deterministic argmax
+    // (count desc, then pair; the 1-row driver decision every real
+    // tokenizer trainer makes) → greedy leftmost non-overlapping merge
+    // applied as one left fold over every word's symbol array. The gate
+    // output is the training LOG (it, left, right, count) — the
+    // artifact a tokenizer ships — and the oracle replays all four
+    // rounds as chained CTEs whose DuckDB list_reduce lambda implements
+    // the IDENTICAL fold, so a drifted merge rule (overlap handling,
+    // tie order, count-after-merge bookkeeping) hash-mismatches even
+    // when the first chosen pair agrees. Ordering note: Spark breaks
+    // count ties on the concat'd "a b" string, the oracle on (a, b) —
+    // equivalent because symbols never contain ' ' (words are split ON
+    // it), so the separator compares below every symbol character.
+    Q("t16_bpe_train",
+      (s, d) => {
+        import s.implicits._
+        val (log, _) = bpeTrainLog(Tables.documentsSpread(s, d), 4)
+        log.toDF("it", "merge_left", "merge_right", "pair_count")
+          .select(col("it").cast("int").as("it"), col("merge_left"),
+            col("merge_right"), col("pair_count").cast("long").as("pair_count"))
+          .orderBy("it")
+      },
+      Some {
+        val iters = (1 to 4).map { i =>
+          s"""p$i AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(f) AS BIGINT) AS cnt
+               FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i FROM w${i - 1})
+               GROUP BY 1, 2),
+             m$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+             w$i AS (SELECT f, list_reduce(list_transform(syms, s -> [s]),
+                       (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
+                                   THEN list_concat(acc[1:len(acc)-1], [m.a || m.b])
+                                   ELSE list_concat(acc, x) END) AS syms
+                     FROM w${i - 1} CROSS JOIN m$i m)"""
+        }.mkString(",\n        ")
+        s"""WITH w0 AS (
+            SELECT string_split(tok, '') AS syms, CAST(COUNT(*) AS BIGINT) AS f
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+            WHERE tok <> '' GROUP BY 1),
+          $iters
+          SELECT * FROM (
+            SELECT 1 AS it, a AS merge_left, b AS merge_right, cnt AS pair_count FROM m1
+            UNION ALL SELECT 2, a, b, cnt FROM m2
+            UNION ALL SELECT 3, a, b, cnt FROM m3
+            UNION ALL SELECT 4, a, b, cnt FROM m4)
+          ORDER BY it"""
+      }),
 
     // d11 — cross-source contamination matrix: distinct-shingle Jaccard
     // overlap between every pair of corpus sources (the "is my web crawl
