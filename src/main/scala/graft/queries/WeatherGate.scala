@@ -476,6 +476,52 @@ object WeatherGate {
          AND o.generated_at >= f.begin_time AND o.generated_at < f.end_time
         ORDER BY o.station_id, obs_time, f.begin_time, min_temp""")),
 
+    // §2.8 — w12's TRUE streaming execution: the same interval-join
+    // expression run as a watermarked STREAM-STREAM join over file
+    // sources (the w13b pattern applied to the join family). What this
+    // pins beyond w12: the join executes through the streaming
+    // symmetric-state path — each side buffered in the state store,
+    // matches emitted in append mode — and produces exactly the batch
+    // join's rows for in-window data (inner matches emit when both
+    // sides are present; the watermarks bound state, not emission).
+    // Fixtures ride session-unique parquet dirs (q47's marker
+    // discipline) because a stream source needs files, not literals.
+    Q("w12b_interval_join_stream",
+      (s, d) => {
+        val base = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_w12b/${graft.Sessions.sessionTag(s)}").getAbsolutePath
+        val marker = "graft_w12b_marker"
+        if (!s.catalog.tableExists(marker)) {
+          observationRows(s).withColumnRenamed("generated_at", "obs_time")
+            .write.mode("overwrite").parquet(s"$base/obs")
+          forecastSlots(s).write.mode("overwrite").parquet(s"$base/fc")
+          s.emptyDataFrame.createOrReplaceTempView(marker)
+        }
+        val obsS = s.readStream.schema(s.read.parquet(s"$base/obs").schema)
+          .parquet(s"$base/obs").withWatermark("obs_time", "1 hour")
+        val fcS = s.readStream.schema(s.read.parquet(s"$base/fc").schema)
+          .parquet(s"$base/fc").withWatermark("begin_time", "1 hour")
+        val joined = graft.streaming.SnapshotStream
+          .matchObservationsToForecasts(obsS, fcS)
+          .select(col("station_id"), col("obs_time"), col("temperature_value"),
+            col("begin_time"), col("min_temp"), col("max_temp"))
+        val sink = "w12b_sink_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(sink).orderBy("station_id", "obs_time", "begin_time", "min_temp")
+      },
+      Some(s"""SELECT o.station_id, o.generated_at AS obs_time,
+          CAST(o.temperature_value AS DOUBLE) AS temperature_value,
+          f.begin_time, CAST(f.min_temp AS BIGINT) AS min_temp,
+          CAST(f.max_temp AS BIGINT) AS max_temp
+        FROM $observationRowsSql
+        JOIN $forecastSlotsSql
+          ON o.station_id = f.station_id
+         AND o.generated_at >= f.begin_time AND o.generated_at < f.end_time
+        ORDER BY o.station_id, obs_time, f.begin_time, min_temp""")),
+
     // §2.8 — the streaming session-window operator, gated in batch mode
     // on the real events table: `session_window(ts, gap)` (the state-
     // store merging-window op, one window per OPEN session) must agree
