@@ -549,6 +549,51 @@ object WeatherGate {
         FROM s GROUP BY user_id, sid
         ORDER BY user_id, session_start""")),
 
+    // §2.8 — w11's TRUE streaming execution: session_window through the
+    // streaming MERGING-window state path (sessions extend/merge as
+    // events arrive; append mode emits a session exactly once, when the
+    // watermark passes its end = last event + gap, and evicts its
+    // state). The third member of the streaming-executed family —
+    // w13b pinned watermark eviction for tumbling aggregation, w12b the
+    // stream-stream join; this pins the merging-window operator. The
+    // oracle mirrors emission with `session_end ≤ max(ts)` (zero-delay
+    // watermark); the session still open at end-of-stream must NOT
+    // appear, and Spark's side is unfiltered so over-emission fails the
+    // row-count compare.
+    Q("w11b_session_window_stream",
+      (s, d) => {
+        val stream = graft.Tables.eventsStream(s, d)
+          .where(col("user_id") % 31 === 0)
+          .withWatermark("ts", "0 seconds")
+        val sessions = graft.streaming.SnapshotStream
+          .sessionRollup(stream, Seq("user_id"), "ts", "30 minutes")
+        val sink = "w11b_sink_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = sessions.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(sink).orderBy("user_id", "session_start")
+      },
+      Some("""WITH e AS (
+          SELECT user_id, ts FROM events WHERE user_id % 31 = 0),
+        m AS (SELECT user_id, ts,
+            CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+          FROM e),
+        sgrp AS (SELECT user_id, ts,
+            SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m),
+        sess AS (
+          SELECT user_id, MIN(ts) AS session_start,
+            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+            COUNT(*) AS n_events
+          FROM sgrp GROUP BY user_id, sid)
+        SELECT user_id, session_start, session_end, n_events
+        FROM sess
+        WHERE session_end <= (SELECT max(ts) FROM events WHERE user_id % 31 = 0)
+        ORDER BY user_id, session_start""")),
+
     // §2.8 — windowed distinct-cardinality sketch, batch-gated like w9:
     // streaming.WindowNdv.hourlyUserNdv runs the SAME plan on a
     // watermarked stream (WindowNdvSpec drives append-mode emission and
