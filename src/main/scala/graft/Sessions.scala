@@ -25,6 +25,22 @@ object Sessions {
   def sessionTag(s: SparkSession): String =
     s"${s.sparkContext.applicationId}-${Integer.toHexString(System.identityHashCode(s))}"
 
+  /** Clone of `s` with its own shuffle-partition count — the per-query
+    * state-sizing knob for the streaming gates: every stateful streaming
+    * operator materializes one state store per shuffle partition per
+    * micro-batch, so a bounded-fixture stream under the engine-wide 32
+    * pays ~32× its data's worth of state machinery (measured: w12b's
+    * 3-row join at 7 s). `newSession` shares the SparkContext and
+    * relation caches' context but takes session-scoped conf, so the
+    * engine-wide setting is untouched — the same decision a production
+    * job makes per stream via its own session/conf, not a global
+    * mutation. */
+  def streamSession(s: SparkSession, partitions: Int): SparkSession = {
+    val c = s.newSession()
+    c.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    c
+  }
+
   def local(cores: String, appName: String = "graft"): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")

@@ -497,9 +497,12 @@ object WeatherGate {
           forecastSlots(s).write.mode("overwrite").parquet(s"$base/fc")
           s.emptyDataFrame.createOrReplaceTempView(marker)
         }
-        val obsS = s.readStream.schema(s.read.parquet(s"$base/obs").schema)
+        // fixture-sized state — Sessions.streamSession (the symmetric
+        // join keeps a store per partition on BOTH sides)
+        val ss = graft.Sessions.streamSession(s, 4)
+        val obsS = ss.readStream.schema(ss.read.parquet(s"$base/obs").schema)
           .parquet(s"$base/obs").withWatermark("obs_time", "1 hour")
-        val fcS = s.readStream.schema(s.read.parquet(s"$base/fc").schema)
+        val fcS = ss.readStream.schema(ss.read.parquet(s"$base/fc").schema)
           .parquet(s"$base/fc").withWatermark("begin_time", "1 hour")
         val joined = graft.streaming.SnapshotStream
           .matchObservationsToForecasts(obsS, fcS)
@@ -510,7 +513,7 @@ object WeatherGate {
         val q = joined.writeStream.format("memory").queryName(sink)
           .outputMode("append").start()
         try q.processAllAvailable() finally q.stop()
-        s.table(sink).orderBy("station_id", "obs_time", "begin_time", "min_temp")
+        ss.table(sink).orderBy("station_id", "obs_time", "begin_time", "min_temp")
       },
       Some(s"""SELECT o.station_id, o.generated_at AS obs_time,
           CAST(o.temperature_value AS DOUBLE) AS temperature_value,
@@ -562,7 +565,9 @@ object WeatherGate {
     // row-count compare.
     Q("w11b_session_window_stream",
       (s, d) => {
-        val stream = graft.Tables.eventsStream(s, d)
+        // state sized to the fixture subset — Sessions.streamSession
+        val ss = graft.Sessions.streamSession(s, 8)
+        val stream = graft.Tables.eventsStream(ss, d)
           .where(col("user_id") % 31 === 0)
           .withWatermark("ts", "0 seconds")
         val sessions = graft.streaming.SnapshotStream
@@ -572,7 +577,7 @@ object WeatherGate {
         val q = sessions.writeStream.format("memory").queryName(sink)
           .outputMode("append").start()
         try q.processAllAvailable() finally q.stop()
-        s.table(sink).orderBy("user_id", "session_start")
+        ss.table(sink).orderBy("user_id", "session_start")
       },
       Some("""WITH e AS (
           SELECT user_id, ts FROM events WHERE user_id % 31 = 0),

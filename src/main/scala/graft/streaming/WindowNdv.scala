@@ -50,14 +50,17 @@ object WindowNdv {
     * out. */
   def emittedHourlyNdv(spark: org.apache.spark.sql.SparkSession,
       dir: String, rsd: Double = 0.01): DataFrame = {
+    // state sized to the workload (~720 hour-windows), not the
+    // engine-wide shuffle width — see Sessions.streamSession
+    val ss = graft.Sessions.streamSession(spark, 8)
     val sink = "w13b_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val stream = graft.Tables.eventsStream(spark, dir)
+    val stream = graft.Tables.eventsStream(ss, dir)
       .withWatermark("ts", "0 seconds")
     val q = hourlyUserNdv(stream, rsd = rsd)
       .writeStream.format("memory").queryName(sink)
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(sink)
+    ss.table(sink)
   }
 }
