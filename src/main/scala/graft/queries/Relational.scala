@@ -479,6 +479,35 @@ object Relational {
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Skew-safe JOIN gate, completing q23's pair: the replicate-side
+    // salted join (graft.queries.Skew.saltedJoin — skewed side salted,
+    // other side exploded across all salt values) must be row-for-row
+    // the plain join. The skewed side is events on its ~5-value hot key;
+    // the other side is a DATA-DERIVED per-type mean (the "too dynamic
+    // to broadcast by hint" case salting exists for — a literal dim
+    // would make the gate vacuous). Mean = exact cent sum / 100 /
+    // count, so both engines compare against bit-identical doubles.
+    Q("q51_salted_join",
+      (s, d) => {
+        val ev = Tables.events(s, d).select("event_type", "value")
+        val dim = ev.groupBy("event_type")
+          .agg((sum(cents(col("value"))) / 100.0 / count(lit(1)))
+            .as("mean_value"))
+        Skew.saltedJoin(ev, dim, Seq("event_type"), factor = 16)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") > col("mean_value"), 1L).otherwise(0L))
+              .cast("long").as("n_above"))
+          .orderBy("event_type")
+      },
+      Some("""WITH m AS (SELECT event_type,
+            SUM(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0/COUNT(*) AS mean_value
+          FROM events GROUP BY event_type)
+        SELECT e.event_type, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN e.value > m.mean_value THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        FROM events e JOIN m USING (event_type)
+        GROUP BY e.event_type ORDER BY e.event_type""")),
+
     // F16 at scale: the outcome permutation space as a distributed
     // cross-product of index ranges (the reference's single-threaded
     // generator marks n=200 "slow"); gated by an aggregate signature so
