@@ -35,11 +35,25 @@ object Sessions {
     * engine-wide setting is untouched — the same decision a production
     * job makes per stream via its own session/conf, not a global
     * mutation. */
-  def streamSession(s: SparkSession, partitions: Int): SparkSession = {
-    val c = s.newSession()
-    c.conf.set("spark.sql.shuffle.partitions", partitions.toString)
-    c
-  }
+  private val streamSessions =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), SparkSession]()
+
+  def streamSession(s: SparkSession, partitions: Int): SparkSession =
+    // memoized per (parent, partitions): a bench sweep invokes each
+    // streaming gate several times, and an unbounded clone per run
+    // would accumulate SessionStates for the app's lifetime. Entries
+    // are dropped when their SparkContext ends (the Tables idiom).
+    streamSessions.computeIfAbsent((s, partitions), { case (parent, n) =>
+      val sc = parent.sparkContext
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          streamSessions.keySet().removeIf(_._1.sparkContext eq sc)
+      })
+      val c = parent.newSession()
+      c.conf.set("spark.sql.shuffle.partitions", n.toString)
+      c
+    })
 
   def local(cores: String, appName: String = "graft"): SparkSession = {
     val s = SparkSession.builder()

@@ -155,18 +155,21 @@ object IngestTick {
     var lastDate: Option[java.time.LocalDate] = None
     var i = 0
     while (i < ticks) {
-      val now = clock()
-      val today = WeatherStore.toUtcDate(now)
-      lastDate.filter(d => maintenance && today.isAfter(d)).foreach { closed =>
-        try {
-          val r = store.maintain(closed, maintainFiles)
-          log.info(s"maintained $closed: $r")
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            log.error(s"maintenance for $closed failed, day left uncompacted: ${e.getMessage}")
-        }
-      }
+      // clock() stays INSIDE the catch-all: the loop's "never dies on
+      // one bad cycle" contract covers a throwing injected clock (NTP
+      // hiccup) the same as a bad upstream hour
       try {
+        val now = clock()
+        val today = WeatherStore.toUtcDate(now)
+        lastDate.filter(d => maintenance && today.isAfter(d)).foreach { closed =>
+          try {
+            val r = store.maintain(closed, maintainFiles)
+            log.info(s"maintained $closed: $r")
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              log.error(s"maintenance for $closed failed, day left uncompacted: ${e.getMessage}")
+          }
+        }
         reports += runIngestTick(spark, fetcher, store, cfg, now, etl)
         lastDate = Some(today)
       } catch {

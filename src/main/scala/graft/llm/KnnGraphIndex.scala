@@ -149,9 +149,19 @@ object KnnGraphIndex {
       case Some(l) => newVectors.select("vec_id", "embedding")
         .join(l.select(col("vec_id")), Seq("vec_id"), "left_anti")
     }
+    // Within-batch id dedup BEFORE anything else: the ledger anti-join
+    // only covers ids indexed by EARLIER batches, so a duplicate id
+    // inside one batch (at-least-once upstream, two landing files in a
+    // micro-batch) would otherwise seat the same neighbor at two ranks
+    // and then be sealed forever by the ledger. Deterministic keeper:
+    // lowest embedding in array order, so retries pick the same row.
+    val wDup = Window.partitionBy("vec_id").orderBy("embedding")
+    val fresh1 = fresh0
+      .withColumn("__rn", row_number().over(wDup))
+      .where(col("__rn") === 1).drop("__rn")
     // checkpoint: the sig frame feeds three joins below — recomputing
     // the scan per consumer would triple the batch read
-    val fresh = fresh0.withColumn("sig", VectorOps.sigCol)
+    val fresh = fresh1.withColumn("sig", VectorOps.sigCol)
       .localCheckpoint(true)
 
     // (1) new × (indexed ∪ new) bucket-mate edges — each new vector's
@@ -194,8 +204,8 @@ object KnnGraphIndex {
         // stored list minus batch edges is precisely the old-mate
         // members of the true top-k, and backEdges restores every
         // batch edge exactly once.
-        val stored = resolve(spark, dir)
-          .join(backEdges.select("vec_id").distinct(), Seq("vec_id"))
+        val stored = resolveFor(spark, dir,
+            backEdges.select("vec_id").distinct())
           .join(fresh.select(col("vec_id").as("nid")), Seq("nid"), "left_anti")
           .select("vec_id", "nid", "cos_sim")
         stored.unionByName(backEdges)
@@ -224,19 +234,39 @@ object KnnGraphIndex {
     * generations (torn appends) are filtered out by the marker set; no
     * dedup pass is needed — a vector appears at most once per committed
     * generation (newRows and affectedRows partition the id space), and
-    * replays write at fresh generations that win wholesale. */
-  private def resolve(spark: SparkSession, dir: String): DataFrame = {
+    * replays write at fresh generations that win wholesale.
+    *
+    * `ids` (when given) prunes the scan BELOW the max-gen window: the
+    * add path resolves only the batch's affected vectors, and a join
+    * placed above the window would force the whole graph through it —
+    * the corpus-sized per-batch cost the index exists to avoid (a
+    * window is a barrier; Spark cannot push a join beneath it). */
+  private def resolveFrom(spark: SparkSession, dir: String,
+      ids: Option[DataFrame]): DataFrame = {
+    if (!exists(spark, graphPath(dir)))
+      return spark.range(0).select(col("id").as("vec_id"),
+        col("id").as("nid"), lit(0).cast("int").as("rnk"),
+        lit(0.0).as("cos_sim"))
     val committed = committedGens(spark, dir)
     val wG = Window.partitionBy("vec_id")
-    spark.read.parquet(graphPath(dir))
+    val base = spark.read.parquet(graphPath(dir))
       .where(col("gen").isin(committed: _*))
+    val pruned = ids.fold(base)(i => base.join(i, Seq("vec_id")))
+    pruned
       .withColumn("maxg", max("gen").over(wG))
       .where(col("gen") === col("maxg"))
       .select("vec_id", "nid", "rnk", "cos_sim")
   }
 
+  private def resolve(spark: SparkSession, dir: String): DataFrame =
+    resolveFrom(spark, dir, None)
+
+  private def resolveFor(spark: SparkSession, dir: String,
+      ids: DataFrame): DataFrame = resolveFrom(spark, dir, Some(ids))
+
   /** The current graph: (vec_id, nid, rnk, cos_sim), every indexed
-    * vector's exact bucket-mate top-k. */
+    * vector's exact bucket-mate top-k; empty frame for an index with no
+    * committed graph yet (matching size()'s 0, not an error). */
   def neighbors(spark: SparkSession, dir: String): DataFrame =
     resolve(spark, dir)
 
@@ -254,6 +284,23 @@ object KnnGraphIndex {
   def compact(spark: SparkSession, dir: String, numFiles: Int = 8): Unit =
       graft.store.WriterLock.forIndex(spark, dir).withLock {
     guardCompaction(spark, dir)
+    // Already folded AND at target: a replayed cadence compaction (the
+    // VectorStream crash-retry case) must be an O(listing) no-op, not a
+    // base-sized rewrite that re-opens the swap's crash window —
+    // DedupIndex.compact's nOld guard, extended with the single-
+    // generation condition this index's fold adds.
+    def dataFiles(p: String): Int = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      if (!fsOf(spark, p).exists(path)) 0
+      else fsOf(spark, p).listStatus(path).count { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+    val gens = committedGens(spark, dir)
+    val alreadyCompact = gens.size <= 1 &&
+      dataFiles(graphPath(dir)) <= numFiles &&
+      dataFiles(vecPath(dir)) <= numFiles
     def swap(p: String, compacted: DataFrame): Unit = {
       val path = new org.apache.hadoop.fs.Path(p)
       val fs = fsOf(spark, p)
@@ -269,7 +316,7 @@ object KnnGraphIndex {
       }
       fs.delete(old, true)
     }
-    if (exists(spark, graphPath(dir))) {
+    if (!alreadyCompact && exists(spark, graphPath(dir))) {
       val fs = fsOf(spark, dir)
       // commit gen 0 BEFORE the swap: between marker and swap, gen 0
       // simply has no rows; after the swap it carries the fold. The
@@ -286,7 +333,7 @@ object KnnGraphIndex {
       committedGens(spark, dir).filter(_ > 0L).foreach(g =>
         fs.delete(new org.apache.hadoop.fs.Path(dir, GcommitPrefix + g), false))
     }
-    if (exists(spark, vecPath(dir)))
+    if (!alreadyCompact && exists(spark, vecPath(dir)))
       swap(vecPath(dir), spark.read.parquet(vecPath(dir)))
   } // WriterLock released here
 }

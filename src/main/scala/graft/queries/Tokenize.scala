@@ -104,8 +104,16 @@ object Tokenize {
     var i = 0
     var done = false
     while (i < nMerges && !done) {
+      // Tie order is (count desc, a, b) on the SPLIT halves, not on the
+      // concat'd "a b" string: the two only agree when every symbol
+      // character sorts above the ' ' separator, which control
+      // characters (tab/newline inside a space-split token) violate —
+      // ordering on the halves matches the oracle's ORDER BY a, b for
+      // ALL inputs.
       val top = pairCounts(vocab)
-        .orderBy(col("n").desc, col("pair"))
+        .withColumn("pa", split(col("pair"), " ", 2).getItem(0))
+        .withColumn("pb", split(col("pair"), " ", 2).getItem(1))
+        .orderBy(col("n").desc, col("pa"), col("pb"))
         .limit(1)
         .collect()
       if (top.isEmpty) done = true
@@ -160,10 +168,11 @@ object Tokenize {
     // rounds as chained CTEs whose DuckDB list_reduce lambda implements
     // the IDENTICAL fold, so a drifted merge rule (overlap handling,
     // tie order, count-after-merge bookkeeping) hash-mismatches even
-    // when the first chosen pair agrees. Ordering note: Spark breaks
-    // count ties on the concat'd "a b" string, the oracle on (a, b) —
-    // equivalent because symbols never contain ' ' (words are split ON
-    // it), so the separator compares below every symbol character.
+    // when the first chosen pair agrees. Ordering note: both engines
+    // break count ties on (a, b) — Spark re-splits the pair string into
+    // its halves for the argmax, since ordering on the concat'd "a b"
+    // form diverges when a symbol contains a character below ' '
+    // (tab/newline survive the space split).
     Q("t16_bpe_train",
       (s, d) => {
         import s.implicits._

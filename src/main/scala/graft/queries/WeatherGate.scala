@@ -513,7 +513,8 @@ object WeatherGate {
         val q = joined.writeStream.format("memory").queryName(sink)
           .outputMode("append").start()
         try q.processAllAvailable() finally q.stop()
-        ss.table(sink).orderBy("station_id", "obs_time", "begin_time", "min_temp")
+        graft.streaming.WindowNdv.drainSink(s, ss, sink)
+          .orderBy("station_id", "obs_time", "begin_time", "min_temp")
       },
       Some(s"""SELECT o.station_id, o.generated_at AS obs_time,
           CAST(o.temperature_value AS DOUBLE) AS temperature_value,
@@ -577,7 +578,8 @@ object WeatherGate {
         val q = sessions.writeStream.format("memory").queryName(sink)
           .outputMode("append").start()
         try q.processAllAvailable() finally q.stop()
-        ss.table(sink).orderBy("user_id", "session_start")
+        graft.streaming.WindowNdv.drainSink(s, ss, sink)
+          .orderBy("user_id", "session_start")
       },
       Some("""WITH e AS (
           SELECT user_id, ts FROM events WHERE user_id % 31 = 0),

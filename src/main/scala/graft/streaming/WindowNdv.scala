@@ -61,6 +61,20 @@ object WindowNdv {
       .writeStream.format("memory").queryName(sink)
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
-    ss.table(sink)
+    drainSink(spark, ss, sink)
+  }
+
+  /** Materialize a memory sink's rows (bounded: the emitted windows)
+    * and DROP the sink view — a bench sweep runs the gate many times in
+    * one session, and each undropped MemorySink would retain its full
+    * emitted result in driver memory for the app's lifetime. */
+  private[graft] def drainSink(spark: org.apache.spark.sql.SparkSession,
+      ss: org.apache.spark.sql.SparkSession, sink: String): DataFrame = {
+    val out = ss.table(sink)
+    val rows = out.collect().toSeq
+    val schema = out.schema
+    ss.catalog.dropTempView(sink)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
   }
 }

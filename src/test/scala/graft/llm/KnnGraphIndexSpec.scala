@@ -81,6 +81,30 @@ class KnnGraphIndexSpec extends AnyFunSuite {
     assert(gens == 1L)
   }
 
+  test("within-batch duplicate ids collapse; empty index reads as empty") {
+    import spark.implicits._
+    // neighbors()/size() on a never-written index: empty, not an error
+    val d0 = tmp()
+    assert(KnnGraphIndex.neighbors(spark, d0).count() == 0L)
+    assert(KnnGraphIndex.size(spark, d0) == 0L)
+
+    // a batch carrying the same vec_id twice (at-least-once upstream,
+    // two landing files in one micro-batch) must index it ONCE — the
+    // ledger anti-join can't catch it, so the in-batch dedup must
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .where(col("vec_id") < 100)
+    val doubled = emb.unionAll(emb)
+    val d = tmp()
+    KnnGraphIndex.add(spark, d, doubled, K)
+    assert(KnnGraphIndex.size(spark, d) == 100L)
+    val got = graphOf(d)
+    assert(got == oneShot(emb))
+    // no duplicate neighbor within any list
+    val dup = KnnGraphIndex.neighbors(spark, d)
+      .groupBy("vec_id", "nid").count().where(col("count") > 1).count()
+    assert(dup == 0L)
+  }
+
   test("crash windows: torn appends invisible, marker-committed replay exact") {
     import org.apache.spark.sql.functions.lit
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
