@@ -126,12 +126,19 @@ final class WeatherStore(spark: SparkSession, root: String) {
   def zOrderPartition(kind: String, date: java.time.LocalDate,
       targetFiles: Int = 1): (Int, Int) =
     rewritePartition(kind, date, targetFiles) { df =>
-      val stations = df.select("station_id").distinct().orderBy("station_id")
+      val stations = df.select("station_id")
+        .where(col("station_id").isNotNull)
+        .distinct().orderBy("station_id")
         .collect().map(_.getString(0))
       val rankMap = stations.zipWithIndex.map { case (s, i) => s -> i.toLong }.toMap
+      // null station ids sort at rank 0 — and must be guarded BEFORE the
+      // map lookup: element_at on a map literal NPEs in codegen for a
+      // null key (it is not null-safe the way column ops are)
       val withDims = df
-        .withColumn("__rk", coalesce(
-          element_at(typedLit(rankMap), col("station_id")), lit(0L)))
+        .withColumn("__rk",
+          when(col("station_id").isNull, lit(0L))
+            .otherwise(coalesce(
+              element_at(typedLit(rankMap), col("station_id")), lit(0L))))
         .withColumn("__tsd", col("snapshot_ts").cast("double"))
       val b = withDims.agg(min("__tsd"), max("__tsd")).head()
       val (tsMin, tsMax) =

@@ -165,4 +165,20 @@ class WeatherStoreSpec extends AnyFunSuite {
     assert(store.zOrderPartition(Kinds.Observations, date, targetFiles = 4) == (4, 4))
     assert(store.maintain(date, targetFiles = 4)(Kinds.Observations) == (4, 4))
   }
+
+  test("zOrderPartition tolerates null station ids (coalesced to rank 0)") {
+    val (store, _) = newStore()
+    val date = java.time.LocalDate.parse("2024-08-12")
+    for (h <- 0 until 3)
+      store.write(Seq((Option.when(h != 1)(s"S$h"), h.toLong))
+        .toDF("station_id", "value"),
+        Kinds.Observations, ts(f"2024-08-12T$h%02d:00:00Z"))
+    def all() = store.readAll(Kinds.Observations).get
+      .select("station_id", "value").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    val before = all()
+    assert(before.contains((None, 1L)))
+    assert(store.zOrderPartition(Kinds.Observations, date) == (3, 1))
+    assert(all() == before)
+  }
 }
