@@ -38,6 +38,13 @@ object Sessions {
   private val streamSessions =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), SparkSession]()
 
+  /** Contexts that already carry the cleanup listener — ONE listener per
+    * SparkContext, not one per cache entry: each registration would add
+    * a listener-bus entry for the app's lifetime and run a redundant
+    * removeIf sweep at application end. */
+  private val cleanupHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
+
   def streamSession(s: SparkSession, partitions: Int): SparkSession =
     // memoized per (parent, partitions): a bench sweep invokes each
     // streaming gate several times, and an unbounded clone per run
@@ -45,11 +52,14 @@ object Sessions {
     // are dropped when their SparkContext ends (the Tables idiom).
     streamSessions.computeIfAbsent((s, partitions), { case (parent, n) =>
       val sc = parent.sparkContext
-      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          streamSessions.keySet().removeIf(_._1.sparkContext eq sc)
-      })
+      if (cleanupHooked.add(sc))
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            streamSessions.keySet().removeIf(_._1.sparkContext eq sc)
+            cleanupHooked.remove(sc)
+          }
+        })
       val c = parent.newSession()
       c.conf.set("spark.sql.shuffle.partitions", n.toString)
       c

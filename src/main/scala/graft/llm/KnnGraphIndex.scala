@@ -42,10 +42,11 @@ import graft.queries.VectorOps
   *
   * Re-delivery safety: already-indexed vec_ids are anti-joined away up
   * front; a crash between the graph append and the ledger append
-  * reprocesses the batch on retry, and the duplicate graph rows it may
-  * leave are IDENTICAL rows at the same generation, which
-  * [[neighbors]]'s distinct collapses (same argument as DedupIndex's
-  * orphan postings).
+  * reprocesses the batch on retry at a FRESH generation (nextGen burns
+  * the crashed attempt's number), and resolve is
+  * latest-COMMITTED-generation-per-vector — so the replayed delta
+  * supersedes the crashed one wholesale; nothing ever depends on
+  * collapsing duplicate rows (see [[neighbors]] / [[committedGens]]).
   *
   * Scale shape of [[add]]: the batch's sig frame joins the ledger on
   * `sig` — shuffle keyed on the bucket, ledger pruned to touched
@@ -58,6 +59,7 @@ object KnnGraphIndex {
 
   private def vecPath(dir: String) = s"$dir/vectors"
   private def graphPath(dir: String) = s"$dir/graph"
+  private def tombsPath(dir: String) = s"$dir/tombs"
 
   private def fsOf(spark: SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
@@ -72,6 +74,7 @@ object KnnGraphIndex {
 
   private val GenPrefix = "_gen_"
   private val GcommitPrefix = "_gcommit_"
+  private val TcommitPrefix = "_tcommit_"
 
   /** Generations whose graph append COMPLETED (their `_gcommit_<n>`
     * marker exists). Readers resolve only these, so a torn append —
@@ -81,14 +84,73 @@ object KnnGraphIndex {
     * batch supersedes it wholesale at a fresh generation (resolve is
     * latest-COMMITTED-gen-per-vector). The EventStore version-marker
     * scheme, applied per delta. */
-  private def committedGens(spark: SparkSession, dir: String): Seq[Long] = {
+  private def committedGens(spark: SparkSession, dir: String): Seq[Long] =
+    committedMarkers(spark, dir, GcommitPrefix)
+
+  /** Tombstone generations whose append COMPLETED (`_tcommit_<n>`
+    * exists) — the removal analog of [[committedGens]]: a torn tombstone
+    * append (files visible, writer lost before the marker) can never
+    * half-remove anything, because readers honor only marked
+    * generations. */
+  private def committedTombGens(spark: SparkSession, dir: String): Seq[Long] =
+    committedMarkers(spark, dir, TcommitPrefix)
+
+  private def committedMarkers(spark: SparkSession, dir: String,
+      prefix: String): Seq[Long] = {
     val d = new org.apache.hadoop.fs.Path(dir)
     val fs = fsOf(spark, dir)
     if (!fs.exists(d)) Seq.empty
     else fs.listStatus(d).map(_.getPath.getName)
-      .filter(_.startsWith(GcommitPrefix))
-      .map(_.stripPrefix(GcommitPrefix).toLong).toSeq.sorted
+      .filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).toLong).toSeq.sorted
   }
+
+  /** Per-id max COMMITTED tombstone generation — None when the index has
+    * no committed tombstones at all (the overwhelmingly common state, so
+    * every liveness filter below vanishes from the plan). Tombstone
+    * volume is removal-sized, never corpus-sized: always broadcast. */
+  private def tombMax(spark: SparkSession, dir: String): Option[DataFrame] = {
+    if (!exists(spark, tombsPath(dir))) None
+    else {
+      val committed = committedTombGens(spark, dir)
+      if (committed.isEmpty) None
+      else Some(spark.read.parquet(tombsPath(dir))
+        .where(col("gen").isin(committed: _*))
+        .groupBy("vec_id").agg(max("gen").as("tgen")))
+    }
+  }
+
+  /** Live membership rows of `vectors/`: a row is live iff no committed
+    * tombstone at a LATER generation covers its vec_id — so a removed id
+    * is dead, and a removed-then-re-added id is live through exactly its
+    * re-add row (the older incarnation stays dead). Tombstones are
+    * superseded by later generations, never cleared in place. */
+  private def liveLedger(spark: SparkSession, dir: String): Option[DataFrame] = {
+    if (!exists(spark, vecPath(dir))) None
+    else {
+      val v = spark.read.parquet(vecPath(dir))
+      Some(tombMax(spark, dir) match {
+        case None => v
+        case Some(t) => v.join(broadcast(t), Seq("vec_id"), "left")
+          .where(col("tgen").isNull || col("gen") > col("tgen"))
+          .drop("tgen")
+      })
+    }
+  }
+
+  /** Ids currently dead: tomb'd with no later re-add. Removal-sized. */
+  private def deadIds(spark: SparkSession, dir: String): Option[DataFrame] =
+    tombMax(spark, dir).map { t =>
+      if (!exists(spark, vecPath(dir))) t.select("vec_id")
+      else {
+        val vg = spark.read.parquet(vecPath(dir))
+          .join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_semi")
+          .groupBy("vec_id").agg(max("gen").as("vgen"))
+        t.join(vg, Seq("vec_id"), "left")
+          .where(col("vgen").isNull || col("tgen") > col("vgen"))
+          .select("vec_id")
+      }
+    }
 
   /** Reserve the next generation number: the high-water mark lives in a
     * marker file whose NAME carries the value — one directory listing +
@@ -131,10 +193,9 @@ object KnnGraphIndex {
   def add(spark: SparkSession, dir: String, newVectors: DataFrame,
       k: Int): Unit = graft.store.WriterLock.forIndex(spark, dir).withLock {
     guardCompaction(spark, dir)
-    val hasLedger = exists(spark, vecPath(dir))
-
-    val ledger: Option[DataFrame] =
-      if (hasLedger) Some(spark.read.parquet(vecPath(dir))) else None
+    // LIVE rows only: a removed id must neither block its own re-add
+    // (the anti-join below) nor serve as a candidate mate
+    val ledger: Option[DataFrame] = liveLedger(spark, dir)
     // Generation counter as a marker file (`_gen_<n>`, the EventStore
     // sequence pattern): O(1) in index size where `max(gen)` over the
     // ledger would be a corpus-sized column scan per batch — the exact
@@ -230,6 +291,82 @@ object KnnGraphIndex {
       .write.mode(SaveMode.Append).parquet(vecPath(dir))
   } // WriterLock released here
 
+  /** Remove `ids` (vec_id) from the index — the takedown/recall path a
+    * production corpus must honor without a full rebuild. Victims stop
+    * appearing as nodes OR neighbors, and every surviving vector whose
+    * stored top-k referenced a victim is re-ranked EXACTLY over its
+    * remaining live bucket-mates: a dropped edge can promote a mate the
+    * stored k rows never kept, so the fixup re-scans the affected
+    * vectors' buckets — `affected × bucket-occupancy` work,
+    * removal-sized, never corpus-sized. A later [[add]] of the same id
+    * is a fresh membership at a higher generation (tombstones are
+    * superseded, not cleared), and add→remove→add-again lands
+    * bit-for-bit on the never-removed build (KnnGraphTombstoneSpec; the
+    * v9c gate proves it against the one-shot oracle).
+    *
+    * `k` is the index's top-k (same contract as [[add]]: an index-life
+    * constant, not a per-call knob).
+    *
+    * Crash contract (the [[add]] write-order discipline, run for a
+    * removal): re-ranked graph rows + their `_gcommit_` first, then the
+    * tombstone append + its `_tcommit_` — the removal's commit point.
+    * A crash in between leaves victims live with some neighbor lists
+    * already re-ranked past them; the replay re-derives the same
+    * affected superset (victim references still on disk) and recomputes
+    * the identical fixup before committing the tombstones. A torn
+    * tombstone append (files without `_tcommit_`) is invisible to every
+    * reader. */
+  def remove(spark: SparkSession, dir: String, ids: DataFrame,
+      k: Int): Unit = graft.store.WriterLock.forIndex(spark, dir).withLock {
+    guardCompaction(spark, dir)
+    liveLedger(spark, dir).foreach { live =>
+      val victims = live
+        .join(ids.select("vec_id").distinct(), Seq("vec_id"), "left_semi")
+        .select("vec_id").localCheckpoint(true)
+      if (!victims.isEmpty) {
+        val gen = nextGen(spark, dir)
+        // Affected SUPERSET: every committed graph row referencing a
+        // victim, filtered BEFORE the latest-gen resolve so the nid
+        // predicate prunes the parquet scan (the window is a barrier —
+        // placing the filter above it would drag the whole graph
+        // through). A vector whose CURRENT list no longer holds the
+        // victim (an older generation did) can slip in; harmless — its
+        // re-rank recomputes the identical list.
+        val committed = committedGens(spark, dir)
+        val touched = spark.read.parquet(graphPath(dir))
+          .where(col("gen").isin(committed: _*))
+          .join(broadcast(victims.select(col("vec_id").as("nid"))),
+            Seq("nid"), "left_semi")
+          .select("vec_id").distinct()
+          .join(broadcast(victims), Seq("vec_id"), "left_anti")
+        val survivors = live.join(broadcast(victims), Seq("vec_id"), "left_anti")
+        val affected = touched.join(survivors, Seq("vec_id"))
+          .select("vec_id", "embedding", "sig")
+        val mates = survivors.select(col("sig"), col("vec_id").as("nid"),
+          col("embedding").as("ne"))
+        val wK = Window.partitionBy("vec_id")
+          .orderBy(col("cos_sim").desc, col("nid"))
+        val rebuilt = affected.join(mates, Seq("sig"))
+          .where(col("vec_id") =!= col("nid"))
+          .select(col("vec_id"), col("nid"),
+            VectorOps.cosine(col("embedding"), col("ne")).as("cos_sim"))
+          .withColumn("rnk", row_number().over(wK).cast("int"))
+          .where(col("rnk") <= k)
+        rebuilt
+          .select(lit(gen).as("gen"), col("vec_id"), col("nid"),
+            col("rnk"), col("cos_sim"))
+          .write.mode(SaveMode.Append).parquet(graphPath(dir))
+        val fs = fsOf(spark, dir)
+        fs.create(new org.apache.hadoop.fs.Path(dir, GcommitPrefix + gen),
+          true).close()
+        victims.select(lit(gen).as("gen"), col("vec_id"))
+          .write.mode(SaveMode.Append).parquet(tombsPath(dir))
+        fs.create(new org.apache.hadoop.fs.Path(dir, TcommitPrefix + gen),
+          true).close()
+      }
+    }
+  } // WriterLock released here
+
   /** Latest COMMITTED generation's rows per vector. Uncommitted
     * generations (torn appends) are filtered out by the marker set; no
     * dedup pass is needed — a vector appears at most once per committed
@@ -252,10 +389,23 @@ object KnnGraphIndex {
     val base = spark.read.parquet(graphPath(dir))
       .where(col("gen").isin(committed: _*))
     val pruned = ids.fold(base)(i => base.join(i, Seq("vec_id")))
-    pruned
+    val resolved = pruned
       .withColumn("maxg", max("gen").over(wG))
       .where(col("gen") === col("maxg"))
       .select("vec_id", "nid", "rnk", "cos_sim")
+    // Dead-id filters (removal-sized broadcasts, absent entirely when no
+    // tombstones exist): vec_id — a victim's own lists die at read time
+    // (remove never rewrites them); nid — load-bearing for the one case
+    // the eager fixup cannot supersede (an affected vector left with
+    // ZERO live bucket-mates appends no fresh rows, so its stale
+    // all-victim list must vanish here), and belt-and-braces for the
+    // remove crash window.
+    deadIds(spark, dir).fold(resolved) { dd =>
+      resolved
+        .join(broadcast(dd), Seq("vec_id"), "left_anti")
+        .join(broadcast(dd.select(col("vec_id").as("nid"))), Seq("nid"), "left_anti")
+        .select("vec_id", "nid", "rnk", "cos_sim")
+    }
   }
 
   private def resolve(spark: SparkSession, dir: String): DataFrame =
@@ -270,10 +420,10 @@ object KnnGraphIndex {
   def neighbors(spark: SparkSession, dir: String): DataFrame =
     resolve(spark, dir)
 
-  /** Indexed vector count (observability). */
+  /** LIVE indexed vector count (observability) — removed ids don't
+    * count; a removed-then-re-added id counts once (its re-add row). */
   def size(spark: SparkSession, dir: String): Long =
-    if (!exists(spark, vecPath(dir))) 0L
-    else spark.read.parquet(vecPath(dir)).count()
+    liveLedger(spark, dir).map(_.count()).getOrElse(0L)
 
   /** Fold the generation deltas flat (graph → resolved rows at gen 0 of
     * a fresh file set; vectors → repacked). Same atomic directory-swap
@@ -298,7 +448,10 @@ object KnnGraphIndex {
       }
     }
     val gens = committedGens(spark, dir)
+    // committed tombstones force a real compaction pass: the fold is
+    // what physically reclaims dead rows (and lets the tombs dir drop)
     val alreadyCompact = gens.size <= 1 &&
+      committedTombGens(spark, dir).isEmpty &&
       dataFiles(graphPath(dir)) <= numFiles &&
       dataFiles(vecPath(dir)) <= numFiles
     def swap(p: String, compacted: DataFrame): Unit = {
@@ -334,6 +487,22 @@ object KnnGraphIndex {
         fs.delete(new org.apache.hadoop.fs.Path(dir, GcommitPrefix + g), false))
     }
     if (!alreadyCompact && exists(spark, vecPath(dir)))
-      swap(vecPath(dir), spark.read.parquet(vecPath(dir)))
+      // live rows only (dead rows are reclaimed here), each KEEPING its
+      // original generation: between this swap and the tombs cleanup
+      // below, stale tombstones must stay inert — a live row's gen is
+      // still above every tombstone that ever covered its id, and a
+      // fully-removed id simply has no row for the tombstone to match.
+      // (Folding vectors to gen 0 instead would flip live rows to
+      // "dead" in exactly that crash window.)
+      swap(vecPath(dir), liveLedger(spark, dir).get)
+    // Tombstones are folded in — drop the rows and their markers.
+    // Pure hygiene by this point (see the gen-preservation argument
+    // above), so a crash anywhere in this cleanup changes nothing.
+    if (!alreadyCompact) {
+      val fs = fsOf(spark, dir)
+      fs.delete(new org.apache.hadoop.fs.Path(tombsPath(dir)), true)
+      committedTombGens(spark, dir).foreach(g =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, TcommitPrefix + g), false))
+    }
   } // WriterLock released here
 }

@@ -506,14 +506,49 @@ object VectorOps {
         graft.llm.KnnGraphIndex.neighbors(s, dir)
           .orderBy("vec_id", "rnk")
       },
-      Some(knnGraphSql))
+      Some(knnGraphSql)),
+
+    // The tombstone path of the SAME stored index: the gate replays the
+    // full lifecycle a production corpus hits — add in two batches,
+    // REMOVE two id slices (takedown), re-ADD one of them (recall
+    // reversed) — and serves the resulting graph. The oracle is the
+    // one-shot flat SQL over exactly the SURVIVING ids, so three things
+    // are pinned at once: removed ids vanish as nodes and neighbors,
+    // every affected list is re-ranked over its remaining live
+    // bucket-mates (promotions included — the part a lazy nid-filter
+    // would get wrong), and a re-add after a removal is a fresh
+    // membership that lands bit-for-bit on the never-removed build.
+    // Same session-memoized tmp-dir discipline as v9b.
+    Q("v9c_knn_graph_tombstone",
+      (s, d) => {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_knngraph_tomb/$tag/${graft.Sessions.sessionTag(s)}").getAbsolutePath
+        val marker = s"graft_knngt_marker_$tag"
+        if (!s.catalog.tableExists(marker)) {
+          val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+          graft.llm.KnnGraphIndex.add(s, dir, emb.where(col("vec_id") % 2 === 0), 3)
+          graft.llm.KnnGraphIndex.add(s, dir, emb.where(col("vec_id") % 2 =!= 0), 3)
+          graft.llm.KnnGraphIndex.remove(s, dir,
+            emb.where(col("vec_id") % 10 === 1 || col("vec_id") % 10 === 6)
+              .select("vec_id"), 3)
+          graft.llm.KnnGraphIndex.add(s, dir, emb.where(col("vec_id") % 10 === 1), 3)
+          s.emptyDataFrame.createOrReplaceTempView(marker)
+        }
+        graft.llm.KnnGraphIndex.neighbors(s, dir)
+          .orderBy("vec_id", "rnk")
+      },
+      Some(knnGraphSqlOver("WHERE vec_id % 10 <> 6")))
   )
 
   /** v9 / v9b's shared oracle — the flat one-shot kNN-join SQL. Both
     * gates must produce THIS, whether computed per-query (v9) or served
-    * from the incrementally-built index (v9b). */
-  private def knnGraphSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding, CAST($sigSql AS INT) AS sig FROM embeddings),
+    * from the incrementally-built index (v9b); v9c uses the same SQL
+    * restricted to its post-removal surviving ids. */
+  private def knnGraphSql: String = knnGraphSqlOver("")
+
+  private def knnGraphSqlOver(whereClause: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding, CAST($sigSql AS INT) AS sig FROM embeddings $whereClause),
       cand AS (
         SELECT a.vec_id, b.vec_id AS nid,
           ${duckCos("a.embedding", "b.embedding")} AS cos_sim
