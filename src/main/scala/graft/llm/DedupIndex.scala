@@ -12,12 +12,15 @@ import graft.queries.TextOps
   *
   * On-disk layout under `dir` (plain parquet, append-only):
   *  - `sigs/`  — one row per indexed document: (doc_id, h sorted
-  *    xxhash64 shingle hashes, n, sigs minhash array); the verify side
-  *    AND the membership ledger (written LAST — the batch's commit
-  *    point).
+  *    xxhash64 shingle hashes, n, sigs minhash array, gen batch
+  *    generation); the verify side AND the membership ledger (written
+  *    LAST — the batch's commit point).
   *  - `bands/` — the exploded LSH postings: (band, mh, doc_id); the
   *    candidate-join side, keyed exactly like the batch pipeline's
   *    bucket join.
+  *  - `tombs/` — marker-committed removal generations (gen, doc_id);
+  *    a sig row is live iff newer than every committed tombstone for
+  *    its id ([[remove]]; [[compact]] reclaims dead rows).
   *
   * Re-delivery safety (foreachBatch retries, at-least-once feeds):
   * already-indexed doc ids are dropped from the batch up front by an
@@ -52,6 +55,86 @@ object DedupIndex {
 
   private def sigsPath(dir: String) = s"$dir/sigs"
   private def bandsPath(dir: String) = s"$dir/bands"
+  private def tombsPath(dir: String) = s"$dir/tombs"
+
+  private val GenPrefix = "_gen_"
+  private val TcommitPrefix = "_tcommit_"
+
+  /** Reserve the next generation number — the KnnGraphIndex marker-file
+    * counter (`_gen_<n>` carries the high-water mark in its NAME): one
+    * listing + one create, O(1) in index size. Serialized by the index
+    * WriterLock, so list-then-create needs no further coordination.
+    * Generations order sig rows against tombstones: a sig row is live
+    * iff it is NEWER than every committed tombstone for its doc_id. */
+  private def nextGen(spark: SparkSession, dir: String): Long = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(d)) fs.mkdirs(d)
+    val existing = fs.listStatus(d).map(_.getPath.getName)
+      .filter(_.startsWith(GenPrefix)).toSeq
+    val hwm = existing.map(_.stripPrefix(GenPrefix).toLong).maxOption
+      .getOrElse {
+        if (exists(spark, sigsPath(dir)))
+          spark.read.parquet(sigsPath(dir)).agg(max("gen")).head.getLong(0)
+        else 0L
+      }
+    val gen = hwm + 1
+    fs.create(new org.apache.hadoop.fs.Path(d, GenPrefix + gen), true).close()
+    existing.foreach(m =>
+      fs.delete(new org.apache.hadoop.fs.Path(d, m), false))
+    gen
+  }
+
+  /** Tombstone generations whose append COMPLETED (their `_tcommit_<n>`
+    * marker exists): a torn tombstone append — files visible, writer
+    * lost before the marker — is invisible to every reader, so a crash
+    * can never half-remove documents (DedupTombstoneSpec). */
+  private def committedTombGens(spark: SparkSession, dir: String): Seq[Long] = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).map(_.getPath.getName)
+      .filter(_.startsWith(TcommitPrefix))
+      .map(_.stripPrefix(TcommitPrefix).toLong).toSeq.sorted
+  }
+
+  /** Per-id max COMMITTED tombstone generation — None when no committed
+    * tombstones exist (the common state; every liveness filter below
+    * then vanishes from the plan). Removal-sized: always broadcast. */
+  private def tombMax(spark: SparkSession, dir: String): Option[DataFrame] = {
+    if (!exists(spark, tombsPath(dir))) None
+    else {
+      val committed = committedTombGens(spark, dir)
+      if (committed.isEmpty) None
+      else Some(spark.read.parquet(tombsPath(dir))
+        .where(col("gen").isin(committed: _*))
+        .groupBy("doc_id").agg(max("gen").as("tgen")))
+    }
+  }
+
+  /** Live `sigs/` rows WITH their generation: a row is live iff no
+    * committed tombstone at a later generation covers its doc_id — a
+    * removed doc is dead; a removed-then-re-added doc is live through
+    * exactly its re-add row. */
+  private def liveSigRows(spark: SparkSession, dir: String): Option[DataFrame] = {
+    if (!exists(spark, sigsPath(dir))) None
+    else {
+      val s = spark.read.parquet(sigsPath(dir))
+      Some(tombMax(spark, dir) match {
+        case None => s
+        case Some(t) => s.join(broadcast(t), Seq("doc_id"), "left")
+          .where(col("tgen").isNull || col("gen") > col("tgen"))
+          .drop("tgen")
+      })
+    }
+  }
+
+  /** Live membership in [[TextOps.sigFrame]] shape (doc_id, h, n, sigs)
+    * — what every read path joins against. Dead postings in `bands/`
+    * need no filter of their own: candidates they generate die in the
+    * verify join against this frame. */
+  private def liveSigs(spark: SparkSession, dir: String): Option[DataFrame] =
+    liveSigRows(spark, dir).map(_.select("doc_id", "h", "n", "sigs"))
 
   private def fsOf(spark: SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
@@ -89,14 +172,17 @@ object DedupIndex {
       onPairs: DataFrame => Unit = _ => ()): DataFrame =
       graft.store.WriterLock.forIndex(spark, dir).withLock {
     guardCompaction(spark, dir)
-    val hasSigs = exists(spark, sigsPath(dir))
+    // LIVE membership only: a removed doc must neither block its own
+    // re-add (this anti-join) nor serve as a candidate/verify partner
+    val live = liveSigs(spark, dir)
     val hasBands = exists(spark, bandsPath(dir))
+    val gen = nextGen(spark, dir)
 
-    val fresh =
-      if (!hasSigs) newDocs
-      else newDocs.join(
-        spark.read.parquet(sigsPath(dir)).select(col("doc_id")),
-        Seq("doc_id"), "left_anti")
+    val fresh = live match {
+      case None => newDocs
+      case Some(l) =>
+        newDocs.join(l.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    }
     val newSigs = TextOps.sigFrame(fresh).localCheckpoint(true)
     // sigs ride the posexplode — no join-back to re-attach them
     val newBands = newSigs.select(col("doc_id"), col("sigs"),
@@ -112,12 +198,15 @@ object DedupIndex {
       .where(col("band") === TextOps.firstSharedBand)
       .select("doc_a", "doc_b")
 
-    // cross-generation candidates (new × indexed)
+    // cross-generation candidates (new × indexed): the inner join to
+    // LIVE sigs drops postings of removed docs — and duplicate postings
+    // a re-add leaves behind only ever duplicate candidates, which the
+    // distinct below collapses
     val cross =
-      if (!hasBands || !hasSigs) within.limit(0)
+      if (!hasBands || live.isEmpty) within.limit(0)
       else {
         val idxBands = spark.read.parquet(bandsPath(dir))
-          .join(spark.read.parquet(sigsPath(dir)).select(col("doc_id"), col("sigs")),
+          .join(live.get.select(col("doc_id"), col("sigs")),
             "doc_id")
         newBands.select(col("doc_id").as("new_id"), col("sigs").as("new_sigs"),
             col("band"), col("mh"))
@@ -138,9 +227,10 @@ object DedupIndex {
           .select("doc_a", "doc_b")
       }
 
-    val allSigs =
-      if (!hasSigs) newSigs
-      else newSigs.unionByName(spark.read.parquet(sigsPath(dir)))
+    val allSigs = live match {
+      case None => newSigs
+      case Some(l) => newSigs.unionByName(l)
+    }
     // distinct: the candidate set is small (post-LSH) and this is what
     // makes orphan postings from a torn append harmless — duplicated
     // postings duplicate candidates, never verified pairs
@@ -152,17 +242,86 @@ object DedupIndex {
 
     // bands first, sigs LAST: sigs is the membership ledger the anti-join
     // keys on, so a crash between the two reprocesses the batch instead
-    // of silently skipping docs whose postings were never written
+    // of silently skipping docs whose postings were never written. Sig
+    // rows carry the batch generation so liveness against tombstones is
+    // a per-row comparison (a replay after a crash lands at a burnt
+    // fresh generation — still newer than any prior tombstone).
     newBands.select("band", "mh", "doc_id")
       .write.mode(SaveMode.Append).parquet(bandsPath(dir))
-    newSigs.write.mode(SaveMode.Append).parquet(sigsPath(dir))
+    newSigs.withColumn("gen", lit(gen))
+      .write.mode(SaveMode.Append).parquet(sigsPath(dir))
     pairs
   } // WriterLock released here
 
-  /** Indexed document count (observability). */
+  /** Remove `ids` (doc_id) from the index — takedown/recall without a
+    * rebuild. Tombstones are marker-committed generations: the doc
+    * stops matching (membership, candidates, verification) the moment
+    * its `_tcommit_` lands, and a later [[checkAndAdd]] of the same id
+    * is a fresh membership at a higher generation, so
+    * add→remove→add-again behaves exactly like the never-removed index
+    * (DedupTombstoneSpec; the d17 gate proves it against the batch
+    * pipeline on the surviving set). Pairs ALREADY emitted for a victim
+    * are the consumer's to reconcile (filter on live membership — what
+    * CorpusEtl's incremental refresh does); this index never
+    * retro-emits. A torn tombstone append (files without `_tcommit_`)
+    * is invisible. [[compact]] physically reclaims dead rows. */
+  def remove(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+      graft.store.WriterLock.forIndex(spark, dir).withLock {
+    guardCompaction(spark, dir)
+    liveSigs(spark, dir).foreach { l =>
+      val victims = l.select("doc_id")
+        .join(ids.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+      if (!victims.isEmpty) {
+        val gen = nextGen(spark, dir)
+        victims.select(lit(gen).as("gen"), col("doc_id"))
+          .write.mode(SaveMode.Append).parquet(tombsPath(dir))
+        fsOf(spark, dir).create(
+          new org.apache.hadoop.fs.Path(dir, TcommitPrefix + gen), true).close()
+      }
+    }
+  } // WriterLock released here
+
+  /** Query `queryDocs` (doc_id, text, …) against the LIVE index WITHOUT
+    * adding them — the dedup-service lookup (is this doc a near-dup of
+    * the corpus?) and the read path the d17 gate drives. Same candidate
+    * rule as everywhere else (share ≥1 minhash band), same fused-kernel
+    * verification, pairs normalized to doc_a < doc_b and emitted once.
+    * Scale shape: query postings equi-join the index postings on
+    * (band, mh) — the index side pruned to touched buckets by the join;
+    * candidates of REMOVED docs die in the verify join against live
+    * membership, so stale postings cost a candidate row, never a wrong
+    * answer. */
+  def matches(spark: SparkSession, dir: String, queryDocs: DataFrame,
+      minJaccard: Double = MinJaccard): DataFrame =
+    liveSigs(spark, dir) match {
+      case None => spark.range(0).select(
+        col("id").as("doc_a"), col("id").as("doc_b"),
+        lit(0).cast("int").as("n_common"), lit(0.0).as("jaccard"))
+      case Some(l) =>
+        val qSigs = TextOps.sigFrame(queryDocs).localCheckpoint(true)
+        val qBands = qSigs.select(col("doc_id").as("qid"),
+          posexplode(col("sigs")).as(Seq("band", "mh")))
+        val cand = qBands
+          .join(spark.read.parquet(bandsPath(dir)).select("band", "mh", "doc_id"),
+            Seq("band", "mh"))
+          .where(col("qid") =!= col("doc_id"))
+          .select(least(col("qid"), col("doc_id")).as("doc_a"),
+            greatest(col("qid"), col("doc_id")).as("doc_b"))
+          .distinct()
+        // verify side: live members, plus query docs not (or no longer)
+        // in the membership — never two rows per id, or the verify join
+        // would multiply
+        val docs = l.unionByName(
+          qSigs.join(l.select("doc_id"), Seq("doc_id"), "left_anti"))
+        TextOps.verifyPairs(cand, docs, minJaccard)
+          .select("doc_a", "doc_b", "n_common", "jaccard")
+    }
+
+  /** LIVE indexed document count (observability) — removed docs don't
+    * count; a removed-then-re-added doc counts once (its re-add row). */
   def size(spark: SparkSession, dir: String): Long =
-    if (!exists(spark, sigsPath(dir))) 0L
-    else spark.read.parquet(sigsPath(dir)).count()
+    liveSigRows(spark, dir).map(_.count()).getOrElse(0L)
 
   /** Compact the append-only index (each checkAndAdd batch appends its
     * own files; a long-lived service accumulates thousands). Unlike
@@ -180,19 +339,29 @@ object DedupIndex {
       numFiles: Int = 8): Map[String, (Int, Int)] =
       graft.store.WriterLock.forIndex(spark, dir).withLock {
     guardCompaction(spark, dir)
-    Seq("sigs" -> sigsPath(dir), "bands" -> bandsPath(dir)).map { case (name, p) =>
+    // Committed tombstones force a real pass even under the file-count
+    // guard: the rewrite is what physically reclaims dead rows (and
+    // lets the tombs dir drop). Live sig rows are re-stamped at one
+    // FRESH generation above every tombstone — so through every crash
+    // window of the cleanup below, a stale tombstone is inert: the
+    // surviving row's generation already outranks it, and a
+    // fully-removed id simply has no row left to match.
+    val hasTombs = committedTombGens(spark, dir).nonEmpty
+    val foldGen = if (hasTombs) nextGen(spark, dir) else 0L
+    def rewrite(name: String, p: String,
+        content: => DataFrame): (String, (Int, Int)) = {
       if (!exists(spark, p)) name -> (0, 0)
       else {
         val path = new org.apache.hadoop.fs.Path(p)
         val fs = fsOf(spark, p)
         val nOld = fs.listStatus(path).count(s =>
           !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-        if (nOld <= numFiles) name -> (nOld, nOld)
+        if (nOld <= numFiles && !hasTombs) name -> (nOld, nOld)
         else {
           val compacting = new org.apache.hadoop.fs.Path(p + ".compacting")
           val old = new org.apache.hadoop.fs.Path(p + ".old")
           fs.delete(compacting, true) // leftovers from an aborted WRITE are safe to drop
-          spark.read.parquet(p).repartition(numFiles)
+          content.repartition(numFiles)
             .write.parquet(compacting.toString)
           val nNew = fs.listStatus(compacting).count(_.getPath.getName.endsWith(".parquet"))
           if (!fs.rename(path, old))
@@ -205,6 +374,27 @@ object DedupIndex {
           name -> (nOld, nNew)
         }
       }
-    }.toMap
+    }
+    val out = Map(
+      rewrite("sigs", sigsPath(dir),
+        liveSigs(spark, dir).get.withColumn("gen", lit(foldGen))),
+      // dead postings reclaimed by the live semi-join; duplicate
+      // postings from a re-add collapse in the distinct
+      rewrite("bands", bandsPath(dir), {
+        val b = spark.read.parquet(bandsPath(dir)).select("band", "mh", "doc_id")
+        liveSigs(spark, dir) match {
+          case None => b.distinct()
+          case Some(l) =>
+            b.join(l.select("doc_id"), Seq("doc_id"), "left_semi").distinct()
+              .select("band", "mh", "doc_id")
+        }
+      }))
+    if (hasTombs) {
+      val fs = fsOf(spark, dir)
+      fs.delete(new org.apache.hadoop.fs.Path(tombsPath(dir)), true)
+      committedTombGens(spark, dir).foreach(g =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, TcommitPrefix + g), false))
+    }
+    out
   } // WriterLock released here
 }

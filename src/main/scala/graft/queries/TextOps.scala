@@ -561,6 +561,56 @@ object TextOps {
                     JOIN sh b ON cand.doc_b = b.doc_id)
         WHERE jaccard >= 0.05 ORDER BY doc_a, doc_b""")),
 
+    // The SAME near-dup pair contract served from the INCREMENTAL index
+    // (graft.llm.DedupIndex) through its full lifecycle: the gate feeds
+    // the corpus in two batches, REMOVES two id slices (takedown),
+    // re-ADDS one of them (recall reversed), then queries the surviving
+    // docs against the live index via the lookup path. The oracle is
+    // d2's batch pipeline restricted to exactly the surviving ids — so
+    // what's pinned is that tombstoned docs stop matching (as members
+    // and as candidates), that a re-add after a removal is a fresh
+    // membership indistinguishable from never-removed, and that the
+    // lookup join (query postings × index postings on (band, mh))
+    // reproduces the batch pipeline's candidate rule. Session-memoized
+    // tmp dir, the v9b/v9c discipline.
+    Q("d17_dedup_index_tombstone",
+      (s, d) => {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_dedup_tomb/$tag/${graft.Sessions.sessionTag(s)}").getAbsolutePath
+        val marker = s"graft_d17_marker_$tag"
+        if (!s.catalog.tableExists(marker)) {
+          val docs = Tables.documentsSpread(s, d).select("doc_id", "text")
+          graft.llm.DedupIndex.checkAndAdd(s, dir, docs.where(col("doc_id") % 2 === 0))
+          graft.llm.DedupIndex.checkAndAdd(s, dir, docs.where(col("doc_id") % 2 =!= 0))
+          graft.llm.DedupIndex.remove(s, dir,
+            docs.where(col("doc_id") % 13 === 2 || col("doc_id") % 13 === 5)
+              .select("doc_id"))
+          graft.llm.DedupIndex.checkAndAdd(s, dir, docs.where(col("doc_id") % 13 === 2))
+          s.emptyDataFrame.createOrReplaceTempView(marker)
+        }
+        graft.llm.DedupIndex.matches(s, dir,
+            Tables.documentsSpread(s, d).where(col("doc_id") % 13 =!= 5)
+              .select("doc_id", "text"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH live AS (SELECT * FROM documents WHERE doc_id % 13 <> 5),
+          sig AS (${duckSigsFrom("live")}),
+          bands AS (SELECT doc_id, k AS band, sigs[k + 1] AS mh FROM sig, range(0, 8) t(k)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+          sh AS (SELECT doc_id, $duckShingles AS s
+                 FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM live))
+        SELECT doc_a, doc_b, n_common, jaccard FROM (
+          SELECT doc_a, doc_b,
+            CAST(len(list_intersect(a.s, b.s)) AS INT) AS n_common,
+            CAST(CAST(len(list_intersect(a.s, b.s)) AS INT) AS DOUBLE) /
+              CAST(len(a.s) + len(b.s) - CAST(len(list_intersect(a.s, b.s)) AS INT) AS DOUBLE) AS jaccard
+          FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+                    JOIN sh b ON cand.doc_b = b.doc_id)
+        WHERE jaccard >= 0.05 ORDER BY doc_a, doc_b""")),
+
     // Dedup clustering: verified near-dup pairs → connected components →
     // (doc, canonical keeper). Spark runs iterative hash-min label
     // propagation (graft.queries.Components — one equi-join + groupBy-min
