@@ -122,10 +122,13 @@ object IngestTick {
     * upstream hour. `pacer` injects virtual time for tests; `clock`
     * supplies each cycle's logical timestamp.
     *
-    * Storage maintenance rides the loop's own clock: when a tick's UTC
-    * date rolls past the previous tick's, the just-closed date's
-    * partitions (24 one-file hourly snapshots per kind) are compacted
-    * and z-ordered by (station_id, snapshot_ts) via
+    * Storage maintenance rides the loop's own clock: on the FIRST tick
+    * and whenever a tick's UTC date rolls past the previous tick's,
+    * every still-fragmented closed date
+    * ([[WeatherStore.datesNeedingMaintenance]] — derived from the store
+    * itself, so a restarted daemon or one that slept across several
+    * days picks up its whole backlog, not just the single last-tick
+    * day) is compacted and z-ordered by (station_id, snapshot_ts) via
     * [[WeatherStore.maintain]] — BEFORE the new day's first ingest, the
     * window where no writer targets yesterday and the reference daemon
     * would be between cycles. Hourly ingest without this accumulates
@@ -133,11 +136,13 @@ object IngestTick {
     * dominates every scan; with it, a closed day is `maintainFiles`
     * z-ordered files whose parquet stats skip on either station or
     * time predicates. A failed maintenance pass logs and continues like
-    * a failed tick — the day stays scannable (just uncompacted) and the
-    * next rollover will not retry it, which is the right bias: the
-    * rewrite is an optimization, never required for correctness (the
-    * read path's dedup discipline tolerates the in-flight rename
-    * window the same way it tolerates re-served snapshot rows). */
+    * a failed tick — the day stays scannable (just uncompacted), and
+    * because the backlog is re-derived from disk it is retried at the
+    * next rollover (at most once per day — bounded), never silently
+    * dropped. The rewrite stays an optimization, never required for
+    * correctness (the read path's dedup discipline tolerates the
+    * in-flight rename window the same way it tolerates re-served
+    * snapshot rows). */
   def runLoop(
       spark: SparkSession,
       fetcher: HttpFetcher,
@@ -161,15 +166,19 @@ object IngestTick {
       try {
         val now = clock()
         val today = WeatherStore.toUtcDate(now)
-        lastDate.filter(d => maintenance && today.isAfter(d)).foreach { closed =>
-          try {
-            val r = store.maintain(closed, maintainFiles)
-            log.info(s"maintained $closed: $r")
-          } catch {
-            case scala.util.control.NonFatal(e) =>
-              log.error(s"maintenance for $closed failed, day left uncompacted: ${e.getMessage}")
+        // first tick (restart seed) or day rollover: maintain the whole
+        // on-disk backlog of fragmented closed dates, each under its own
+        // failure isolation
+        if (maintenance && lastDate.forall(today.isAfter))
+          store.datesNeedingMaintenance(today, maintainFiles).foreach { closed =>
+            try {
+              val r = store.maintain(closed, maintainFiles)
+              log.info(s"maintained $closed: $r")
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                log.error(s"maintenance for $closed failed, day left uncompacted: ${e.getMessage}")
+            }
           }
-        }
         reports += runIngestTick(spark, fetcher, store, cfg, now, etl)
         lastDate = Some(today)
       } catch {

@@ -115,36 +115,40 @@ final class WeatherStore(spark: SparkSession, root: String) {
     * path filters on (station lists + snapshot time windows;
     * weather_data.rs:47-85's filename filter and the A1/J7 station
     * predicates). The string dimension enters the Morton curve through
-    * its dense lexicographic rank (driver-sized: the station universe
-    * is the reference's ~2k-row index; a 100 TB deployment with an
-    * unbounded key would swap the literal map for a broadcast-join
-    * against a rank dimension), so per-file min/max stats stay narrow
-    * in BOTH dimensions and parquet footer skipping works for either
-    * predicate alone — the `OPTIMIZE ZORDER BY` nightly a lakehouse
-    * runs, here as the store's own maintenance op ([[maintain]] wires
-    * it to the ingest loop's day rollover). */
+    * its dense lexicographic rank, joined in from a RANK DIMENSION
+    * built off the partition itself (distinct ids + one dimension-sized
+    * row_number sort, then a broadcast equi-join back) — never a
+    * collected driver map: a plan-literal map bloats the plan and caps
+    * the key universe at driver memory, where the join form carries an
+    * unbounded station universe for one dimension-table broadcast
+    * (100k-id case exercised by WeatherStoreSpec). Per-file min/max
+    * stats stay narrow in BOTH dimensions so parquet footer skipping
+    * works for either predicate alone — the `OPTIMIZE ZORDER BY`
+    * nightly a lakehouse runs, here as the store's own maintenance op
+    * ([[maintain]] wires it to the ingest loop's day rollover). */
   def zOrderPartition(kind: String, date: java.time.LocalDate,
       targetFiles: Int = 1): (Int, Int) =
     rewritePartition(kind, date, targetFiles) { df =>
-      val stations = df.select("station_id")
-        .where(col("station_id").isNotNull)
-        .distinct().orderBy("station_id")
-        .collect().map(_.getString(0))
-      val rankMap = stations.zipWithIndex.map { case (s, i) => s -> i.toLong }.toMap
-      // null station ids sort at rank 0 — and must be guarded BEFORE the
-      // map lookup: element_at on a map literal NPEs in codegen for a
-      // null key (it is not null-safe the way column ops are)
-      val withDims = df
+      // rank dimension: dimension-sized (distinct station ids), ordered
+      // by a single-partition window — fine for a dimension, never run
+      // on the fact rows
+      val rankDim = df.select("station_id")
+        .where(col("station_id").isNotNull).distinct()
         .withColumn("__rk",
-          when(col("station_id").isNull, lit(0L))
-            .otherwise(coalesce(
-              element_at(typedLit(rankMap), col("station_id")), lit(0L))))
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy("station_id")) - 1).cast("long"))
+      val nStations = rankDim.count()
+      // null station ids sort at rank 0, sharing it with the first
+      // station — same contract as the previous literal-map lookup
+      val withDims = df
+        .join(broadcast(rankDim), Seq("station_id"), "left")
+        .withColumn("__rk", coalesce(col("__rk"), lit(0L)))
         .withColumn("__tsd", col("snapshot_ts").cast("double"))
       val b = withDims.agg(min("__tsd"), max("__tsd")).head()
       val (tsMin, tsMax) =
         if (b.isNullAt(0)) (0.0, 0.0) else (b.getDouble(0), b.getDouble(1))
       val z = ZOrder.zValue(Seq(col("__rk"), col("__tsd")),
-        Seq(0.0, tsMin), Seq(math.max(stations.length - 1, 1).toDouble, tsMax))
+        Seq(0.0, tsMin), Seq(math.max(nStations - 1, 1).toDouble, tsMax))
       withDims.withColumn("__z", z)
         .repartitionByRange(targetFiles, col("__z"))
         .sortWithinPartitions("__z")
@@ -159,6 +163,33 @@ final class WeatherStore(spark: SparkSession, root: String) {
       targetFiles: Int = 1): Map[String, (Int, Int)] =
     Seq(Kinds.Forecasts, Kinds.Observations)
       .map(k => k -> zOrderPartition(k, date, targetFiles)).toMap
+
+  /** Closed dates still fragmented: every `date=` partition strictly
+    * before `before` whose data-file count exceeds `targetFiles` in
+    * either kind. This is what makes maintenance scheduling STATELESS —
+    * a restarted daemon (or one that slept across several days) derives
+    * its backlog from the store itself instead of an in-memory
+    * last-tick date (IngestTick seeds from this on every rollover and
+    * on its first tick). Driver-side listing, O(partition dirs) — the
+    * same directory walk any scan's file discovery already pays. */
+  def datesNeedingMaintenance(before: LocalDate,
+      targetFiles: Int = 1): Seq[LocalDate] =
+    Seq(Kinds.Forecasts, Kinds.Observations).flatMap { kind =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/kind=$kind")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq.empty[LocalDate]
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+        .flatMap { d =>
+          scala.util.Try(
+            LocalDate.parse(d.getPath.getName.stripPrefix("date="))).toOption
+            .filter(_.isBefore(before))
+            .filter(_ => fs.listStatus(d.getPath).count { s =>
+              val n = s.getPath.getName
+              !n.startsWith("_") && !n.startsWith(".")
+            } > targetFiles)
+        }
+    }.distinct.sortBy(_.toEpochDay)
 
   /** Shared rewrite-and-swap machinery of [[compactPartition]] /
     * [[zOrderPartition]]: `arrange` shapes the partition's rows into

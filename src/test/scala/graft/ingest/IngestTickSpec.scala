@@ -192,6 +192,38 @@ class IngestTickSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally deadChunk = false
   }
 
+  test("restart seeds maintenance from disk: the whole fragmented backlog, first tick") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-tick4").toString
+    val store = new WeatherStore(spark, root)
+    // a previous daemon run left TWO closed days fragmented (it died
+    // before their rollovers could maintain them)
+    for (day <- Seq("2024-08-11", "2024-08-12"); h <- 0 until 3)
+      store.write(Seq(("KAAA", h.toLong)).toDF("station_id", "value"),
+        Kinds.Observations, Timestamp.from(Instant.parse(f"${day}T$h%02d:00:00Z")))
+    def files(date: String) =
+      new java.io.File(s"$root/kind=observations/date=$date")
+        .listFiles().filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(files("2024-08-11").length == 3 && files("2024-08-12").length == 3)
+
+    // fresh loop, FIRST tick on 08-13: no in-memory last-tick date
+    // exists, so the backlog must come from the store itself
+    val p = new VirtualPacer
+    val t = Timestamp.from(Instant.parse("2024-08-13T00:30:00Z"))
+    val reports = IngestTick.runLoop(spark, mkFetcher(p), store, cfg,
+      ticks = 1, intervalMillis = 3600000L, pacer = p, clock = () => t)
+    assert(reports.size == 1)
+    for (day <- Seq("2024-08-11", "2024-08-12")) {
+      assert(files(day).length == 1, s"$day not maintained on restart")
+      assert(files(day).head.getName.startsWith("compact-"))
+    }
+    // rows survive the rewrite; the open day's fresh snapshot is untouched
+    val obs = store.readAll(Kinds.Observations).get
+    assert(obs.where(org.apache.spark.sql.functions.col("value").isNotNull)
+      .count() == 6)
+    assert(files("2024-08-13").length == 1)
+  }
+
   test("day rollover runs maintenance: closed day compacted+z-ordered, reads unchanged") {
     import org.apache.spark.sql.functions.col
     val root = java.nio.file.Files.createTempDirectory("graft-tick3").toString

@@ -166,6 +166,50 @@ class WeatherStoreSpec extends AnyFunSuite {
     assert(store.maintain(date, targetFiles = 4)(Kinds.Observations) == (4, 4))
   }
 
+  test("zOrderPartition carries a 100k-station universe (rank join, not a plan literal)") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val (store, dir) = newStore()
+    val date = java.time.LocalDate.parse("2024-08-12")
+    // 8 snapshots × 12,500 stations, ids INTERLEAVED across snapshots so
+    // rank does not correlate with file order — the naive layout spans
+    // the whole universe per file and only real z-clustering narrows it.
+    // A universe this size is exactly where the old collected typedLit
+    // rank map was a plan hazard (100k-entry literal in the plan tree);
+    // the broadcast rank-dimension join must handle it routinely.
+    for (h <- 0 until 8)
+      store.write(
+        (0 until 100000).filter(_ % 8 == h).map(i => (f"S$i%06d", i.toLong))
+          .toDF("station_id", "value"),
+        Kinds.Observations, ts(f"2024-08-12T$h%02d:00:00Z"))
+    val before = store.readAll(Kinds.Observations).get
+      .agg(fsum("value"), org.apache.spark.sql.functions.count("*")).head()
+    assert(store.zOrderPartition(Kinds.Observations, date, targetFiles = 4) == (8, 4))
+    val after = store.readAll(Kinds.Observations).get
+      .agg(fsum("value"), org.apache.spark.sql.functions.count("*")).head()
+    assert(after == before)
+    // every rewritten file concentrates on a narrow rank band (rank =
+    // the id's numeric suffix; zero-padded so lexicographic = numeric).
+    // Measured as the p5–p95 spread, not min/max: repartitionByRange
+    // boundaries come from sampling, and a boundary landing a hair
+    // inside the next z-region spills a few SCATTERED ranks into the
+    // file — which wrecks min/max but not the bulk distribution. A
+    // 4-way z split halves the rank dimension (~50k bulk spread); the
+    // naive interleaved-by-snapshot layout puts every 8th rank in every
+    // file (~90k spread at any percentile).
+    val files = new java.io.File(s"$dir/kind=observations/date=$date")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4)
+    for (f <- files) {
+      val qs = spark.read.parquet(f.getAbsolutePath)
+        .selectExpr("cast(substring(station_id, 2) as int) as rk")
+        .selectExpr("percentile_approx(rk, array(0.05, 0.95), 10000) as q")
+        .head().getSeq[Int](0)
+      val spread = qs(1) - qs(0)
+      assert(spread < 70000,
+        s"${f.getName}: p5-p95 rank spread $spread of the 100k universe")
+    }
+  }
+
   test("zOrderPartition tolerates null station ids (coalesced to rank 0)") {
     val (store, _) = newStore()
     val date = java.time.LocalDate.parse("2024-08-12")
