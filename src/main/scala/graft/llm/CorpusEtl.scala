@@ -125,16 +125,11 @@ object CorpusEtl {
         col("redacted"))
   }
 
-  /** The c1 correctness gate: [[prepare]] at default config, with the
-    * redacted text surfaced as its md5 (byte-exact cross-engine, and the
-    * driver compare can't sort long strings with embedded newlines). */
-  val all: Seq[Q] = Seq(
-    Q("c1_corpus_prep",
-      (s, d) => prepare(Tables.documentsSpread(s, d))
-        .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_copies"),
-          col("cluster_size"), md5(col("redacted")).as("redacted_md5"))
-        .orderBy("doc_id"),
-      Some(s"""WITH RECURSIVE tok AS (
+  /** c1/c1b's shared oracle — the full from-scratch composition in
+    * DuckDB (recursive-CTE closure for the clustering step). c1 runs
+    * [[prepare]] one-shot; c1b must land on the IDENTICAL output from
+    * the incremental [[CorpusRefresh]] state. */
+  private lazy val corpusPrepSql: String = s"""WITH RECURSIVE tok AS (
           SELECT doc_id, lang, text, string_split(lower(text), ' ') AS t
           FROM documents),
         g AS (SELECT doc_id,
@@ -195,7 +190,48 @@ object CorpusEtl {
         LEFT JOIN comp ON exk.doc_id = comp.doc_id
         LEFT JOIN cs ON COALESCE(comp.component, exk.doc_id) = cs.component
         WHERE COALESCE(comp.component, exk.doc_id) = exk.doc_id
-        ORDER BY exk.doc_id""")),
+        ORDER BY exk.doc_id"""
+
+  /** The c1 correctness gate: [[prepare]] at default config, with the
+    * redacted text surfaced as its md5 (byte-exact cross-engine, and the
+    * driver compare can't sort long strings with embedded newlines). */
+  val all: Seq[Q] = Seq(
+    Q("c1_corpus_prep",
+      (s, d) => prepare(Tables.documentsSpread(s, d))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_copies"),
+          col("cluster_size"), md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id"),
+      Some(corpusPrepSql)),
+
+    // c1's INCREMENTAL twin: the same prepared corpus served from the
+    // CorpusRefresh state after feeding the table in two batches —
+    // yesterday's prep + today's batch, no from-scratch recompute. The
+    // oracle is c1's own full-recompute SQL on the union, so the gate
+    // pins the refresh composition end-to-end: per-batch filter/hash/
+    // MinHash work, the exact-merge (keeper min + copy counts across
+    // batches), pair accumulation through the dedup index (cross-batch
+    // candidates included), per-refresh re-clustering, and scrub reuse.
+    // Session-memoized state dir (v9b's discipline); CorpusRefreshSpec
+    // additionally proves the Spark-vs-Spark bit-for-bit equality,
+    // demotion and crash-replay cases this fixture can't force.
+    Q("c1b_corpus_prep_incremental",
+      (s, d) => {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_corpus_refresh/$tag/${graft.Sessions.sessionTag(s)}").getAbsolutePath
+        val marker = s"graft_c1b_marker_$tag"
+        if (!s.catalog.tableExists(marker)) {
+          val docs = Tables.documentsSpread(s, d)
+          CorpusRefresh.refresh(s, dir, docs.where(col("doc_id") % 2 === 1))
+          CorpusRefresh.refresh(s, dir, docs.where(col("doc_id") % 2 === 0))
+          s.emptyDataFrame.createOrReplaceTempView(marker)
+        }
+        CorpusRefresh.prepared(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_copies"),
+            col("cluster_size"), md5(col("redacted")).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some(corpusPrepSql)),
 
     // Deterministic train/val/test split: bucket = first byte of
     // md5(doc_id), train < 230 (~89.8%), val < 243 (~5.1%), test
