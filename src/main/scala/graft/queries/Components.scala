@@ -142,7 +142,18 @@ object Components {
     * yet at fixpoint cannot pass the check (some chain of length ≥ 2
     * survives ⟹ its middle node is both child and parent).
     */
-  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 40): DataFrame = {
+  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 40): DataFrame =
+    connectedComponentsStarStats(pairs, maxIters)._1
+
+  /** [[connectedComponentsStar]] plus the ROUND COUNT it converged in —
+    * the algorithm's actual scale contract (O(log² n), single digits in
+    * practice) made observable, so specs can pin it on adversarial
+    * topologies instead of trusting the output alone (ComponentsSpec:
+    * a hash-scrambled chain, far beyond hash-min's budget, must close
+    * in ≤ ~2·log₂(diameter) rounds; the d13b gate runs the same
+    * topology against the recursive-closure oracle). */
+  def connectedComponentsStarStats(pairs: DataFrame,
+      maxIters: Int = 40): (DataFrame, Int) = {
     val Seq(ca, cb) = pairs.columns.toSeq.take(2)
     // nodes derive from the RAW pairs: a node appearing only in
     // self-pairs has no surviving edge but must still label itself
@@ -229,11 +240,12 @@ object Components {
     // fixpoint is a star forest: child → component-min parent; roots and
     // isolated nodes label themselves. groupBy-min also makes the output
     // well-defined if the cap was hit mid-consolidation.
-    nodes
+    val labels = nodes
       .join(edges.select(col("u").as("node"), col("v").as("label")),
         Seq("node"), "left")
       .groupBy("node")
       .agg(coalesce(min(col("label")), first(col("node"))).as("component"))
       .select(col("node"), col("component"))
+    (labels, iter)
   }
 }

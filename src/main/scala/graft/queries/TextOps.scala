@@ -680,6 +680,47 @@ object TextOps {
         SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
         ORDER BY doc_id""")),
 
+    // The adversarial topology d13's ordered chain can't represent:
+    // consecutive nodes in HASH order (md5 of the id), so component
+    // minima sit at arbitrary chain positions and every id-locality
+    // shortcut (min propagating monotonically along ids) is gone —
+    // the worst case for label propagation, where hash-min needs
+    // ~segment-length rounds. The star variant must still close in
+    // O(log diameter) rounds (ComponentsSpec pins the ROUND COUNT on
+    // this exact graph via connectedComponentsStarStats; this gate pins
+    // the output against the recursive-closure oracle). Segment break
+    // every 173 hash-ranks — prime, so segments don't align with any
+    // id structure.
+    Q("d13b_cc_hash_chain",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(md5(col("doc_id").cast("string")))
+        val ranked = Tables.documents(s, d).select(col("doc_id"))
+          .withColumn("rk", row_number().over(w))
+        val pairs = ranked.select(col("doc_id").as("doc_a"), col("rk"))
+          .join(ranked.select(col("doc_id").as("doc_b"), (col("rk") - 1).as("rk")),
+            Seq("rk"))
+          .where(col("rk") % 173 =!= 0)
+          .select("doc_a", "doc_b")
+        Components.connectedComponentsStar(pairs)
+          .withColumnRenamed("node", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE r AS (
+            SELECT doc_id, row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+            FROM documents),
+          e AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM r a JOIN r b ON b.rk = a.rk + 1
+            WHERE a.rk % 173 <> 0),
+          edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+          reach(u, v) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT e.u, r2.v FROM edges e JOIN reach r2 ON e.v = r2.u)
+        SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
+        ORDER BY doc_id""")),
+
     // Dedup-graph QA metrics: per-node degree and incident-triangle
     // counts over the verified near-dup graph — the health check a
     // production dedup run reports (dense triangle-rich clusters are

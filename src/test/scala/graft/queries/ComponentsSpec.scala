@@ -71,6 +71,25 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.size == 200)
   }
 
+  test("star variant: round COUNT stays logarithmic on a hash-scrambled chain") {
+    // d13b's topology at unit-test scale: nodes chained in an order
+    // decorrelated from their ids (multiplicative scramble), so minima
+    // sit mid-chain and no id-locality helps. The round count — not
+    // just the output — is the scale contract: diameter 400 must close
+    // in ~2·log₂(d) alternating-star rounds, where hash-min would need
+    // ~400. The bound leaves slack for the final confirm-free detection
+    // round; the hard assertion is "double digits at most".
+    val n = 400
+    val perm = (0 until n).sortBy(i => (i * 48271) % 65537)
+    val chain = perm.sliding(2).map(s => (s(0).toLong, s(1).toLong)).toSeq
+    val (df, rounds) =
+      Components.connectedComponentsStarStats(chain.toDF("a", "b"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.toSet == Set(0L))
+    val bound = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt + 2
+    assert(rounds <= bound, s"star rounds $rounds exceed O(log) bound $bound")
+  }
+
   test("star variant: a two-parent child is NOT treated as a fixpoint") {
     // Regression lock for the early-stop's exact characterization: edges
     // {(3,1),(3,2)} have disjoint child/parent sets (3 vs {1,2}) but are
