@@ -50,6 +50,19 @@ object WindowNdv {
     * out. */
   def emittedHourlyNdv(spark: org.apache.spark.sql.SparkSession,
       dir: String, rsd: Double = 0.01): DataFrame = {
+    val (q, ss, sink) = startHourlyNdv(spark, dir, rsd)
+    try q.processAllAvailable() finally q.stop()
+    drainSink(spark, ss, sink)
+  }
+
+  /** The start half of [[emittedHourlyNdv]], so a caller can run this
+    * stream CONCURRENTLY with others and drain afterwards (the w11b/
+    * w12b/w13b gates share one stream-lifecycle window instead of
+    * paying three sequential ones — WeatherGate.streamTrio). */
+  private[graft] def startHourlyNdv(spark: org.apache.spark.sql.SparkSession,
+      dir: String, rsd: Double = 0.01):
+      (org.apache.spark.sql.streaming.StreamingQuery,
+        org.apache.spark.sql.SparkSession, String) = {
     // state sized to the workload (~720 hour-windows), not the
     // engine-wide shuffle width — see Sessions.streamSession
     val ss = graft.Sessions.streamSession(spark, 8)
@@ -60,8 +73,7 @@ object WindowNdv {
     val q = hourlyUserNdv(stream, rsd = rsd)
       .writeStream.format("memory").queryName(sink)
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    drainSink(spark, ss, sink)
+    (q, ss, sink)
   }
 
   /** Materialize a memory sink's rows (bounded: the emitted windows)

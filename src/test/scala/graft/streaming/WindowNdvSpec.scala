@@ -55,6 +55,58 @@ class WindowNdvSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("boundary: a window ending EXACTLY at the watermark emits (non-strict eviction)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // The w13b/w11b oracles encode emission as `end <= max(ts)` —
+    // non-strict. This fixture pins the engine side of that contract:
+    // with a zero-delay watermark, an event at precisely 01:00:00
+    // advances the watermark to hour 1's END, and hour 1 must emit on
+    // the equality, not one microsecond later. A regenerated events
+    // corpus landing a max(ts) on an hour boundary would flip the gate
+    // if Spark's eviction predicate were strict; this spec fails first.
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val ndv = WindowNdv.hourlyUserNdv(
+      input.toDS().toDF("ts", "user_id").withWatermark("ts", "0 seconds"))
+    val sink = "ndv_boundary_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = ndv.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2024-08-12T00:30:00Z"), 1L))
+      q.processAllAvailable()
+      input.addData((ts("2024-08-12T01:00:00Z"), 2L)) // watermark == hour-1 end
+      q.processAllAvailable()
+      val emitted = spark.table(sink).collect()
+      assert(emitted.length == 1, s"boundary window: got ${emitted.length} rows")
+      assert(emitted.head.getAs[Timestamp]("hour_start") == ts("2024-08-12T00:00:00Z"))
+    } finally { q.stop(); spark.catalog.dropTempView(sink) }
+  }
+
+  test("boundary: a session ending EXACTLY at the watermark emits (w11b's oracle contract)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // session end = last event + gap; a second user's event at exactly
+    // that instant advances the zero-delay watermark onto the boundary
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val sess = SnapshotStream.sessionRollup(
+      input.toDS().toDF("ts", "user_id").withWatermark("ts", "0 seconds"),
+      Seq("user_id"), "ts", "30 minutes")
+    val sink = "sess_boundary_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sess.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2024-08-12T00:10:00Z"), 1L))
+      q.processAllAvailable()
+      input.addData((ts("2024-08-12T00:40:00Z"), 2L)) // == user 1's session end
+      q.processAllAvailable()
+      val emitted = spark.table(sink).collect()
+      assert(emitted.length == 1,
+        s"session ending at the watermark: got ${emitted.length} rows")
+      assert(emitted.head.getAs[Long]("user_id") == 1L)
+      assert(emitted.head.getAs[Timestamp]("session_end") == ts("2024-08-12T00:40:00Z"))
+    } finally { q.stop(); spark.catalog.dropTempView(sink) }
+  }
+
   test("w13b path: file-source stream emits exactly the closed windows, equal to batch") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
