@@ -34,19 +34,100 @@ object Multimodal {
       height: Int,
       n_frames: Int)
 
-  /** STUB decode: deterministic pseudo-metadata from the payload bytes.
-    * A real deployment swaps this object for an FFI codec; everything
-    * else in the pipeline is unchanged. */
+  /** Decode: REAL container-header parsing where the payload carries a
+    * recognized public byte layout — PNG's IHDR chunk and RIFF/WAVE's
+    * fmt/data chunks, both plain offset arithmetic over documented
+    * formats, no codec library needed — with a deterministic stub for
+    * everything else (the PIXEL/SAMPLE decode itself stays stubbed: no
+    * media libs in this container; a real deployment swaps in an FFI
+    * codec behind the same object and everything else in the pipeline
+    * is unchanged). MultimodalCodecSpec hand-builds structurally-real
+    * containers and pins the parse offsets; malformed or truncated
+    * structures fall back to the stub instead of throwing — a poison
+    * blob must cost one bad row, never the partition. */
   object MediaCodec {
-    def decode(row: MediaRow): MediaFeatures = {
-      val md = MessageDigest.getInstance("MD5").digest(row.payload)
-      val digest = md.map("%02x".format(_)).mkString
+    def decode(row: MediaRow): MediaFeatures =
+      parseContainer(row).getOrElse(stubDecode(row))
+
+    private def digestOf(payload: Array[Byte]): (Array[Byte], String) = {
+      val md = MessageDigest.getInstance("MD5").digest(payload)
+      (md, md.map("%02x".format(_)).mkString)
+    }
+
+    private def stubDecode(row: MediaRow): MediaFeatures = {
+      val (md, digest) = digestOf(row.payload)
       // ??? in spirit: fake-but-deterministic dimensions derived from bytes
       val w = 64 + (java.lang.Byte.toUnsignedInt(md(0)) % 64)
       val h = 64 + (java.lang.Byte.toUnsignedInt(md(1)) % 64)
       val frames = if (row.media_type == "video") 1 + (java.lang.Byte.toUnsignedInt(md(2)) % 30) else 1
       MediaFeatures(row.doc_id, row.media_type, row.payload.length, digest, w, h, frames)
     }
+
+    private val PngSig: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def be32(p: Array[Byte], off: Int): Long =
+      ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
+        ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+    private def le32(p: Array[Byte], off: Int): Long =
+      (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+        ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+    private def le16(p: Array[Byte], off: Int): Int =
+      (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+    private def tag(p: Array[Byte], off: Int): String =
+      new String(p, off, 4, "US-ASCII")
+
+    /** Header parse, offsets per the public specs. PNG: 8-byte
+      * signature, then the IHDR chunk (length MUST be 13, type at 12,
+      * big-endian width/height at 16/20); the CRC is not verified —
+      * this is metadata extraction, not integrity checking. RIFF/WAVE:
+      * 'RIFF' + form size + 'WAVE', then a chunk walk ([type 4][size
+      * le32][payload, word-aligned]) to 'fmt ' (channels le16 at +2,
+      * sample rate le32 at +4, block align le16 at +12) and 'data'
+      * (payload size = audio bytes). Feature mapping for audio: width
+      * = sample rate, height = channels, n_frames = data bytes /
+      * block align (sample frames). Any structural violation →
+      * None → stub. */
+    private[llm] def parseContainer(row: MediaRow): Option[MediaFeatures] =
+      try {
+        val p = row.payload
+        if (p.length >= 33 && p.startsWith(PngSig)) {
+          if (be32(p, 8) != 13L || tag(p, 12) != "IHDR") None
+          else {
+            val w = be32(p, 16)
+            val h = be32(p, 20)
+            if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
+            else {
+              val (_, digest) = digestOf(p)
+              Some(MediaFeatures(row.doc_id, row.media_type, p.length,
+                digest, w.toInt, h.toInt, 1))
+            }
+          }
+        } else if (p.length >= 12 && tag(p, 0) == "RIFF" && tag(p, 8) == "WAVE") {
+          var off = 12
+          var fmt: Option[(Int, Long, Int)] = None // (channels, rate, blockAlign)
+          var dataBytes: Option[Long] = None
+          while (off + 8 <= p.length && (fmt.isEmpty || dataBytes.isEmpty)) {
+            val ct = tag(p, off)
+            val sz = le32(p, off + 4)
+            // a declared size overrunning the buffer marks a truncated/
+            // corrupt container: stop the walk (also forecloses the
+            // negative-step loop a huge unsigned size would cause)
+            if (sz > p.length - off - 8) off = p.length
+            else {
+              if (ct == "fmt " && sz >= 16)
+                fmt = Some((le16(p, off + 10), le32(p, off + 12), le16(p, off + 20)))
+              if (ct == "data") dataBytes = Some(sz)
+              off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+            }
+          }
+          for ((ch, rate, ba) <- fmt; db <- dataBytes; if ba > 0) yield {
+            val (_, digest) = digestOf(p)
+            MediaFeatures(row.doc_id, row.media_type, p.length, digest,
+              rate.toInt, ch, (db / ba).toInt)
+          }
+        } else None
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Batch feature extraction: one codec per partition, streamed rows —
@@ -92,7 +173,10 @@ object Multimodal {
     require(everyN >= 1, "everyN must be >= 1")
     media.flatMap { r =>
       val f = MediaCodec.decode(r)
-      val idxs = 0 until f.n_frames by everyN
+      // the documented contract regardless of what the container parse
+      // reports (audio "frames" are sample frames, not sampleable units)
+      val n = if (r.media_type == "video") f.n_frames else 1
+      val idxs = 0 until n by everyN
       idxs.map { i =>
         // STUB frame extraction: a deterministic slice keyed by index; a
         // real codec seeks and decodes frame i here
