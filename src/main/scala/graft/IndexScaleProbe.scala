@@ -66,6 +66,11 @@ object IndexScaleProbe {
     timed("dedup checkAndAdd (500 docs)") {
       graft.llm.DedupIndex.checkAndAdd(spark, dedupDir, batch).count()
     }
+    // removal must also be batch-sized: tombstone append + marker, no
+    // rewrite of the accumulated postings
+    timed("dedup remove (500 docs)") {
+      graft.llm.DedupIndex.remove(spark, dedupDir, batch.select("doc_id"))
+    }
 
     // ---- VectorIndex: build over m× embeddings, then a fixed search ----
     val baseEmb = spark.read.parquet(s"$base/embeddings.parquet")
@@ -118,6 +123,13 @@ object IndexScaleProbe {
       .localCheckpoint(true)
     timed("knngraph add (200 vecs)") {
       graft.llm.KnnGraphIndex.add(spark, knnDir, knnBatch, 3)
+    }
+    // graph removal pays affected-list re-ranks (victim in-degree ×
+    // bucket occupancy), never a base rescan — the honest expectation
+    // is the same occupancy-proportional growth as add
+    timed("knngraph remove (200 vecs)") {
+      graft.llm.KnnGraphIndex.remove(spark, knnDir,
+        knnBatch.select("vec_id"), 3)
     }
 
     spark.stop()
