@@ -22,6 +22,12 @@ import graft.queries.TextOps
   *    a sig row is live iff newer than every committed tombstone for
   *    its id ([[remove]]; [[compact]] reclaims dead rows).
   *
+  * Upgrade note: an index dir written before sigs carried the `gen`
+  * column bootstraps its generation counter at 0 (schema-guarded
+  * fallback), but its old sig rows read `gen` as null once new files
+  * coexist — run [[compact]] (which re-stamps every live row at one
+  * fresh generation) BEFORE the first [[remove]] on such a dir.
+  *
   * Re-delivery safety (foreachBatch retries, at-least-once feeds):
   * already-indexed doc ids are dropped from the batch up front by an
   * anti-join against `sigs/`, so re-running a batch whose sigs append
@@ -57,46 +63,26 @@ object DedupIndex {
   private def bandsPath(dir: String) = s"$dir/bands"
   private def tombsPath(dir: String) = s"$dir/tombs"
 
-  private val GenPrefix = "_gen_"
   private val TcommitPrefix = "_tcommit_"
 
-  /** Reserve the next generation number — the KnnGraphIndex marker-file
-    * counter (`_gen_<n>` carries the high-water mark in its NAME): one
-    * listing + one create, O(1) in index size. Serialized by the index
-    * WriterLock, so list-then-create needs no further coordination.
-    * Generations order sig rows against tombstones: a sig row is live
-    * iff it is NEWER than every committed tombstone for its doc_id. */
-  private def nextGen(spark: SparkSession, dir: String): Long = {
-    val d = new org.apache.hadoop.fs.Path(dir)
-    val fs = fsOf(spark, dir)
-    if (!fs.exists(d)) fs.mkdirs(d)
-    val existing = fs.listStatus(d).map(_.getPath.getName)
-      .filter(_.startsWith(GenPrefix)).toSeq
-    val hwm = existing.map(_.stripPrefix(GenPrefix).toLong).maxOption
-      .getOrElse {
-        if (exists(spark, sigsPath(dir)))
-          spark.read.parquet(sigsPath(dir)).agg(max("gen")).head.getLong(0)
-        else 0L
-      }
-    val gen = hwm + 1
-    fs.create(new org.apache.hadoop.fs.Path(d, GenPrefix + gen), true).close()
-    existing.foreach(m =>
-      fs.delete(new org.apache.hadoop.fs.Path(d, m), false))
-    gen
-  }
+  /** Reserve the next generation number ([[graft.store.GenLedger]]'s
+    * marker-file counter, O(1) in index size; serialized by the index
+    * WriterLock). Generations order sig rows against tombstones: a sig
+    * row is live iff it is NEWER than every committed tombstone for its
+    * doc_id. Indexes written before the marker scheme bootstrap from a
+    * one-time `max(gen)` scan — guarded on the column existing, so a
+    * pre-tombstone-era index (no gen column at all) starts at 0 instead
+    * of throwing on first touch. */
+  private def nextGen(spark: SparkSession, dir: String): Long =
+    graft.store.GenLedger.nextGen(spark, dir,
+      graft.store.GenLedger.maxGenIn(spark, sigsPath(dir)))
 
   /** Tombstone generations whose append COMPLETED (their `_tcommit_<n>`
     * marker exists): a torn tombstone append — files visible, writer
     * lost before the marker — is invisible to every reader, so a crash
     * can never half-remove documents (DedupTombstoneSpec). */
-  private def committedTombGens(spark: SparkSession, dir: String): Seq[Long] = {
-    val d = new org.apache.hadoop.fs.Path(dir)
-    val fs = fsOf(spark, dir)
-    if (!fs.exists(d)) Seq.empty
-    else fs.listStatus(d).map(_.getPath.getName)
-      .filter(_.startsWith(TcommitPrefix))
-      .map(_.stripPrefix(TcommitPrefix).toLong).toSeq.sorted
-  }
+  private def committedTombGens(spark: SparkSession, dir: String): Seq[Long] =
+    graft.store.GenLedger.committedMarkers(spark, dir, TcommitPrefix)
 
   /** Per-id max COMMITTED tombstone generation — None when no committed
     * tombstones exist (the common state; every liveness filter below
@@ -137,24 +123,13 @@ object DedupIndex {
     liveSigRows(spark, dir).map(_.select("doc_id", "h", "n", "sigs"))
 
   private def fsOf(spark: SparkSession, p: String) =
-    new org.apache.hadoop.fs.Path(p)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.store.GenLedger.fsOf(spark, p)
 
-  private def exists(spark: SparkSession, p: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(p)
-    val fs = fsOf(spark, p)
-    fs.exists(path) && fs.listStatus(path).exists(s =>
-      !s.getPath.getName.startsWith("_"))
-  }
+  private def exists(spark: SparkSession, p: String): Boolean =
+    graft.store.GenLedger.hasData(spark, p)
 
   private def guardCompaction(spark: SparkSession, dir: String): Unit =
-    for (t <- Seq("sigs", "bands")) {
-      val old = new org.apache.hadoop.fs.Path(s"$dir/$t.old")
-      if (fsOf(spark, dir).exists(old))
-        sys.error(s"interrupted compaction detected ($dir/$t.old exists); " +
-          s"recover by renaming it back to $dir/$t (or deleting it if " +
-          s"$dir/$t is complete) before using the index")
-    }
+    graft.store.GenLedger.guardCompaction(spark, dir, Seq("sigs", "bands"))
 
   /** Check `newDocs` (doc_id, text, …) against the index AND against
     * each other, append them to the index, and return the verified
@@ -282,6 +257,64 @@ object DedupIndex {
     }
   } // WriterLock released here
 
+  /** Transfer live index memberships to new ids WITHOUT text:
+    * `mapping` (doc_id, new_id) re-registers each live `doc_id`'s
+    * signatures under `new_id` and tombstones the old id. ONLY valid
+    * when the caller guarantees the new id's content is byte-identical
+    * to the old id's (the exact-dup keeper handover in
+    * [[CorpusRefresh.remove]] — MinHash signatures and shingle sets are
+    * pure functions of the text, so copying them is exact, and the
+    * handed-over id behaves in every future candidate/verify join
+    * precisely as if it had been indexed from its own text).
+    *
+    * Idempotent under replay: ids already re-registered skip the append
+    * (anti-join on live membership), while the old-id tombstone is
+    * re-applied to any still-live victims — so a crash anywhere
+    * (orphan postings, sigs landed but tombstone torn) heals by
+    * re-running with the same mapping. Postings for the new id are
+    * REGENERATED from the stored `sigs` column, never re-hashed. */
+  def reassign(spark: SparkSession, dir: String, mapping: DataFrame): Unit =
+      graft.store.WriterLock.forIndex(spark, dir).withLock {
+    guardCompaction(spark, dir)
+    liveSigRows(spark, dir).foreach { live =>
+      val m = mapping.select(col("doc_id"), col("new_id")).distinct()
+        .localCheckpoint(true)
+      // copy rows for mappings whose OLD id is live and NEW id is not
+      // yet (a replay after the sigs append finds the new id live and
+      // skips; the tombstone below still lands)
+      val toCopy = live.select("doc_id", "h", "n", "sigs")
+        .join(m, Seq("doc_id"))
+        .join(live.select(col("doc_id").as("new_id")), Seq("new_id"), "left_anti")
+        .select(col("new_id").as("doc_id"), col("h"), col("n"), col("sigs"))
+        .localCheckpoint(true)
+      val victims = live.select("doc_id")
+        .join(m.select("doc_id"), Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+      if (!toCopy.isEmpty || !victims.isEmpty) {
+        val gen = nextGen(spark, dir)
+        if (!toCopy.isEmpty) {
+          // bands first, sigs LAST (the checkAndAdd write-order
+          // discipline): a crash in between re-appends postings on
+          // replay — duplicate postings only duplicate candidates
+          toCopy.select(col("doc_id"), posexplode(col("sigs")).as(Seq("band", "mh")))
+            .select("band", "mh", "doc_id")
+            .write.mode(SaveMode.Append).parquet(bandsPath(dir))
+          toCopy.withColumn("gen", lit(gen))
+            .write.mode(SaveMode.Append).parquet(sigsPath(dir))
+        }
+        if (!victims.isEmpty) {
+          // one generation serves both: tombstones match by doc_id, and
+          // the new id's rows are a different id — while the old id's
+          // rows (all at earlier generations) die
+          victims.select(lit(gen).as("gen"), col("doc_id"))
+            .write.mode(SaveMode.Append).parquet(tombsPath(dir))
+          fsOf(spark, dir).create(
+            new org.apache.hadoop.fs.Path(dir, TcommitPrefix + gen), true).close()
+        }
+      }
+    }
+  } // WriterLock released here
+
   /** Query `queryDocs` (doc_id, text, …) against the LIVE index WITHOUT
     * adding them — the dedup-service lookup (is this doc a near-dup of
     * the corpus?) and the read path the d17 gate drives. Same candidate
@@ -352,27 +385,9 @@ object DedupIndex {
         content: => DataFrame): (String, (Int, Int)) = {
       if (!exists(spark, p)) name -> (0, 0)
       else {
-        val path = new org.apache.hadoop.fs.Path(p)
-        val fs = fsOf(spark, p)
-        val nOld = fs.listStatus(path).count(s =>
-          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        val nOld = graft.store.GenLedger.dataFileCount(spark, p)
         if (nOld <= numFiles && !hasTombs) name -> (nOld, nOld)
-        else {
-          val compacting = new org.apache.hadoop.fs.Path(p + ".compacting")
-          val old = new org.apache.hadoop.fs.Path(p + ".old")
-          fs.delete(compacting, true) // leftovers from an aborted WRITE are safe to drop
-          content.repartition(numFiles)
-            .write.parquet(compacting.toString)
-          val nNew = fs.listStatus(compacting).count(_.getPath.getName.endsWith(".parquet"))
-          if (!fs.rename(path, old))
-            sys.error(s"index compaction aborted: rename $path -> $old failed")
-          if (!fs.rename(compacting, path)) {
-            fs.rename(old, path) // restore; both renames on one local fs
-            sys.error(s"index compaction aborted: rename $compacting -> $path failed")
-          }
-          fs.delete(old, true)
-          name -> (nOld, nNew)
-        }
+        else name -> (nOld, graft.store.GenLedger.swapIn(spark, p, content, numFiles))
       }
     }
     val out = Map(

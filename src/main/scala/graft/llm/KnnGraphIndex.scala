@@ -62,17 +62,11 @@ object KnnGraphIndex {
   private def tombsPath(dir: String) = s"$dir/tombs"
 
   private def fsOf(spark: SparkSession, p: String) =
-    new org.apache.hadoop.fs.Path(p)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.store.GenLedger.fsOf(spark, p)
 
-  private def exists(spark: SparkSession, p: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(p)
-    val fs = fsOf(spark, p)
-    fs.exists(path) && fs.listStatus(path).exists(s =>
-      !s.getPath.getName.startsWith("_"))
-  }
+  private def exists(spark: SparkSession, p: String): Boolean =
+    graft.store.GenLedger.hasData(spark, p)
 
-  private val GenPrefix = "_gen_"
   private val GcommitPrefix = "_gcommit_"
   private val TcommitPrefix = "_tcommit_"
 
@@ -96,14 +90,8 @@ object KnnGraphIndex {
     committedMarkers(spark, dir, TcommitPrefix)
 
   private def committedMarkers(spark: SparkSession, dir: String,
-      prefix: String): Seq[Long] = {
-    val d = new org.apache.hadoop.fs.Path(dir)
-    val fs = fsOf(spark, dir)
-    if (!fs.exists(d)) Seq.empty
-    else fs.listStatus(d).map(_.getPath.getName)
-      .filter(_.startsWith(prefix))
-      .map(_.stripPrefix(prefix).toLong).toSeq.sorted
-  }
+      prefix: String): Seq[Long] =
+    graft.store.GenLedger.committedMarkers(spark, dir, prefix)
 
   /** Per-id max COMMITTED tombstone generation — None when the index has
     * no committed tombstones at all (the overwhelmingly common state, so
@@ -152,39 +140,16 @@ object KnnGraphIndex {
       }
     }
 
-  /** Reserve the next generation number: the high-water mark lives in a
-    * marker file whose NAME carries the value — one directory listing +
-    * one create + stale-marker deletes, O(1) in index size. Single
-    * writer by WriterLock, so list-then-create needs no further
-    * coordination. Indexes written before this scheme bootstrap from a
-    * one-time `max(gen)` scan. */
-  private def nextGen(spark: SparkSession, dir: String): Long = {
-    val d = new org.apache.hadoop.fs.Path(dir)
-    val fs = fsOf(spark, dir)
-    if (!fs.exists(d)) fs.mkdirs(d)
-    val existing = fs.listStatus(d).map(_.getPath.getName)
-      .filter(_.startsWith(GenPrefix)).toSeq
-    val hwm = existing.map(_.stripPrefix(GenPrefix).toLong).maxOption
-      .getOrElse {
-        if (exists(spark, vecPath(dir)))
-          spark.read.parquet(vecPath(dir))
-            .agg(max("gen")).head.getLong(0)
-        else 0L
-      }
-    val gen = hwm + 1
-    fs.create(new org.apache.hadoop.fs.Path(d, GenPrefix + gen), true).close()
-    existing.foreach(m =>
-      fs.delete(new org.apache.hadoop.fs.Path(d, m), false))
-    gen
-  }
+  /** Reserve the next generation number ([[graft.store.GenLedger]]'s
+    * marker-file counter — O(1) in index size; single writer by
+    * WriterLock). Indexes written before the marker scheme bootstrap
+    * from a one-time `max(gen)` scan, schema-guarded. */
+  private def nextGen(spark: SparkSession, dir: String): Long =
+    graft.store.GenLedger.nextGen(spark, dir,
+      graft.store.GenLedger.maxGenIn(spark, vecPath(dir)))
 
   private def guardCompaction(spark: SparkSession, dir: String): Unit =
-    for (t <- Seq("vectors", "graph")) {
-      val old = new org.apache.hadoop.fs.Path(s"$dir/$t.old")
-      if (fsOf(spark, dir).exists(old))
-        sys.error(s"interrupted compaction detected ($dir/$t.old exists); " +
-          s"recover before using the index")
-    }
+    graft.store.GenLedger.guardCompaction(spark, dir, Seq("vectors", "graph"))
 
   /** Add `newVectors` (vec_id, embedding) to the graph, maintaining
     * every affected top-`k` list exactly. Seeding is just an add on an
@@ -439,14 +404,8 @@ object KnnGraphIndex {
     // base-sized rewrite that re-opens the swap's crash window —
     // DedupIndex.compact's nOld guard, extended with the single-
     // generation condition this index's fold adds.
-    def dataFiles(p: String): Int = {
-      val path = new org.apache.hadoop.fs.Path(p)
-      if (!fsOf(spark, p).exists(path)) 0
-      else fsOf(spark, p).listStatus(path).count { st =>
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      }
-    }
+    def dataFiles(p: String): Int =
+      graft.store.GenLedger.dataFileCount(spark, p)
     val gens = committedGens(spark, dir)
     // committed tombstones force a real compaction pass: the fold is
     // what physically reclaims dead rows (and lets the tombs dir drop)
@@ -454,21 +413,8 @@ object KnnGraphIndex {
       committedTombGens(spark, dir).isEmpty &&
       dataFiles(graphPath(dir)) <= numFiles &&
       dataFiles(vecPath(dir)) <= numFiles
-    def swap(p: String, compacted: DataFrame): Unit = {
-      val path = new org.apache.hadoop.fs.Path(p)
-      val fs = fsOf(spark, p)
-      val compacting = new org.apache.hadoop.fs.Path(p + ".compacting")
-      val old = new org.apache.hadoop.fs.Path(p + ".old")
-      fs.delete(compacting, true)
-      compacted.repartition(numFiles).write.parquet(compacting.toString)
-      if (!fs.rename(path, old))
-        sys.error(s"compaction aborted: rename $path -> $old failed")
-      if (!fs.rename(compacting, path)) {
-        fs.rename(old, path)
-        sys.error(s"compaction aborted: rename $compacting -> $path failed")
-      }
-      fs.delete(old, true)
-    }
+    def swap(p: String, compacted: DataFrame): Unit =
+      graft.store.GenLedger.swapIn(spark, p, compacted, numFiles)
     if (!alreadyCompact && exists(spark, graphPath(dir))) {
       val fs = fsOf(spark, dir)
       // commit gen 0 BEFORE the swap: between marker and swap, gen 0
