@@ -76,22 +76,67 @@ object Multimodal {
       (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
     private def tag(p: Array[Byte], off: Int): String =
       new String(p, off, 4, "US-ASCII")
+    private def be16(p: Array[Byte], off: Int): Int =
+      ((p(off) & 0xff) << 8) | (p(off + 1) & 0xff)
 
-    /** Header parse, offsets per the public specs. PNG: 8-byte
-      * signature, then the IHDR chunk (length MUST be 13, type at 12,
-      * big-endian width/height at 16/20); the CRC is not verified —
-      * this is metadata extraction, not integrity checking. RIFF/WAVE:
-      * 'RIFF' + form size + 'WAVE', then a chunk walk ([type 4][size
-      * le32][payload, word-aligned]) to 'fmt ' (channels le16 at +2,
-      * sample rate le32 at +4, block align le16 at +12) and 'data'
-      * (payload size = audio bytes). Feature mapping for audio: width
-      * = sample rate, height = channels, n_frames = data bytes /
+    /** JPEG marker walk, SOI already verified by the caller: segments
+      * are [0xFF][marker][len be16 incl. itself][payload]; standalone
+      * markers (TEM, RST0-7) carry no length. Returns (width, height)
+      * from the first SOF0 (baseline) or SOF2 (progressive) frame
+      * header, the two frame types virtually all real JPEGs use. The
+      * same truncation posture as the RIFF walk: a declared length
+      * overrunning the buffer, a stray non-0xFF byte where a marker
+      * must start, or reaching scan data (SOS) / EOI without a SOF all
+      * end the walk with None → stub. */
+    private def jpegSof(p: Array[Byte]): Option[(Int, Int)] = {
+      var off = 2
+      while (off + 4 <= p.length) {
+        if ((p(off) & 0xff) != 0xff) return None
+        val m = p(off + 1) & 0xff
+        if (m == 0xff) { off += 1 } // fill bytes before a marker
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { off += 2 } // standalone
+        else if (m == 0xd9 || m == 0xda) return None // EOI / scan data: no SOF seen
+        else {
+          val len = be16(p, off + 2)
+          if (len < 2 || off + 2 + len > p.length) return None
+          if (m == 0xc0 || m == 0xc2) { // SOF0 / SOF2: [precision][h be16][w be16]
+            if (len < 8) return None
+            val h = be16(p, off + 5)
+            val w = be16(p, off + 7)
+            return if (w > 0 && h > 0) Some((w, h)) else None
+          }
+          off += 2 + len
+        }
+      }
+      None
+    }
+
+    /** Header parse, offsets per the public specs, gated on the row's
+      * DECLARED media type: PNG/JPEG only for `image`, RIFF/WAVE only
+      * for `audio`. The gate is load-bearing for the poison-blob
+      * contract — a WAV payload mislabeled `video` must NOT surface its
+      * data_bytes/block_align sample-frame count as a video frame count
+      * (downstream [[sampleFrames]] would explode one blob into millions
+      * of rows); a mislabeled container takes the stub like any other
+      * unrecognized payload, costing exactly one bounded row.
+      *
+      * PNG: 8-byte signature, then the IHDR chunk (length MUST be 13,
+      * type at 12, big-endian width/height at 16/20); the CRC is not
+      * verified — this is metadata extraction, not integrity checking.
+      * JPEG: SOI marker, then a segment walk ([0xFF][marker][len be16,
+      * includes itself]) to the first SOF0/SOF2 frame header (precision
+      * at +2, height be16 at +3, width be16 at +5 inside the segment).
+      * RIFF/WAVE: 'RIFF' + form size + 'WAVE', then a chunk walk
+      * ([type 4][size le32][payload, word-aligned]) to 'fmt ' (channels
+      * le16 at +2, sample rate le32 at +4, block align le16 at +12) and
+      * 'data' (payload size = audio bytes). Feature mapping for audio:
+      * width = sample rate, height = channels, n_frames = data bytes /
       * block align (sample frames). Any structural violation →
       * None → stub. */
     private[llm] def parseContainer(row: MediaRow): Option[MediaFeatures] =
       try {
         val p = row.payload
-        if (p.length >= 33 && p.startsWith(PngSig)) {
+        if (row.media_type == "image" && p.length >= 33 && p.startsWith(PngSig)) {
           if (be32(p, 8) != 13L || tag(p, 12) != "IHDR") None
           else {
             val w = be32(p, 16)
@@ -103,7 +148,14 @@ object Multimodal {
                 digest, w.toInt, h.toInt, 1))
             }
           }
-        } else if (p.length >= 12 && tag(p, 0) == "RIFF" && tag(p, 8) == "WAVE") {
+        } else if (row.media_type == "image" && p.length >= 4 &&
+            (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
+          jpegSof(p).map { case (w, h) =>
+            val (_, digest) = digestOf(p)
+            MediaFeatures(row.doc_id, row.media_type, p.length, digest, w, h, 1)
+          }
+        } else if (row.media_type == "audio" && p.length >= 12 &&
+            tag(p, 0) == "RIFF" && tag(p, 8) == "WAVE") {
           var off = 12
           var fmt: Option[(Int, Long, Int)] = None // (channels, rate, blockAlign)
           var dataBytes: Option[Long] = None
