@@ -125,13 +125,15 @@ object CorpusEtl {
         col("redacted"))
   }
 
-  /** c1/c1b's shared oracle — the full from-scratch composition in
-    * DuckDB (recursive-CTE closure for the clustering step). c1 runs
-    * [[prepare]] one-shot; c1b must land on the IDENTICAL output from
-    * the incremental [[CorpusRefresh]] state. */
-  private lazy val corpusPrepSql: String = s"""WITH RECURSIVE tok AS (
+  /** c1/c1b/c1c's shared oracle — the full from-scratch composition in
+    * DuckDB (recursive-CTE closure for the clustering step), over `src`.
+    * c1 runs [[prepare]] one-shot on the whole table; c1b must land on
+    * the IDENTICAL output from the incremental [[CorpusRefresh]] state;
+    * c1c from the refresh state AFTER a takedown — its oracle is the
+    * from-scratch run on the SURVIVING subset. */
+  private def corpusPrepSqlFrom(src: String): String = s"""WITH RECURSIVE tok AS (
           SELECT doc_id, lang, text, string_split(lower(text), ' ') AS t
-          FROM documents),
+          FROM $src),
         g AS (SELECT doc_id,
             CAST(len(t) AS INT) AS n_tokens,
             CAST(len(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS INT) AS n_2g,
@@ -192,6 +194,16 @@ object CorpusEtl {
         WHERE COALESCE(comp.component, exk.doc_id) = exk.doc_id
         ORDER BY exk.doc_id"""
 
+  private lazy val corpusPrepSql: String = corpusPrepSqlFrom("documents")
+
+  /** c1c's removal predicate, shared verbatim by the Spark fixture and
+    * the DuckDB oracle's surviving-subset source. Chosen so the sf0.01
+    * fixture exercises every takedown class: keeper handovers (a removed
+    * keeper with a surviving exact twin), full-hash removals, non-keeper
+    * copy removals, and plain unique-doc removals. */
+  private val TakedownMod = 7L
+  private val TakedownRem = 3L
+
   /** The c1 correctness gate: [[prepare]] at default config, with the
     * redacted text surfaced as its md5 (byte-exact cross-engine, and the
     * driver compare can't sort long strings with embedded newlines). */
@@ -232,6 +244,46 @@ object CorpusEtl {
           .orderBy("doc_id")
       },
       Some(corpusPrepSql)),
+
+    // The TAKEDOWN gate: feed the table in two batches (with batch ids —
+    // one batch deliberately RE-FED to prove the idempotence ledger
+    // no-ops it), remove a slice of documents, compact the whole state,
+    // and the served corpus must equal the from-scratch prepare on the
+    // SURVIVING union — the oracle is c1's own full-recompute SQL on the
+    // subset. This pins the complete takedown composition end-to-end:
+    // per-hash keeper re-election among surviving copies, the
+    // byte-identical-twin handover (MinHash index reassign, pair
+    // re-keying, scrub inheritance — no surviving text re-read), full
+    // removals leaving the index, and compaction preserving it all.
+    Q("c1c_corpus_prep_takedown",
+      (s, d) => {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_corpus_takedown/$tag/${graft.Sessions.sessionTag(s)}").getAbsolutePath
+        val marker = s"graft_c1c_marker_$tag"
+        if (!s.catalog.tableExists(marker)) {
+          val docs = Tables.documentsSpread(s, d)
+          CorpusRefresh.refresh(s, dir, docs.where(col("doc_id") % 2 === 1),
+            batchId = Some("odd"))
+          CorpusRefresh.refresh(s, dir, docs.where(col("doc_id") % 2 === 0),
+            batchId = Some("even"))
+          // at-least-once feed: the committed batch re-delivers — the
+          // marker-recorded id must make this a no-op, not a double-count
+          CorpusRefresh.refresh(s, dir, docs.where(col("doc_id") % 2 === 0),
+            batchId = Some("even"))
+          CorpusRefresh.remove(s, dir,
+            docs.where(col("doc_id") % TakedownMod === TakedownRem)
+              .select("doc_id"))
+          CorpusRefresh.compact(s, dir)
+          s.emptyDataFrame.createOrReplaceTempView(marker)
+        }
+        CorpusRefresh.prepared(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_copies"),
+            col("cluster_size"), md5(col("redacted")).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some(corpusPrepSqlFrom(
+        s"(SELECT * FROM documents WHERE doc_id % $TakedownMod <> $TakedownRem)"))),
 
     // Deterministic train/val/test split: bucket = first byte of
     // md5(doc_id), train < 230 (~89.8%), val < 243 (~5.1%), test

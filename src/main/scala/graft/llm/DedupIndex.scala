@@ -23,10 +23,14 @@ import graft.queries.TextOps
   *    its id ([[remove]]; [[compact]] reclaims dead rows).
   *
   * Upgrade note: an index dir written before sigs carried the `gen`
-  * column bootstraps its generation counter at 0 (schema-guarded
-  * fallback), but its old sig rows read `gen` as null once new files
-  * coexist — run [[compact]] (which re-stamps every live row at one
-  * fresh generation) BEFORE the first [[remove]] on such a dir.
+  * column upgrades automatically — legacy sig rows read as generation 0
+  * (sigs reads merge schemas across files and coalesce missing/null
+  * `gen` to 0), the generation counter bootstraps above any stamped
+  * generation, and the first tombstone lands at a strictly higher
+  * generation, so liveness ordering is correct with no manual step.
+  * [[compact]] additionally forces a real rewrite when legacy gen-less
+  * files are present, re-stamping everything at one fresh generation so
+  * the per-read schema merge stops being paid.
   *
   * Re-delivery safety (foreachBatch retries, at-least-once feeds):
   * already-indexed doc ids are dropped from the batch up front by an
@@ -105,7 +109,7 @@ object DedupIndex {
   private def liveSigRows(spark: SparkSession, dir: String): Option[DataFrame] = {
     if (!exists(spark, sigsPath(dir))) None
     else {
-      val s = spark.read.parquet(sigsPath(dir))
+      val s = readSigs(spark, dir)
       Some(tombMax(spark, dir) match {
         case None => s
         case Some(t) => s.join(broadcast(t), Seq("doc_id"), "left")
@@ -113,6 +117,19 @@ object DedupIndex {
           .drop("tgen")
       })
     }
+  }
+
+  /** `sigs/` with the legacy-schema upgrade applied: merge schemas
+    * across files (a dir mixing pre-`gen`-column files with new ones
+    * must not nondeterministically pick a gen-less file's schema and
+    * lose every stamped generation) and read legacy rows as generation
+    * 0 — strictly below the ≥1 generations the marker counter hands
+    * out, so tombstones order correctly against them with no manual
+    * upgrade step. */
+  private def readSigs(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.read.option("mergeSchema", "true").parquet(sigsPath(dir))
+    if (!s.columns.contains("gen")) s.withColumn("gen", lit(0L))
+    else s.withColumn("gen", coalesce(col("gen"), lit(0L)))
   }
 
   /** Live membership in [[TextOps.sigFrame]] shape (doc_id, h, n, sigs)
@@ -272,13 +289,37 @@ object DedupIndex {
     * re-applied to any still-live victims — so a crash anywhere
     * (orphan postings, sigs landed but tombstone torn) heals by
     * re-running with the same mapping. Postings for the new id are
-    * REGENERATED from the stored `sigs` column, never re-hashed. */
+    * REGENERATED from the stored `sigs` column, never re-hashed.
+    *
+    * Preconditions, ENFORCED (fail fast, nothing written): `new_id`
+    * must be unique across the mapping (two old ids handing over to one
+    * new id would append two live sig rows for it, permanently breaking
+    * the one-live-row-per-id invariant every verify join depends on —
+    * and it is semantically impossible under the byte-identical-content
+    * contract: two keepers of one content hash cannot coexist), and the
+    * old-id and new-id sets must be disjoint (an identity, swap, or
+    * chain mapping would tombstone the new id at the same generation as
+    * its copied row, silently losing the membership — liveness needs
+    * gen strictly greater than the tombstone's). */
   def reassign(spark: SparkSession, dir: String, mapping: DataFrame): Unit =
       graft.store.WriterLock.forIndex(spark, dir).withLock {
     guardCompaction(spark, dir)
     liveSigRows(spark, dir).foreach { live =>
       val m = mapping.select(col("doc_id"), col("new_id")).distinct()
         .localCheckpoint(true)
+      // takedown-sized frame: both validations are one small job each
+      val dupTargets = m.groupBy("new_id").count().where(col("count") > 1)
+      if (!dupTargets.isEmpty)
+        sys.error("reassign: mapping.new_id is not unique — two old ids " +
+          "handing over to one new id would double-register it; " +
+          s"offenders: ${dupTargets.limit(5).collect().mkString(", ")}")
+      val overlap = m.select("doc_id")
+        .join(m.select(col("new_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      if (!overlap.isEmpty)
+        sys.error("reassign: mapping old-id and new-id sets overlap " +
+          "(identity/swap/chain mappings are not expressible — the " +
+          "tombstone would kill the copied row); offenders: " +
+          overlap.limit(5).collect().mkString(", "))
       // copy rows for mappings whose OLD id is live and NEW id is not
       // yet (a replay after the sigs append finds the new id live and
       // skips; the tombstone below still lands)
@@ -380,13 +421,21 @@ object DedupIndex {
     // surviving row's generation already outranks it, and a
     // fully-removed id simply has no row left to match.
     val hasTombs = committedTombGens(spark, dir).nonEmpty
-    val foldGen = if (hasTombs) nextGen(spark, dir) else 0L
+    // legacy gen-less sig files also force a real pass: the rewrite
+    // re-stamps every live row at one fresh generation, retiring the
+    // per-read schema merge the upgrade path otherwise pays forever
+    val hasLegacy = exists(spark, sigsPath(dir)) && {
+      val raw = spark.read.option("mergeSchema", "true").parquet(sigsPath(dir))
+      !raw.columns.contains("gen") || !raw.where(col("gen").isNull).isEmpty
+    }
+    val forceFold = hasTombs || hasLegacy
+    val foldGen = if (forceFold) nextGen(spark, dir) else 0L
     def rewrite(name: String, p: String,
         content: => DataFrame): (String, (Int, Int)) = {
       if (!exists(spark, p)) name -> (0, 0)
       else {
         val nOld = graft.store.GenLedger.dataFileCount(spark, p)
-        if (nOld <= numFiles && !hasTombs) name -> (nOld, nOld)
+        if (nOld <= numFiles && !forceFold) name -> (nOld, nOld)
         else name -> (nOld, graft.store.GenLedger.swapIn(spark, p, content, numFiles))
       }
     }

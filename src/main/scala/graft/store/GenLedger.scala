@@ -64,7 +64,10 @@ object GenLedger {
   def maxGenIn(spark: SparkSession, tablePath: String): Long =
     if (!hasData(spark, tablePath)) 0L
     else {
-      val t = spark.read.parquet(tablePath)
+      // mergeSchema: a dir mixing pre-`gen` files with stamped ones must
+      // not nondeterministically resolve to a gen-less file's schema and
+      // bootstrap the counter below generations already handed out
+      val t = spark.read.option("mergeSchema", "true").parquet(tablePath)
       if (!t.columns.contains("gen")) 0L
       else Option(t.agg(max("gen")).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -90,16 +93,22 @@ object GenLedger {
     gen
   }
 
-  /** Generations whose `<prefix><n>` marker exists, ascending. */
-  def committedMarkers(spark: SparkSession, dir: String,
-      prefix: String): Seq[Long] = {
+  /** Raw marker file names under `dir` starting with `prefix`. For
+    * callers whose marker names carry more than the generation (e.g.
+    * CorpusRefresh's `_commit_<gen>_<batchTag>`). */
+  def markerNames(spark: SparkSession, dir: String,
+      prefix: String): Seq[String] = {
     val d = new org.apache.hadoop.fs.Path(dir)
     val fs = fsOf(spark, dir)
     if (!fs.exists(d)) Seq.empty
     else fs.listStatus(d).map(_.getPath.getName)
-      .filter(_.startsWith(prefix))
-      .map(_.stripPrefix(prefix).toLong).toSeq.sorted
+      .filter(_.startsWith(prefix)).toSeq
   }
+
+  /** Generations whose `<prefix><n>` marker exists, ascending. */
+  def committedMarkers(spark: SparkSession, dir: String,
+      prefix: String): Seq[Long] =
+    markerNames(spark, dir, prefix).map(_.stripPrefix(prefix).toLong).sorted
 
   /** Create `<prefix><gen>` — the append's commit point. */
   def commit(spark: SparkSession, dir: String, prefix: String,
