@@ -197,10 +197,12 @@ object CorpusEtl {
   private lazy val corpusPrepSql: String = corpusPrepSqlFrom("documents")
 
   /** c1c's removal predicate, shared verbatim by the Spark fixture and
-    * the DuckDB oracle's surviving-subset source. Chosen so the sf0.01
-    * fixture exercises every takedown class: keeper handovers (a removed
-    * keeper with a surviving exact twin), full-hash removals, non-keeper
-    * copy removals, and plain unique-doc removals. */
+    * the DuckDB oracle's surviving-subset source. The test tables carry
+    * no byte-identical documents, so this gate exercises unique-doc
+    * removal, near-dup cluster membership/canonical changes, and the
+    * full refresh→remove→compact composition against the oracle; the
+    * exact-twin KEEPER HANDOVER class (impossible to reach here) is
+    * pinned bit-for-bit by CorpusRefreshSpec's crafted fixture. */
   private val TakedownMod = 7L
   private val TakedownRem = 3L
 
@@ -250,11 +252,12 @@ object CorpusEtl {
     // no-ops it), remove a slice of documents, compact the whole state,
     // and the served corpus must equal the from-scratch prepare on the
     // SURVIVING union — the oracle is c1's own full-recompute SQL on the
-    // subset. This pins the complete takedown composition end-to-end:
-    // per-hash keeper re-election among surviving copies, the
-    // byte-identical-twin handover (MinHash index reassign, pair
-    // re-keying, scrub inheritance — no surviving text re-read), full
-    // removals leaving the index, and compaction preserving it all.
+    // subset. This pins the takedown composition end-to-end: removals
+    // leaving the MinHash index, near-dup clusters re-shaping around
+    // removed members, scrub/pair state filtering, and compaction
+    // preserving it all. (The exact-twin keeper-handover class can't
+    // occur here — the table has no byte-identical docs — and is pinned
+    // Spark-vs-Spark by CorpusRefreshSpec's crafted fixture.)
     Q("c1c_corpus_prep_takedown",
       (s, d) => {
         val tag = d.replaceAll("[^A-Za-z0-9]", "_")

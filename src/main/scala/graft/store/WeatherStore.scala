@@ -164,9 +164,14 @@ final class WeatherStore(spark: SparkSession, root: String) {
     Seq(Kinds.Forecasts, Kinds.Observations)
       .map(k => k -> zOrderPartition(k, date, targetFiles)).toMap
 
-  /** Closed dates still fragmented: every `date=` partition strictly
-    * before `before` whose data-file count exceeds `targetFiles` in
-    * either kind. This is what makes maintenance scheduling STATELESS —
+  /** Closed dates still needing maintenance: every `date=` partition
+    * strictly before `before` that, in either kind, has more than
+    * `targetFiles` data files OR any file not carrying the `compact-`
+    * rewrite prefix — the filename is the clustering marker, so a
+    * one-snapshot day (few files but never z-ordered: no min/max
+    * locality for footer skipping) still gets clustered exactly once,
+    * and an already-maintained day is never rewritten again just for
+    * existing. This is what makes maintenance scheduling STATELESS —
     * a restarted daemon (or one that slept across several days) derives
     * its backlog from the store itself instead of an in-memory
     * last-tick date (IngestTick seeds from this on every rollover and
@@ -184,10 +189,12 @@ final class WeatherStore(spark: SparkSession, root: String) {
           scala.util.Try(
             LocalDate.parse(d.getPath.getName.stripPrefix("date="))).toOption
             .filter(_.isBefore(before))
-            .filter(_ => fs.listStatus(d.getPath).count { s =>
-              val n = s.getPath.getName
-              !n.startsWith("_") && !n.startsWith(".")
-            } > targetFiles)
+            .filter { _ =>
+              val data = fs.listStatus(d.getPath).map(_.getPath.getName)
+                .filter(n => !n.startsWith("_") && !n.startsWith("."))
+              data.length > targetFiles ||
+                data.exists(!_.startsWith("compact-"))
+            }
         }
     }.distinct.sortBy(_.toEpochDay)
 
@@ -205,7 +212,11 @@ final class WeatherStore(spark: SparkSession, root: String) {
     else {
       val isData = (n: String) => !n.startsWith("_") && !n.startsWith(".")
       val old = fs.listStatus(dir).map(_.getPath).filter(p => isData(p.getName))
-      if (old.length <= targetFiles) (old.length, old.length)
+      // no-op ONLY when the partition is both small enough and already
+      // clustered (every file carries the rewrite's `compact-` prefix) —
+      // a raw one-snapshot day must still get its one clustering pass
+      if (old.length <= targetFiles &&
+          old.forall(_.getName.startsWith("compact-"))) (old.length, old.length)
       else {
         // read the partition dir directly: partition columns live in the
         // dir name, so the rewritten files carry exactly the data columns

@@ -89,4 +89,159 @@ class CorpusRefreshSpec extends AnyFunSuite {
     assert(rows(CorpusRefresh.prepared(spark, dir)) ==
       rows(CorpusEtl.prepare(docs)))
   }
+
+  test("takedown equals the from-scratch prepare on the surviving union") {
+    val dir = Files.createTempDirectory("graft-takedown").toString
+    val docs = Tables.documents(spark, sf)
+    CorpusRefresh.refresh(spark, dir, docs.where(col("doc_id") % 2 === 1))
+    CorpusRefresh.refresh(spark, dir, docs.where(col("doc_id") % 2 === 0))
+    val victims = docs.where(col("doc_id") % 7 === 3)
+    val survivors = docs.where(col("doc_id") % 7 =!= 3)
+    CorpusRefresh.remove(spark, dir, victims.select("doc_id"))
+    val expected = rows(CorpusEtl.prepare(survivors))
+    assert(expected.nonEmpty)
+    assert(rows(CorpusRefresh.prepared(spark, dir)) == expected)
+    // a COMMITTED remove replays as a no-op (takedown ids are durable
+    // tombstones, not one-shot state)
+    CorpusRefresh.remove(spark, dir, victims.select("doc_id"))
+    assert(rows(CorpusRefresh.prepared(spark, dir)) == expected)
+    // removing ids never fed / already removed / filtered at entry: no-op
+    import spark.implicits._
+    CorpusRefresh.remove(spark, dir, Seq(999999L).toDF("doc_id"))
+    assert(rows(CorpusRefresh.prepared(spark, dir)) == expected)
+  }
+
+  test("takedown handover: removed keeper's memberships transfer to its exact twin") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-takedown2").toString
+    def d(id: Long, text: String) = (id, "en", text)
+    val t10 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t11 = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val t12 = "one two three four five six seven eight nine ten"
+    // 2 and 10 are byte-identical (keeper 2); 11 is 2's near-dup; 12
+    // unrelated; 5 and 6 byte-identical and BOTH removed (orphan case)
+    val t5 = "red orange yellow green blue indigo violet pink brown black"
+    val all = Seq(d(2, t10), d(10, t10), d(11, t11), d(12, t12),
+      d(5, t5), d(6, t5)).toDF("doc_id", "lang", "text")
+    CorpusRefresh.refresh(spark, dir, all)
+    // remove keeper 2 (handover 2→10: 10 must inherit the near-dup edge
+    // to 11 and 2's scrub row) and the whole {5,6} hash (orphan)
+    CorpusRefresh.remove(spark, dir, Seq(2L, 5L, 6L).toDF("doc_id"))
+    val survivors = all.where(!col("doc_id").isin(2L, 5L, 6L))
+    val got = rows(CorpusRefresh.prepared(spark, dir))
+    assert(got == rows(CorpusEtl.prepare(survivors)))
+    // the fixture exercised what it claims: 10 took the hash over and
+    // kept the near-dup cluster with 11 (cluster_size 2)
+    val r10 = got.find(_.head == 10L).get
+    assert(r10(3) == 1 && r10(4) == 2,
+      s"handover not exercised: row for doc 10 = $r10")
+    assert(!got.exists(r => Set(2L, 5L, 6L).contains(r.head.asInstanceOf[Long])))
+  }
+
+  test("batchId makes a re-fed committed batch a no-op; crash replay still heals") {
+    val dir = Files.createTempDirectory("graft-refresh-idem").toString
+    val docs = Tables.documents(spark, sf)
+    val (b1, b2) = (docs.where(col("doc_id") % 2 === 1),
+      docs.where(col("doc_id") % 2 === 0))
+    CorpusRefresh.refresh(spark, dir, b1, batchId = Some("batch-1"))
+    CorpusRefresh.refresh(spark, dir, b2, batchId = Some("batch-2"))
+    val expected = rows(CorpusRefresh.prepared(spark, dir))
+    // at-least-once delivery: the committed batch arrives again — the
+    // marker-recorded id must no-op it, NOT double-count n_copies
+    CorpusRefresh.refresh(spark, dir, b2, batchId = Some("batch-2"))
+    assert(rows(CorpusRefresh.prepared(spark, dir)) == expected)
+    // but an UNCOMMITTED crash of a new batch must still replay: kill
+    // the marker of a third refresh and re-feed with the same id
+    val b3 = docs.where(col("doc_id") % 5 === 0) // overlaps b2: still exact
+    CorpusRefresh.refresh(spark, dir, b3.limit(0), batchId = Some("noop"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("_commit_")).sorted
+    fs.delete(new org.apache.hadoop.fs.Path(dir, markers.last), false)
+    CorpusRefresh.refresh(spark, dir, b3.limit(0), batchId = Some("noop"))
+    assert(rows(CorpusRefresh.prepared(spark, dir)) == expected)
+  }
+
+  test("compact: prepared() identical before/after; files, markers and tombstones fold") {
+    val dir = Files.createTempDirectory("graft-refresh-compact").toString
+    val docs = Tables.documents(spark, sf)
+    CorpusRefresh.refresh(spark, dir, docs.where(col("doc_id") % 3 === 0),
+      batchId = Some("b0"))
+    CorpusRefresh.refresh(spark, dir, docs.where(col("doc_id") % 3 === 1),
+      batchId = Some("b1"))
+    CorpusRefresh.refresh(spark, dir, docs.where(col("doc_id") % 3 === 2),
+      batchId = Some("b2"))
+    CorpusRefresh.remove(spark, dir,
+      docs.where(col("doc_id") % 7 === 3).select("doc_id"))
+    val expected = rows(CorpusRefresh.prepared(spark, dir))
+
+    val report = CorpusRefresh.compact(spark, dir, numFiles = 1)
+    assert(rows(CorpusRefresh.prepared(spark, dir)) == expected,
+      "compaction must not move the served corpus")
+    assert(report("exact")._2 <= 1 && report("copies")._2 <= 1,
+      s"fold did not shrink: $report")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def names = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).toSeq
+    assert(names.count(_.startsWith("_commit_")) == 1,
+      s"markers must collapse to the fold generation: $names")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/removed")),
+      "spent removal tombstones must be reclaimed")
+    // batch idempotence SURVIVES compaction (tags live on as stubs)
+    CorpusRefresh.refresh(spark, dir, docs.where(col("doc_id") % 3 === 1),
+      batchId = Some("b1"))
+    assert(rows(CorpusRefresh.prepared(spark, dir)) == expected)
+    // and the folded state keeps working: refresh + remove on top
+    CorpusRefresh.remove(spark, dir,
+      docs.where(col("doc_id") % 11 === 5).select("doc_id"))
+    assert(rows(CorpusRefresh.prepared(spark, dir)) ==
+      rows(CorpusEtl.prepare(docs.where(
+        col("doc_id") % 7 =!= 3 && col("doc_id") % 11 =!= 5))))
+  }
+
+  test("interrupted compaction swap is refused until recovered") {
+    val dir = Files.createTempDirectory("graft-refresh-guard").toString
+    val docs = Tables.documents(spark, sf)
+    CorpusRefresh.refresh(spark, dir, docs.where(col("doc_id") % 2 === 1))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/exact.old"))
+    for (op <- Seq(
+        () => CorpusRefresh.refresh(spark, dir, docs.limit(1)),
+        () => CorpusRefresh.remove(spark, dir, docs.limit(1).select("doc_id")),
+        () => CorpusRefresh.compact(spark, dir))) {
+      val e = intercept[RuntimeException](op())
+      assert(e.getMessage.contains("exact.old"), e.getMessage)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/exact.old"), true)
+    CorpusRefresh.refresh(spark, dir, docs.where(col("doc_id") % 2 === 0))
+    assert(rows(CorpusRefresh.prepared(spark, dir)) ==
+      rows(CorpusEtl.prepare(docs)))
+  }
+
+  test("replay of a remove that died before its commit marker heals exactly") {
+    val dir = Files.createTempDirectory("graft-remove-replay").toString
+    val docs = Tables.documents(spark, sf)
+    CorpusRefresh.refresh(spark, dir, docs)
+    val victims = docs.where(col("doc_id") % 7 === 3)
+    CorpusRefresh.remove(spark, dir, victims.select("doc_id"))
+    // simulate the crash: every append of the remove landed (index ops,
+    // re-keyed pairs, scrub copies, tombstones, exact rows) but the
+    // commit marker never did — readers must still see the PRE-remove
+    // corpus (the index being a step ahead is invisible to prepared())
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("_commit_")).sorted
+    fs.delete(new org.apache.hadoop.fs.Path(dir, markers.last), false)
+    assert(rows(CorpusRefresh.prepared(spark, dir)) ==
+      rows(CorpusEtl.prepare(docs)),
+      "uncommitted remove visible to readers")
+    // replaying the same call converges index and exact state
+    CorpusRefresh.remove(spark, dir, victims.select("doc_id"))
+    assert(rows(CorpusRefresh.prepared(spark, dir)) ==
+      rows(CorpusEtl.prepare(docs.where(col("doc_id") % 7 =!= 3))))
+  }
 }

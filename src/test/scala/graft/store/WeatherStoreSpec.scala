@@ -166,6 +166,41 @@ class WeatherStoreSpec extends AnyFunSuite {
     assert(store.maintain(date, targetFiles = 4)(Kinds.Observations) == (4, 4))
   }
 
+  test("a one-snapshot day still gets clustered exactly once (filename marker, not file count)") {
+    val (store, dir) = newStore()
+    val date = java.time.LocalDate.parse("2024-08-12")
+    // ONE snapshot lands for the whole day: at or under every
+    // targetFiles, but raw — never z-ordered, no per-file min/max
+    // locality. The filename marker (not the file count) must schedule
+    // it for its single clustering pass.
+    store.write((0 until 8).map(s => (f"S$s%02d", s.toLong))
+      .toDF("station_id", "value"),
+      Kinds.Observations, ts("2024-08-12T06:00:00Z"))
+    assert(store.datesNeedingMaintenance(
+        java.time.LocalDate.parse("2024-08-13")).contains(date),
+      "raw one-snapshot day missing from the maintenance backlog")
+    def before = store.readAll(Kinds.Observations).get
+      .select("station_id", "value", "snapshot_ts")
+      .collect().map(_.toSeq).toSet
+    val want = before
+    assert(store.zOrderPartition(Kinds.Observations, date) == (1, 1))
+    val files = new java.io.File(s"$dir/kind=observations/date=$date")
+      .listFiles().filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(files.length == 1 && files.head.getName.startsWith("compact-"),
+      s"day not clustered: ${files.map(_.getName).toSeq}")
+    assert(before == want, "rows changed across the clustering rewrite")
+    // ...and exactly once: the marker retires it from the backlog and
+    // a re-run is a no-op (no perpetual rewrite of every small day)
+    assert(!store.datesNeedingMaintenance(
+      java.time.LocalDate.parse("2024-08-13")).contains(date))
+    val m = files.head.lastModified()
+    assert(store.zOrderPartition(Kinds.Observations, date) == (1, 1))
+    val files2 = new java.io.File(s"$dir/kind=observations/date=$date")
+      .listFiles().filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(files2.head.getName == files.head.getName &&
+      files2.head.lastModified() == m, "already-clustered day was rewritten")
+  }
+
   test("zOrderPartition carries a 100k-station universe (rank join, not a plan literal)") {
     import org.apache.spark.sql.functions.{col, sum => fsum}
     val (store, dir) = newStore()
