@@ -71,6 +71,25 @@ object RefreshScaleProbe {
         .agg(count(lit(1))).collect()
     }
 
+    // round-10 additions, AFTER the legacy timings so those stay
+    // comparable across rounds. Takedown is id-keyed state joins plus
+    // removal-sized index ops — the honest expectation is growth with
+    // the ACCUMULATED STATE (hash ledger, pair endpoints), never with
+    // corpus text; compact is the full-state fold, deliberately
+    // corpus-state-sized (a maintenance op, not a per-batch one).
+    val victimIds = docs.select("doc_id").orderBy("doc_id").limit(500)
+      .localCheckpoint(true)
+    timed("remove 500 docs (takedown)") {
+      graft.llm.CorpusRefresh.remove(spark, dir, victimIds)
+    }
+    timed("prepared() after takedown") {
+      graft.llm.CorpusRefresh.prepared(spark, dir)
+        .agg(count(lit(1))).collect()
+    }
+    timed("compact (full-state fold)") {
+      graft.llm.CorpusRefresh.compact(spark, dir)
+    }
+
     spark.stop()
   }
 }
