@@ -100,6 +100,13 @@ object IndexScaleProbe {
       graft.llm.VectorIndex.search(spark, vecDir, queries, 10, 4).count()
     searchOnce() // warm
     timed("vector search 100q k=10 np=4")(searchOnce())
+    // takedown must stay removal-sized: live-ledger semi-join + tombstone
+    // append + marker — never an inverted-list rewrite
+    timed("vector remove (100 ids)") {
+      graft.llm.VectorIndex.remove(spark, vecDir,
+        queries.select(col("qid").as("vec_id")))
+    }
+    timed("vector search after remove")(searchOnce())
 
     // ---- KnnGraphIndex: seed with m× vectors, then one fixed batch ----
     // Batch = 200 rotation-replica vectors OUTSIDE the corpus's rotation

@@ -30,6 +30,19 @@ import graft.queries.KMeans
   * window. The corpus never cross-joins the queries; the only shuffle
   * is keyed on the probed cells. At scale `vectors` is what you
   * partition BY `cell` so a probe reads only its inverted lists.
+  *
+  * Takedown ([[remove]]): the [[DedupIndex]] generation discipline,
+  * scoped to the LIVE VERSION — vector rows carry the generation that
+  * admitted them ([[graft.store.GenLedger]] marker counter; pre-`gen`
+  * files read as generation 0 via the same schema-merge upgrade), and a
+  * removal appends marker-committed `(gen, vec_id)` tombstones under
+  * the version dir. A row is live iff newer than every committed
+  * tombstone for its id, so remove→re-add behaves exactly like
+  * never-removed, a torn tombstone append is invisible, and readers
+  * pay one removal-sized broadcast anti-filter. Physical reclamation is
+  * the next [[build]] — the rebuild that rewrites the version anyway is
+  * the IVF world's compaction; tombstones never carry across versions
+  * (the caller rebuilds from the embeddings it still owns).
   */
 object VectorIndex {
 
@@ -78,7 +91,8 @@ object VectorIndex {
     // same shape add() uses; no shuffle, no join back to the fit output
     embeddings
       .select(col("vec_id"), col("embedding"),
-        KMeans.assignCell(centroids, col("embedding")).as("cell"))
+        KMeans.assignCell(centroids, col("embedding")).as("cell"),
+        lit(0L).as("gen")) // build rows are the version's generation floor
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/$next/vectors")
     // the commit point: readers see the new version exactly here
     fs.create(new org.apache.hadoop.fs.Path(dir, CommitPrefix + next), true).close()
@@ -99,31 +113,83 @@ object VectorIndex {
       .orderBy("cent_id").collect()
       .map(_.getSeq[Double](1).toArray)
 
+  private val TcommitPrefix = "_tcommit_"
+
+  /** The version's vector rows with the legacy-schema upgrade: files
+    * written before rows carried `gen` read as generation 0 (strictly
+    * below anything the marker counter hands out). */
+  private def readVectors(spark: SparkSession, verDir: String): DataFrame = {
+    val v = spark.read.option("mergeSchema", "true").parquet(s"$verDir/vectors")
+    if (!v.columns.contains("gen")) v.withColumn("gen", lit(0L))
+    else v.withColumn("gen", coalesce(col("gen"), lit(0L)))
+  }
+
+  /** Live rows of the version: newer than every committed tombstone for
+    * their vec_id. The tombstone side is removal-sized → broadcast. */
+  private def liveVectors(spark: SparkSession, verDir: String): DataFrame = {
+    val v = readVectors(spark, verDir)
+    val committed = graft.store.GenLedger.committedMarkers(
+      spark, verDir, TcommitPrefix)
+    if (committed.isEmpty ||
+        !graft.store.GenLedger.hasData(spark, s"$verDir/tombs")) v
+    else {
+      val t = spark.read.parquet(s"$verDir/tombs")
+        .where(col("gen").isin(committed: _*))
+        .groupBy("vec_id").agg(max("gen").as("tgen"))
+      v.join(broadcast(t), Seq("vec_id"), "left")
+        .where(col("tgen").isNull || col("gen") > col("tgen"))
+        .drop("tgen")
+    }
+  }
+
   /** Append new vectors to the LIVE version, assigned to its centroids
-    * map-side. Already-indexed vec_ids are dropped (anti-join against
-    * the version's own ledger), so re-delivered batches are no-ops —
+    * map-side. Vec_ids with a LIVE row are dropped (anti-join against
+    * the version's live ledger), so re-delivered batches are no-ops —
     * duplicate rows would otherwise tie at identical cos_sim and eat
-    * top-k slots. */
+    * top-k slots — while a removed id's re-add is a fresh membership at
+    * a generation above its tombstone. */
   def add(spark: SparkSession, dir: String, newVectors: DataFrame): Unit =
       graft.store.WriterLock.forIndex(spark, dir).withLock {
     // resolve the live version INSIDE the lock: a concurrent build()'s
     // commit+reap can otherwise retire the version between resolution
     // and the append
     val cs = loadCentroids(spark, dir)
-    val vecDir = s"${live(spark, dir)}/vectors"
+    val verDir = live(spark, dir)
+    val gen = graft.store.GenLedger.nextGen(spark, verDir)
     newVectors
-      .join(spark.read.parquet(vecDir).select(col("vec_id")),
+      .join(liveVectors(spark, verDir).select(col("vec_id")),
         Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("embedding"),
-        KMeans.assignCell(cs, col("embedding")).as("cell"))
-      .write.mode(SaveMode.Append).parquet(vecDir)
+        KMeans.assignCell(cs, col("embedding")).as("cell"),
+        lit(gen).as("gen"))
+      .write.mode(SaveMode.Append).parquet(s"$verDir/vectors")
+  } // WriterLock released here
+
+  /** Takedown: tombstone `ids` (vec_id) out of the live version — the
+    * removed vectors stop appearing as search neighbors the moment the
+    * `_tcommit_` marker lands, with no rewrite of the inverted lists.
+    * Idempotent (already-dead ids are skipped); a torn append without
+    * its marker is invisible; physical reclamation is the next
+    * [[build]] (see class doc). */
+  def remove(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+      graft.store.WriterLock.forIndex(spark, dir).withLock {
+    val verDir = live(spark, dir)
+    val victims = liveVectors(spark, verDir).select("vec_id")
+      .join(ids.select("vec_id").distinct(), Seq("vec_id"), "left_semi")
+      .localCheckpoint(true)
+    if (!victims.isEmpty) {
+      val gen = graft.store.GenLedger.nextGen(spark, verDir)
+      victims.select(lit(gen).as("gen"), col("vec_id"))
+        .write.mode(SaveMode.Append).parquet(s"$verDir/tombs")
+      graft.store.GenLedger.commit(spark, verDir, TcommitPrefix, gen)
+    }
   } // WriterLock released here
 
   /** Per-cell inverted-list sizes — the index-health report (heavily
     * skewed lists mean the centroids have drifted from the data and a
-    * scheduled rebuild is due). */
+    * scheduled rebuild is due). Live rows only. */
   def cellStats(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${live(spark, dir)}/vectors")
+    liveVectors(spark, live(spark, dir))
       .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
       .orderBy("cell")
 
@@ -155,7 +221,7 @@ object VectorIndex {
       .where(col("crn") <= nprobe)
       .select("qid", "qe", "cell")
     val cand = probes
-      .join(spark.read.parquet(s"${live(spark, dir)}/vectors"), Seq("cell"))
+      .join(liveVectors(spark, live(spark, dir)), Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("qe"), col("embedding")).as("cos_sim"))

@@ -84,4 +84,49 @@ class VectorIndexSpec extends AnyFunSuite {
       assert(rebuilt(q) == exact, s"post-rebuild query $q diverged")
     }
   }
+
+  test("takedown: removed vectors stop being neighbors; re-add revives; torn marker invisible") {
+    val dir = Files.createTempDirectory("graft-vec-takedown").toString
+    val embeddings = Tables.embeddings(spark, sf)
+    val k = 8
+    VectorIndex.build(spark, dir, embeddings, k)
+    val vecs = embeddings.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val q = vecs.keys.min
+    val queries = Seq((q, vecs(q).toSeq)).toDF("qid", "qe")
+    def top5(): Seq[Long] =
+      VectorIndex.search(spark, dir, queries, k = 5, nprobe = k)
+        .collect().sortBy(_.getInt(2)).map(_.getLong(1)).toSeq
+    def exactTop5(excluded: Set[Long]): Seq[Long] =
+      vecs.keySet.filter(n => n != q && !excluded(n)).toSeq
+        .sortBy(n => (-cos(vecs(q), vecs(n)), n)).take(5)
+
+    val victims = top5().take(2)
+    VectorIndex.remove(spark, dir, victims.toDF("vec_id"))
+    assert(top5() == exactTop5(victims.toSet),
+      "removed vectors must vanish from every neighbor list")
+    // idempotent; never-present ids are no-ops
+    VectorIndex.remove(spark, dir, (victims :+ 987654321L).toDF("vec_id"))
+    assert(top5() == exactTop5(victims.toSet))
+    assert(VectorIndex.cellStats(spark, dir).collect()
+      .map(_.getLong(1)).sum == vecs.size - 2)
+
+    // re-add one victim: a fresh membership above its tombstone
+    VectorIndex.add(spark, dir,
+      Seq((victims.head, vecs(victims.head).toSeq)).toDF("vec_id", "embedding"))
+    assert(top5() == exactTop5(Set(victims(1))),
+      "re-added vector must be a neighbor again")
+
+    // torn tombstone: an append whose _tcommit_ never landed is invisible
+    val verDir = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.toString).max
+    VectorIndex.remove(spark, dir, Seq(victims.head).toDF("vec_id"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmarks = fs.listStatus(new org.apache.hadoop.fs.Path(verDir))
+      .map(_.getPath.getName).filter(_.startsWith("_tcommit_")).sorted
+    fs.delete(new org.apache.hadoop.fs.Path(verDir, tmarks.last), false)
+    assert(top5() == exactTop5(Set(victims(1))),
+      "torn tombstone append must be invisible to readers")
+  }
 }
