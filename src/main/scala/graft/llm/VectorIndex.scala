@@ -76,8 +76,17 @@ object VectorIndex {
     * index version (atomic flip; see class doc). Returns the centroid
     * count. */
   def build(spark: SparkSession, dir: String, embeddings: DataFrame, k: Int): Int =
+    buildWith(spark, dir, embeddings, KMeans.fit(embeddings, k)._1)
+
+  /** Commit a new version around caller-supplied centroids — the rebuild
+    * entry point when the codebook comes from elsewhere (a previous
+    * version's centroids reused for a reclamation-only rebuild, or a
+    * pinned fixture where the caller needs the assignment to be an
+    * externally-reproducible function of the inputs). Same atomic
+    * flip + retention reap as [[build]]. */
+  def buildWith(spark: SparkSession, dir: String, embeddings: DataFrame,
+      centroids: Array[Array[Double]]): Int =
       graft.store.WriterLock.forIndex(spark, dir).withLock {
-    val (centroids, _) = KMeans.fit(embeddings, k)
     val fs = fsOf(spark, dir)
     val curNum = currentVersion(spark, dir)
       .map(_.drop(1).toInt).getOrElse(0)

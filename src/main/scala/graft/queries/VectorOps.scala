@@ -172,6 +172,64 @@ object VectorOps {
           FROM cand)
         WHERE rnk <= 3 ORDER BY qid, rnk""")),
 
+    // The SAME IVF search served from the STORED index
+    // (graft.llm.VectorIndex): the gate pins the codebook (first 16
+    // vectors, the v5/v6 fixture posture — production trains it with
+    // KMeans.fit via build()), commits a version over HALF the corpus,
+    // and appends the other half through add() — so what's oracle-gated
+    // is the persisted lifecycle end-to-end: the atomic version flip,
+    // map-side assignment against the stored codebook, the live-ledger
+    // anti-join, and search's probe-under-the-assignment-metric
+    // discipline (cells ranked by squared L2, the metric that PLACED
+    // the vectors — v5's query-side gate ranks by cosine and is a
+    // different operator). Session-memoized tmp dir, v9b's discipline.
+    Q("v5b_knn_ivf_index",
+      (s, d) => {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_vecidx/$tag/${graft.Sessions.sessionTag(s)}").getAbsolutePath
+        val marker = s"graft_vecidx_marker_$tag"
+        if (!s.catalog.tableExists(marker)) {
+          val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+          graft.llm.VectorIndex.buildWith(s, dir,
+            emb.where(col("vec_id") % 2 === 0), pinnedCentroids(s, d))
+          graft.llm.VectorIndex.add(s, dir, emb.where(col("vec_id") % 2 =!= 0))
+          s.emptyDataFrame.createOrReplaceTempView(marker)
+        }
+        graft.llm.VectorIndex.search(s, dir, ivfQueries(s, d), k = 3, nprobe = 2)
+      },
+      Some(ivfIndexSql(""))),
+
+    // The takedown path of the SAME stored index: add in two batches,
+    // REMOVE two id slices, re-ADD one of them, then search. The oracle
+    // is the flat IVF SQL over exactly the SURVIVING corpus, so the
+    // gate pins: tombstoned vectors vanish from every neighbor list the
+    // moment the marker commits (no inverted-list rewrite), promotions
+    // into the vacated top-k slots happen, and a re-add after a removal
+    // is a fresh membership that lands bit-for-bit on the
+    // never-removed build. Mirrors v9c for the kNN-graph index.
+    Q("v5c_knn_ivf_tombstone",
+      (s, d) => {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_vecidx_tomb/$tag/${graft.Sessions.sessionTag(s)}").getAbsolutePath
+        val marker = s"graft_vecidxt_marker_$tag"
+        if (!s.catalog.tableExists(marker)) {
+          val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+          graft.llm.VectorIndex.buildWith(s, dir,
+            emb.where(col("vec_id") % 2 === 0), pinnedCentroids(s, d))
+          graft.llm.VectorIndex.add(s, dir, emb.where(col("vec_id") % 2 =!= 0))
+          graft.llm.VectorIndex.remove(s, dir,
+            emb.where(col("vec_id") % 10 === 1 || col("vec_id") % 10 === 6)
+              .select("vec_id"))
+          graft.llm.VectorIndex.add(s, dir, emb.where(col("vec_id") % 10 === 1))
+          s.emptyDataFrame.createOrReplaceTempView(marker)
+        }
+        graft.llm.VectorIndex.search(s, dir,
+          ivfQueries(s, d).where(col("qid") % 10 =!= 6), k = 3, nprobe = 2)
+      },
+      Some(ivfIndexSql("AND vec_id % 10 <> 6"))),
+
     // Vector plumbing sanity: dimension + L2 norm per vector.
     Q("v3_vector_norms",
       (s, d) => Tables.embeddings(s, d)
@@ -540,6 +598,60 @@ object VectorOps {
       },
       Some(knnGraphSqlOver("WHERE vec_id % 10 <> 6")))
   )
+
+  /** v5b/v5c's pinned codebook: the first 16 vectors (by id), as
+    * doubles, cell id = rank. The DuckDB oracle reconstructs exactly
+    * this with a row_number over the same ORDER BY. */
+  private def pinnedCentroids(s: SparkSession, d: String): Array[Array[Double]] =
+    Tables.embeddings(s, d).where(col("vec_id") < 16)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** v5b/v5c's query set: the sub-50 ids as (qid, qe). */
+  private def ivfQueries(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).where(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+
+  /** DuckDB mirror of KMeans' squared-L2 fold (list_sum is the same
+    * sequential double fold duckDot relies on, so cell ranking is
+    * bit-identical cross-engine). */
+  private def duckSqL2(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), " +
+      s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE)))"
+
+  /** v5b / v5c's shared oracle — the stored-index IVF search flattened
+    * to one-shot SQL: pinned codebook (first 16 ids, cell = rank),
+    * every corpus vector assigned to its squared-L2-nearest cell
+    * (first-min tie-break = lowest cell, matching array_position),
+    * sub-50 queries probe their 2 nearest cells under the SAME metric,
+    * cosine top-3 per query. `whereClause` restricts CORPUS membership
+    * (v5c's survivors); the codebook stays pinned on the full table —
+    * centroids are parameters, not members. */
+  private def ivfIndexSql(whereClause: String): String =
+    s"""WITH cents AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cent_id,
+          embedding AS ce
+        FROM embeddings WHERE vec_id < 16),
+      scored AS (
+        SELECT e.vec_id, e.embedding, cent_id,
+          ${duckSqL2("ce", "e.embedding")} AS dist
+        FROM embeddings e CROSS JOIN cents),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist, cent_id) AS rn FROM scored),
+      assigned AS (
+        SELECT vec_id, embedding, cent_id AS cell FROM ranked
+        WHERE rn = 1 $whereClause),
+      probes AS (
+        SELECT vec_id AS qid, embedding AS qe, cent_id AS cell FROM ranked
+        WHERE vec_id < 50 AND rn <= 2 $whereClause),
+      cand AS (
+        SELECT qid, a.vec_id AS nid, ${duckCos("qe", "a.embedding")} AS cos_sim
+        FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.qid)
+      SELECT qid, nid, CAST(rnk AS INT) AS rnk, cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY cos_sim DESC, nid) AS rnk FROM cand)
+      WHERE rnk <= 3 ORDER BY qid, rnk"""
 
   /** v9 / v9b's shared oracle — the flat one-shot kNN-join SQL. Both
     * gates must produce THIS, whether computed per-query (v9) or served
