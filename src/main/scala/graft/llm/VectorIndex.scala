@@ -87,6 +87,40 @@ object VectorIndex {
   def buildWith(spark: SparkSession, dir: String, embeddings: DataFrame,
       centroids: Array[Array[Double]]): Int =
       graft.store.WriterLock.forIndex(spark, dir).withLock {
+    // assignment is map-side (the centroid literal is plan-baked) — the
+    // same shape add() uses; no shuffle, no join back to the fit output
+    commitVersion(spark, dir, centroids, embeddings
+      .select(col("vec_id"), col("embedding"),
+        KMeans.assignCell(centroids, col("embedding")).as("cell"),
+        lit(0L).as("gen"))) // build rows are the version's generation floor
+    centroids.length
+  } // WriterLock released here
+
+  /** Physical reclamation WITHOUT retraining: commit a new version
+    * holding only the live rows of the current one, under the SAME
+    * codebook (cells are a pure function of centroid × vector, so no
+    * reassignment happens — the rewrite is a copy that drops dead
+    * rows). Tombstones and their markers never carry across versions;
+    * search results are bit-identical before and after. This is the
+    * scheduled maintenance between true rebuilds — a [[build]] retrains
+    * AND reclaims, compact only reclaims, at copy cost. */
+  def compact(spark: SparkSession, dir: String): Unit =
+      graft.store.WriterLock.forIndex(spark, dir).withLock {
+    val verDir = live(spark, dir)
+    commitVersion(spark, dir, loadCentroids(spark, dir),
+      liveVectors(spark, verDir)
+        .select(col("vec_id"), col("embedding"), col("cell"), lit(0L).as("gen")))
+  } // WriterLock released here
+
+  /** Write (centroids, rows) as the next version and flip the commit
+    * marker (see class doc for the atomicity argument). `rows` carries
+    * (vec_id, embedding, cell, gen); the vectors table is PARTITIONED BY
+    * `cell` — each inverted list is its own partition directory, so at
+    * scale a search's probe join prunes to the probed lists' files
+    * (dynamic partition pruning off the broadcast probe side) instead of
+    * scanning the corpus. */
+  private def commitVersion(spark: SparkSession, dir: String,
+      centroids: Array[Array[Double]], rows: DataFrame): Unit = {
     val fs = fsOf(spark, dir)
     val curNum = currentVersion(spark, dir)
       .map(_.drop(1).toInt).getOrElse(0)
@@ -96,17 +130,13 @@ object VectorIndex {
       .toDF("cent_id", "centroid")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/$next/centroids")
-    // assignment is map-side (the centroid literal is plan-baked) — the
-    // same shape add() uses; no shuffle, no join back to the fit output
-    embeddings
-      .select(col("vec_id"), col("embedding"),
-        KMeans.assignCell(centroids, col("embedding")).as("cell"),
-        lit(0L).as("gen")) // build rows are the version's generation floor
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$next/vectors")
+    rows
+      .write.partitionBy("cell")
+      .mode(SaveMode.Overwrite).parquet(s"$dir/$next/vectors")
     // the commit point: readers see the new version exactly here
     fs.create(new org.apache.hadoop.fs.Path(dir, CommitPrefix + next), true).close()
     // reap versions beyond the retention window (in-flight readers)
-    fsOf(spark, dir).listStatus(new org.apache.hadoop.fs.Path(dir))
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .map(_.getPath.getName).filter(_.startsWith(CommitPrefix))
       .sorted.dropRight(KeepVersions)
       .foreach { m =>
@@ -114,8 +144,7 @@ object VectorIndex {
         fs.delete(new org.apache.hadoop.fs.Path(dir, m), false)
         fs.delete(new org.apache.hadoop.fs.Path(dir, v), true)
       }
-    centroids.length
-  } // WriterLock released here
+  }
 
   private def loadCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
     spark.read.parquet(s"${live(spark, dir)}/centroids")
@@ -165,14 +194,31 @@ object VectorIndex {
     val cs = loadCentroids(spark, dir)
     val verDir = live(spark, dir)
     val gen = graft.store.GenLedger.nextGen(spark, verDir)
-    newVectors
+    val assigned = newVectors
       .join(liveVectors(spark, verDir).select(col("vec_id")),
         Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("embedding"),
         KMeans.assignCell(cs, col("embedding")).as("cell"),
         lit(gen).as("gen"))
-      .write.mode(SaveMode.Append).parquet(s"$verDir/vectors")
+    // match the live layout: cell-partitioned going forward; a legacy
+    // flat dir keeps appending flat (mixing root files with cell=
+    // subdirs would break partition discovery) until a build/compact
+    // rewrites it partitioned
+    val w = assigned.write.mode(SaveMode.Append)
+    (if (isCellPartitioned(spark, verDir)) w.partitionBy("cell") else w)
+      .parquet(s"$verDir/vectors")
   } // WriterLock released here
+
+  /** Whether the version's vectors dir uses cell= partition layout (all
+    * versions written since commitVersion) vs a legacy flat dir. An
+    * empty/missing dir counts as partitioned: the first append sets the
+    * modern layout. */
+  private def isCellPartitioned(spark: SparkSession, verDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$verDir/vectors")
+    val fs = fsOf(spark, verDir)
+    !fs.exists(p) || !fs.listStatus(p).exists(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+  }
 
   /** Takedown: tombstone `ids` (vec_id) out of the live version — the
     * removed vectors stop appearing as search neighbors the moment the

@@ -60,6 +60,17 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(after.head.getLong(1) == planted,
       s"planted neighbor not found: ${after.mkString}")
 
+    // scale shape: the vectors table is cell-partitioned and the search
+    // plan prunes it DYNAMICALLY off the broadcast probe side — at scale
+    // a search reads the nprobe probed inverted lists' files, never the
+    // corpus (the executed plan's scan carries a dynamicpruning
+    // partition filter on cell)
+    val searched = VectorIndex.search(spark, dir, queries, k = 5, nprobe = 2)
+    searched.collect()
+    val planStr = searched.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruningexpression(cell"),
+      "search must dynamic-partition-prune the vectors scan on cell")
+
     // index health: every vector (incl. the append) is in exactly one cell
     val stats = VectorIndex.cellStats(spark, dir).collect()
     assert(stats.map(_.getLong(1)).sum == vecs.size + 1)
@@ -128,5 +139,78 @@ class VectorIndexSpec extends AnyFunSuite {
     fs.delete(new org.apache.hadoop.fs.Path(verDir, tmarks.last), false)
     assert(top5() == exactTop5(Set(victims(1))),
       "torn tombstone append must be invisible to readers")
+  }
+
+  test("compact reclaims tombstones bit-for-bit; legacy flat dirs upgrade") {
+    val dir = Files.createTempDirectory("graft-vec-compact").toString
+    val embeddings = Tables.embeddings(spark, sf)
+    val k = 8
+    VectorIndex.build(spark, dir, embeddings, k)
+    val vecs = embeddings.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val q = vecs.keys.min
+    val queries = Seq((q, vecs(q).toSeq)).toDF("qid", "qe")
+    def results(): Seq[(Long, Long, Int)] =
+      VectorIndex.search(spark, dir, queries, k = 5, nprobe = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    def liveVersion(): java.io.File = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).maxBy(_.getName)
+
+    val victims = results().map(_._2).take(2)
+    VectorIndex.remove(spark, dir, victims.toDF("vec_id"))
+    val before = results()
+    VectorIndex.compact(spark, dir)
+    assert(results() == before, "compact must not change search results")
+    val ver = liveVersion()
+    assert(!new java.io.File(ver, "tombs").exists(),
+      "tombstones must not carry into the compacted version")
+    assert(new java.io.File(ver, "vectors").listFiles()
+      .exists(_.getName.startsWith("cell=")),
+      "compacted vectors must be cell-partitioned")
+    assert(VectorIndex.cellStats(spark, dir).collect()
+      .map(_.getLong(1)).sum == vecs.size - 2)
+
+    // copy the compacted version NOW (all rows live, gen 0, distinct ids)
+    // into the legacy fixture's pre-partitioning, pre-gen on-disk shape —
+    // before the cycle below appends more rows into it
+    val snapVer = liveVersion().toString
+    val legacy = Files.createTempDirectory("graft-vec-legacy").toString
+    val legacyVer = s"$legacy/v00000001"
+    spark.read.parquet(s"$snapVer/centroids").write.parquet(s"$legacyVer/centroids")
+    spark.read.parquet(s"$snapVer/vectors")
+      .select("vec_id", "embedding", "cell") // no gen column, flat layout
+      .coalesce(2).write.parquet(s"$legacyVer/vectors")
+
+    // the generation ledger restarts in the new version: remove + re-add
+    // of a LIVE id still cycles correctly after a compact
+    val cycled = before.head._2
+    VectorIndex.remove(spark, dir, Seq(cycled).toDF("vec_id"))
+    VectorIndex.add(spark, dir,
+      Seq((cycled, vecs(cycled).toSeq)).toDF("vec_id", "embedding"))
+    assert(results() == before, "post-compact remove/re-add cycle diverged")
+
+    // ---- legacy flat (pre-partitioning, pre-gen) dir upgrades in place ----
+    val fs = new org.apache.hadoop.fs.Path(legacy)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(legacy, "_commit_v00000001"), true).close()
+    def legacyResults(): Seq[(Long, Long, Int)] =
+      VectorIndex.search(spark, legacy, queries, k = 5, nprobe = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(legacyResults() == before, "legacy flat dir must serve identically")
+    // an append to a flat dir stays flat (no mixed layout), rows read back
+    VectorIndex.remove(spark, legacy, Seq(before.head._2).toDF("vec_id"))
+    VectorIndex.add(spark, legacy,
+      Seq((before.head._2, vecs(before.head._2).toSeq)).toDF("vec_id", "embedding"))
+    assert(legacyResults() == before, "legacy remove/re-add cycle diverged")
+    assert(!new java.io.File(s"$legacyVer/vectors").listFiles()
+      .exists(_.getName.startsWith("cell=")), "legacy append must stay flat")
+    // compact rewrites the legacy dir into the modern partitioned layout
+    VectorIndex.compact(spark, legacy)
+    assert(legacyResults() == before, "legacy compact diverged")
+    assert(new java.io.File(legacy).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).maxBy(_.getName)
+      .toPath.resolve("vectors").toFile.listFiles()
+      .exists(_.getName.startsWith("cell=")),
+      "compacted legacy vectors must be cell-partitioned")
   }
 }
