@@ -288,6 +288,63 @@ object CorpusEtl {
       Some(corpusPrepSqlFrom(
         s"(SELECT * FROM documents WHERE doc_id % $TakedownMod <> $TakedownRem)"))),
 
+    // The STREAMING ingest path of the same refresh state: documents
+    // land as files, a Structured Streaming file source feeds them
+    // through foreachBatch → [[CorpusRefresh.refresh]] one micro-batch
+    // at a time (maxFilesPerTrigger=1), each refresh keyed by the
+    // stream's epoch id — the standard exactly-once recipe: the sink
+    // (refresh's batch-tag ledger) dedupes on the (replayable) batch id,
+    // so at-least-once delivery composes to exactly-once state. The
+    // gate proves that composition with a REAL redelivery: each
+    // micro-batch is captured to disk as it streams, and after the
+    // drain the LAST batch is re-fed verbatim under its own id — the
+    // foreachBatch crash-window (state committed, checkpoint not yet
+    // advanced, batch replayed on restart). Served corpus must equal
+    // the from-scratch batch prepare on the full table — c1's oracle.
+    Q("c1d_corpus_prep_stream",
+      (s, d) => {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_corpus_stream/$tag/${graft.Sessions.sessionTag(s)}").getAbsolutePath
+        val marker = s"graft_c1d_marker_$tag"
+        if (!s.catalog.tableExists(marker)) {
+          val docs = Tables.documents(s, d)
+          val landing = s"$dir/landing"
+          // three landed files → three micro-batches
+          (0 until 3).foreach { i =>
+            docs.where(col("doc_id") % 3 === i).coalesce(1)
+              .write.mode("append").parquet(landing)
+          }
+          val state = s"$dir/state"
+          val capture = s"$dir/capture"
+          val stream = s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(landing)
+          val q = stream.writeStream
+            .option("checkpointLocation", s"$dir/ckpt")
+            .foreachBatch { (df: DataFrame, bid: Long) =>
+              val ss = df.sparkSession
+              df.write.mode("overwrite").parquet(s"$capture/b$bid")
+              CorpusRefresh.refresh(ss, state,
+                ss.read.parquet(s"$capture/b$bid"),
+                batchId = Some(s"stream_$bid"))
+            }.start()
+          try q.processAllAvailable() finally q.stop()
+          // redelivery of the final committed batch (crash before the
+          // checkpoint advanced): the ledger must no-op it
+          val lastBid = new java.io.File(capture).listFiles()
+            .map(_.getName.stripPrefix("b").toLong).max
+          CorpusRefresh.refresh(s, state,
+            s.read.parquet(s"$capture/b$lastBid"),
+            batchId = Some(s"stream_$lastBid"))
+          s.emptyDataFrame.createOrReplaceTempView(marker)
+        }
+        CorpusRefresh.prepared(s, s"$dir/state")
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_copies"),
+            col("cluster_size"), md5(col("redacted")).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some(corpusPrepSql)),
+
     // Deterministic train/val/test split: bucket = first byte of
     // md5(doc_id), train < 230 (~89.8%), val < 243 (~5.1%), test
     // otherwise. Hash-based assignment is the production shape — stable
@@ -811,7 +868,62 @@ object CorpusEtl {
             CASE WHEN c.prev < p.rem THEN 1 ELSE 0 END AS BIGINT) AS repeats
         FROM cum c JOIN p2 p USING (source)
         ORDER BY doc_id"""))
+  ,
+
+    // The training-ORDER materialization c11 plans for: every document,
+    // once per epoch, in a deterministic epoch-keyed global shuffle —
+    // position = rank of md5(epoch:doc_id) within the epoch. Training
+    // runs need the permutation to be a pure function of (epoch, id):
+    // re-runs, restarts, and shard re-splits reproduce the exact order,
+    // and consecutive epochs decorrelate because the hash re-keys.
+    //
+    // Scale shape: the naive form is one row_number window PER EPOCH
+    // over the whole corpus — a single-partition sort of every epoch.
+    // Positions are instead assigned hierarchically (c6/c11's trick):
+    // rows bucket by their hash's first two hex chars, a ≤256-row
+    // per-epoch bucket-count frame turns into cumulative bucket offsets,
+    // and each bucket independently numbers its own rows — the only
+    // windows are over (epoch, bucket) partitions, each ~1/256th of an
+    // epoch. The oracle is the flat per-epoch row_number the plan
+    // refuses to execute.
+    Q("c12_epoch_shuffle",
+      (s, d) => epochShuffle(Tables.documents(s, d).select("doc_id"),
+        nEpochs = 2),
+      Some("""WITH docs AS (
+          SELECT epoch, doc_id,
+            md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents CROSS JOIN (SELECT 0 AS epoch UNION ALL SELECT 1))
+        SELECT epoch, doc_id,
+          row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS pos
+        FROM docs ORDER BY epoch, pos"""))
   )
+
+  /** c12's plan body: the deterministic per-epoch global permutation of
+    * `ids` (doc_id), positions assigned hierarchically — bucket counts →
+    * cumulative offsets (a window over ≤256 rows per epoch) → in-bucket
+    * row_number — instead of one epoch-wide single-partition window.
+    * Correct because md5's lowercase-hex lexicographic order agrees with
+    * the numeric order of its first two hex chars (c11's invariant). */
+  private[graft] def epochShuffle(ids: DataFrame, nEpochs: Int): DataFrame = {
+    val rows = ids
+      .select(col("doc_id"),
+        explode(array((0 until nEpochs).map(lit): _*)).as("epoch"))
+      .withColumn("h",
+        md5(concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))))
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
+    val wOff = Window.partitionBy("epoch").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = rows.groupBy("epoch", "bucket")
+      .agg(count(lit(1)).as("b_n"))
+      .withColumn("b_start", coalesce(sum("b_n").over(wOff), lit(0L)))
+      .select("epoch", "bucket", "b_start")
+    val wIn = Window.partitionBy("epoch", "bucket").orderBy("h", "doc_id")
+    rows.join(offsets, Seq("epoch", "bucket"))
+      .withColumn("pos", col("b_start") + row_number().over(wIn))
+      .select("epoch", "doc_id", "pos")
+      .orderBy("epoch", "pos")
+  }
 
   /** c11's plan body over an arbitrary `(doc_id, source, n_tokens, h)`
     * frame (`h` = any hex hash string; the gate passes md5(doc_id)).

@@ -230,6 +230,42 @@ object VectorOps {
       },
       Some(ivfIndexSql("AND vec_id % 10 <> 6"))),
 
+    // The COMPACTION path of the stored IVF index: v5c's full lifecycle
+    // (two-batch build, remove, re-add), then a physical compact — the
+    // reclamation-only rewrite that drops tombstoned rows under the
+    // SAME codebook — then ANOTHER removal cycle against the compacted
+    // version. The oracle is the flat IVF SQL over exactly the final
+    // surviving corpus, so the gate pins oracle-side what
+    // VectorIndexSpec pins Spark-vs-Spark: compact changes no search
+    // result, carries no tombstone forward, and the generation ledger
+    // restarts cleanly in the new version (the post-compact remove
+    // lands at a generation above the compacted rows' floor).
+    Q("v5d_knn_ivf_compact",
+      (s, d) => {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_vecidx_cmp/$tag/${graft.Sessions.sessionTag(s)}").getAbsolutePath
+        val marker = s"graft_vecidxc_marker_$tag"
+        if (!s.catalog.tableExists(marker)) {
+          val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+          graft.llm.VectorIndex.buildWith(s, dir,
+            emb.where(col("vec_id") % 2 === 0), pinnedCentroids(s, d))
+          graft.llm.VectorIndex.add(s, dir, emb.where(col("vec_id") % 2 =!= 0))
+          graft.llm.VectorIndex.remove(s, dir,
+            emb.where(col("vec_id") % 10 === 1 || col("vec_id") % 10 === 6)
+              .select("vec_id"))
+          graft.llm.VectorIndex.add(s, dir, emb.where(col("vec_id") % 10 === 1))
+          graft.llm.VectorIndex.compact(s, dir)
+          graft.llm.VectorIndex.remove(s, dir,
+            emb.where(col("vec_id") % 10 === 3).select("vec_id"))
+          s.emptyDataFrame.createOrReplaceTempView(marker)
+        }
+        graft.llm.VectorIndex.search(s, dir,
+          ivfQueries(s, d).where(col("qid") % 10 =!= 6 && col("qid") % 10 =!= 3),
+          k = 3, nprobe = 2)
+      },
+      Some(ivfIndexSql("AND vec_id % 10 <> 6 AND vec_id % 10 <> 3"))),
+
     // Vector plumbing sanity: dimension + L2 norm per vector.
     Q("v3_vector_norms",
       (s, d) => Tables.embeddings(s, d)
