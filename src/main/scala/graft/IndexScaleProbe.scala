@@ -139,6 +139,28 @@ object IndexScaleProbe {
         knnBatch.select("vec_id"), 3)
     }
 
+    // ---- TextIndex: seed with the m× corpus, then one fixed batch ----
+    // What should stay batch-sized: add's tokenize/groupBy touches only
+    // the batch (the ledger anti-join is id-keyed, never text); remove
+    // is tombstone append + marker. Search cost is term-postings-sized —
+    // it grows with corpus df, which is the honest per-term expectation,
+    // while the stats side stays one ledger aggregate.
+    val textDir = java.nio.file.Files.createTempDirectory("graft-iscale-text").toString
+    timed(s"text seed (${nDocs} docs)") {
+      graft.llm.TextIndex.add(spark, textDir, docs.select("doc_id", "text"))
+    }
+    timed("text add (500 docs)") {
+      graft.llm.TextIndex.add(spark, textDir, batch)
+    }
+    val terms = Seq("hash", "scan", "merge")
+    def textSearch(): Long = graft.llm.TextIndex.search(spark, textDir, terms, 25).count()
+    textSearch() // warm
+    timed("text search 3 terms k=25")(textSearch())
+    timed("text remove (500 docs)") {
+      graft.llm.TextIndex.remove(spark, textDir, batch.select("doc_id"))
+    }
+    timed("text search after remove")(textSearch())
+
     spark.stop()
   }
 }

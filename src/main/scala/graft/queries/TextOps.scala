@@ -298,6 +298,37 @@ object TextOps {
     * (N, Σdl, per-term df) are ONE aggregate row broadcast back over the
     * scan, so the only exchanges at any scale are the 1-row stats
     * aggregation and whatever the caller does with the scores. */
+  /** t8's oracle SQL parameterized by term list and a documents WHERE
+    * clause — the from-scratch recompute the stored-index gates
+    * (t8b/t8c) are pinned against. Shape and arithmetic identical to
+    * the inline t8 oracle; only the terms and the survivor filter vary. */
+  private def duckBm25(terms: Seq[String], where: String): String = {
+    val tfCols = terms.map(t =>
+      s"CAST(len(list_filter(t, x -> x = '$t')) AS INT) AS tf_$t")
+      .mkString(",\n            ")
+    val dfCols = terms.map(t =>
+      s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t")
+      .mkString(",\n            ")
+    val parts = terms.map(t =>
+      s"""((n_docs - df_$t + 0.5e0) / (df_$t + 0.5e0)) *
+              (tf_$t * 2.2e0) /
+              (tf_$t + 1.2e0 * (0.25e0 + 0.75e0 * (dl / (sum_dl / n_docs))))""")
+      .mkString(" +\n          ")
+    s"""WITH per_doc AS (
+          SELECT doc_id, CAST(len(t) AS INT) AS dl,
+            $tfCols
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+                FROM documents $where)),
+        stats AS (
+          SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+            $dfCols
+          FROM per_doc)
+        SELECT doc_id, ${terms.map("tf_" + _).mkString(", ")},
+          $parts AS bm25
+        FROM per_doc, stats
+        WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 25"""
+  }
+
   def bm25(input: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty && terms.map(_.toLowerCase).distinct.size == terms.size,
       "terms must be non-empty and distinct")
@@ -1355,6 +1386,65 @@ object TextOps {
               (tf_vector + 1.2e0 * (0.25e0 + 0.75e0 * (dl / (sum_dl / n_docs)))) AS bm25
         FROM per_doc, stats
         WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 25""")),
+
+    // The SAME BM25 contract served from the PERSISTENT inverted index
+    // (graft.llm.TextIndex — the lexical member of the index-service
+    // trio): the gate feeds the corpus in two batches through add(),
+    // then searches three terms t8 does not use. What's pinned: the
+    // stored postings + doc-length ledger reproduce the from-scratch
+    // scorer BIT-EXACTLY (same rational idf, same fixed-term-order
+    // double arithmetic), documents tokenize once at add time and are
+    // never re-read at search time, and the search plan is the shape
+    // that survives 100 TB — a term-pruned postings scan, one 1-row
+    // stats exchange, a TakeOrdered. Session-memoized tmp dir, the
+    // d17/v9b discipline.
+    Q("t8b_text_index",
+      (s, d) => {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_textidx/$tag/${graft.Sessions.sessionTag(s)}").getAbsolutePath
+        val marker = s"graft_t8b_marker_$tag"
+        if (!s.catalog.tableExists(marker)) {
+          val docs = Tables.documentsSpread(s, d).select("doc_id", "text")
+          graft.llm.TextIndex.add(s, dir, docs.where(col("doc_id") % 2 === 0))
+          graft.llm.TextIndex.add(s, dir, docs.where(col("doc_id") % 2 =!= 0))
+          s.emptyDataFrame.createOrReplaceTempView(marker)
+        }
+        graft.llm.TextIndex.search(s, dir, Seq("hash", "scan", "merge"), 25)
+      },
+      Some(duckBm25(Seq("hash", "scan", "merge"), ""))),
+
+    // The takedown + maintenance path of the stored text index: two-batch
+    // build, REMOVE two id slices, re-ADD one (recall reversed), then a
+    // physical compact — and only then the search. The oracle recomputes
+    // BM25 from scratch over exactly the SURVIVING documents, so the gate
+    // pins that a takedown shifts EVERY corpus statistic (N, avgdl,
+    // per-term df — removed docs leave the denominator, not just the
+    // result list), that a re-add after removal is indistinguishable
+    // from never-removed, and that compaction (which drops the removed
+    // docs' postings and the crash-replay duplicates) changes no search
+    // result. Mirrors d17 (dedup) and v5c/v5d (vector) for lexical.
+    Q("t8c_text_index_tombstone",
+      (s, d) => {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_textidx_tomb/$tag/${graft.Sessions.sessionTag(s)}").getAbsolutePath
+        val marker = s"graft_t8c_marker_$tag"
+        if (!s.catalog.tableExists(marker)) {
+          val docs = Tables.documentsSpread(s, d).select("doc_id", "text")
+          graft.llm.TextIndex.add(s, dir, docs.where(col("doc_id") % 2 === 0))
+          graft.llm.TextIndex.add(s, dir, docs.where(col("doc_id") % 2 =!= 0))
+          graft.llm.TextIndex.remove(s, dir,
+            docs.where(col("doc_id") % 13 === 2 || col("doc_id") % 13 === 5)
+              .select("doc_id"))
+          graft.llm.TextIndex.add(s, dir, docs.where(col("doc_id") % 13 === 2))
+          graft.llm.TextIndex.compact(s, dir)
+          s.emptyDataFrame.createOrReplaceTempView(marker)
+        }
+        graft.llm.TextIndex.search(s, dir, Seq("filter", "stream", "sort"), 25)
+      },
+      Some(duckBm25(Seq("filter", "stream", "sort"),
+        "WHERE doc_id % 13 <> 5"))),
 
     // Bigram-LM quality scoring (the CCNet-style "score documents by a
     // corpus language model" pass): train bigram conditional counts over

@@ -548,6 +548,186 @@ object VectorOps {
                       ORDER BY cos_sim DESC, nid) AS rnk FROM rr)
         WHERE rnk <= 3 ORDER BY qid, rnk""")),
 
+    // IVF-PQ — v5's coarse quantizer COMPOSED with v8's product codes:
+    // the actual FAISS-default 100 TB ANN configuration (Jégou et al.
+    // 2011), where IVF bounds WHICH candidates are scored (only the
+    // nprobe probed cells — the corpus never self-joins) and PQ bounds
+    // WHAT scoring costs (4 table lookups per candidate, independent of
+    // dimension; vectors live as 4-byte codes, 64× smaller than the
+    // raw embedding). Both levers are load-bearing at scale and both
+    // oracles already exist separately (v5, v8) — this gate pins their
+    // COMPOSITION: candidates come from the probed-cell join, distances
+    // from the ADC tables, and only the ≤10 ADC survivors per query
+    // rejoin full-precision embeddings for the exact cosine re-rank.
+    // Same exactness posture as v8: fixed-order 16-term folds, 4-term
+    // ADC sums in subspace order, argmin/rank ties on the lower id.
+    Q("v10_ivf_pq",
+      (s, d) => {
+        val e = Tables.embeddingsSpread(s, d)
+        // coarse quantizer: v5's pinned 16-centroid cosine assignment
+        val cents = e.where(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+        val scored = e.join(broadcast(cents))
+          .select(col("vec_id"), col("cent_id"),
+            cosine(col("embedding"), col("ce")).as("ccos"))
+          .cache() // feeds both the assignment and the probe selection
+        val byCent = Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cent_id"))
+        val assigned = scored.withColumn("rn", row_number().over(byCent))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("cent_id").as("cell"))
+        val probes = scored.where(col("vec_id") < 50)
+          .withColumn("rn", row_number().over(byCent)).where(col("rn") <= 2)
+          .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
+        // product codes: v8's 4×16-codeword encoding + per-query tables
+        val subs = expr("transform(sequence(0, 3), s -> slice(embedding, s * 16 + 1, 16))")
+        val parts = e.select(col("vec_id"),
+          posexplode(subs).as(Seq("sub", "sv")))
+        val cb = parts.where(col("vec_id") < 16)
+          .select(col("vec_id").cast("int").as("j"), col("sub"), col("sv").as("cw"))
+        val l2 = expr("""aggregate(zip_with(sv, cw,
+            (x, y) -> (cast(x as double) - cast(y as double)) *
+                      (cast(x as double) - cast(y as double))),
+          0d, (acc, v) -> acc + v)""")
+        val dists = parts.join(broadcast(cb), Seq("sub"))
+          .select(col("vec_id"), col("sub"), col("j"), l2.as("dist"))
+        val enc = dists
+          .groupBy("vec_id", "sub")
+          .agg(min(struct(col("dist"), col("j"))).as("m"))
+          .select(col("vec_id"), col("sub"), col("m.j").as("code"))
+          .groupBy("vec_id")
+          .agg(expr("transform(array_sort(collect_list(struct(sub, code))), x -> x.code)")
+            .as("codes"))
+        val dtab = dists.where(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), (col("sub") * 16 + col("j")).as("pos"), col("dist"))
+          .groupBy("qid")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, dist))), x -> x.dist)")
+            .as("dt"))
+        // the composition: candidates are probed-cell members only (a
+        // vector has ONE cell, so a (qid, nid) pair arises at most once)
+        val cand = probes.join(assigned, Seq("cell"))
+          .where(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"))
+        val adc = cand
+          .join(enc.select(col("vec_id").as("nid"), col("codes")), Seq("nid"))
+          .join(broadcast(dtab), Seq("qid"))
+          .select(col("qid"), col("nid"),
+            (element_at(col("dt"), expr("codes[0] + 1")) +
+              element_at(col("dt"), expr("codes[1] + 17")) +
+              element_at(col("dt"), expr("codes[2] + 33")) +
+              element_at(col("dt"), expr("codes[3] + 49"))).as("adc_dist"))
+        val w1 = Window.partitionBy("qid").orderBy(col("adc_dist"), col("nid"))
+        val top = adc.withColumn("r", row_number().over(w1)).where(col("r") <= 10)
+        // ONLY the ADC survivors rejoin full-precision embeddings
+        val rr = top
+          .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
+          .join(broadcast(e.where(col("vec_id") < 50)
+            .select(col("vec_id").as("qid"), col("embedding").as("qe"))), Seq("qid"))
+          .select(col("qid"), col("nid"), col("adc_dist"),
+            cosine(col("qe"), col("ne")).as("cos_sim"))
+        val w2 = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+        rr.withColumn("rnk", row_number().over(w2).cast("int"))
+          .where(col("rnk") <= 3)
+          .select("qid", "nid", "rnk", "adc_dist", "cos_sim")
+          .orderBy("qid", "rnk")
+      },
+      Some(s"""WITH cents AS (
+          SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+        cscored AS (
+          SELECT e.vec_id, cent_id, ${duckCos("e.embedding", "ce")} AS ccos
+          FROM embeddings e CROSS JOIN cents),
+        cranked AS (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY ccos DESC, cent_id) AS rn FROM cscored),
+        assigned AS (SELECT vec_id, cent_id AS cell FROM cranked WHERE rn = 1),
+        probes AS (SELECT vec_id AS qid, cent_id AS cell
+                   FROM cranked WHERE vec_id < 50 AND rn <= 2),
+        sub AS (
+          SELECT vec_id, s AS sub, embedding[s*16+1 : s*16+16] AS sv
+          FROM embeddings, range(0, 4) t(s)),
+        cb AS (SELECT vec_id AS j, sub, sv AS cw FROM sub WHERE vec_id < 16),
+        dist AS (
+          SELECT p.vec_id, p.sub, c.j,
+            list_sum(list_transform(range(1, 17),
+              i -> (p.sv[i]::DOUBLE - c.cw[i]::DOUBLE) *
+                   (p.sv[i]::DOUBLE - c.cw[i]::DOUBLE))) AS dist
+          FROM sub p JOIN cb c ON p.sub = c.sub),
+        enc1 AS (
+          SELECT vec_id, sub, j AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                        ORDER BY dist, j) AS rn FROM dist)
+          WHERE rn = 1),
+        enc AS (SELECT vec_id, list(code ORDER BY sub) AS codes
+                FROM enc1 GROUP BY vec_id),
+        dtab AS (SELECT vec_id AS qid, list(dist ORDER BY sub, j) AS dt
+                 FROM dist WHERE vec_id < 50 GROUP BY vec_id),
+        cand AS (
+          SELECT qid, a.vec_id AS nid
+          FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.qid),
+        adc AS (
+          SELECT qid, nid,
+            dt[codes[1] + 1] + dt[codes[2] + 17] +
+            dt[codes[3] + 33] + dt[codes[4] + 49] AS adc_dist
+          FROM cand JOIN enc e ON cand.nid = e.vec_id
+                    JOIN dtab USING (qid)),
+        top AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY adc_dist, nid) AS r FROM adc)
+          WHERE r <= 10),
+        rr AS (
+          SELECT qid, nid, adc_dist,
+            ${duckCos("qe.embedding", "ne.embedding")} AS cos_sim
+          FROM top JOIN embeddings ne ON top.nid = ne.vec_id
+                   JOIN embeddings qe ON top.qid = qe.vec_id)
+        SELECT qid, nid, CAST(rnk AS INT) AS rnk, adc_dist, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+                      ORDER BY cos_sim DESC, nid) AS rnk FROM rr)
+        WHERE rnk <= 3 ORDER BY qid, rnk""")),
+
+    // Semantic decontamination — the EMBEDDING-space twin of d8/d14's
+    // n-gram eval-set scrub (paraphrased leakage shares no 13-gram; it
+    // does share a neighborhood in embedding space). For every corpus
+    // vector, its best eval-set match at cosine ≥ 0.3, joined back to
+    // the documents table for the per-source contamination report the
+    // pipeline acts on. Scale shape: the eval set is broadcast (eval
+    // sets are small — that asymmetry is the whole design), the corpus
+    // is scanned ONCE with a map-side fused-cosine score, and the
+    // per-vector argmax is a partial-aggregating max-of-struct (ties to
+    // the lower eval id via the negated field), so nothing corpus-sized
+    // ever shuffles: the exchange carries only the ≥-threshold hits.
+    Q("d18_semantic_decontaminate",
+      (s, d) => {
+        val e = Tables.embeddingsSpread(s, d)
+        val eval = e.where(col("vec_id") < 20)
+          .select(col("vec_id").as("eval_id"), col("embedding").as("ee"))
+        val hits = e.where(col("vec_id") >= 20).join(broadcast(eval))
+          .select(col("vec_id"),
+            col("eval_id"), cosine(col("embedding"), col("ee")).as("cos_sim"))
+          .where(col("cos_sim") >= 0.3)
+        val best = hits
+          .groupBy("vec_id")
+          .agg(max(struct(col("cos_sim"), (lit(0L) - col("eval_id")).as("neg"))).as("m"))
+          .select(col("vec_id"), (lit(0L) - col("m.neg")).as("eval_id"),
+            col("m.cos_sim").as("cos_sim"))
+        best
+          .join(Tables.documentsSpread(s, d).select(col("doc_id").as("vec_id"),
+            col("source")), Seq("vec_id"))
+          .select("vec_id", "source", "eval_id", "cos_sim")
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH eval AS (
+          SELECT vec_id AS eval_id, embedding AS ee FROM embeddings WHERE vec_id < 20),
+        pairs AS (
+          SELECT e.vec_id, eval_id, ${duckCos("e.embedding", "ee")} AS cos_sim
+          FROM embeddings e CROSS JOIN eval WHERE e.vec_id >= 20),
+        hits AS (SELECT * FROM pairs WHERE cos_sim >= 0.3)
+        SELECT h.vec_id, d.source, eval_id, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cos_sim DESC, eval_id) AS rn
+          FROM hits) h JOIN documents d ON d.doc_id = h.vec_id
+        WHERE rn = 1 ORDER BY vec_id""")),
+
     // v9 — kNN-JOIN (the full neighbor graph): every vector gets its
     // top-3 cosine neighbors, not just a query set. v1-v8 answer
     // queries; the kNN graph is the INPUT to graph-based curation

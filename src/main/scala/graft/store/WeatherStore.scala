@@ -222,8 +222,22 @@ final class WeatherStore(spark: SparkSession, root: String) {
         // dir name, so the rewritten files carry exactly the data columns
         val tmp = new org.apache.hadoop.fs.Path(dir,
           ".compact-" + java.util.UUID.randomUUID().toString)
-        arrange(spark.read.option("mergeSchema", "true").parquet(dir.toString))
+        // tight range boundaries for the clustering shuffle: the default
+        // 100 samples/partition lets a boundary land deep inside the
+        // next z-region on interleaved layouts, leaving one file spread
+        // across the whole rank universe (measured: p5-p95 spread 87k of
+        // a 100k universe on one in ~30 runs). One day's partition is
+        // small relative to the store, so the extra sampling pass is
+        // noise; the payoff is deterministic footer-skipping locality.
+        val sampleKey = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+        val prevSample = spark.conf.getOption(sampleKey)
+        spark.conf.set(sampleKey, "10000")
+        try arrange(spark.read.option("mergeSchema", "true").parquet(dir.toString))
           .write.parquet(tmp.toString)
+        finally prevSample match {
+          case Some(v) => spark.conf.set(sampleKey, v)
+          case None => spark.conf.unset(sampleKey)
+        }
         val parts = fs.listStatus(tmp).map(_.getPath)
           .filter(p => p.getName.endsWith(".parquet"))
         // FileSystem.rename reports failure by RETURNING false — abort

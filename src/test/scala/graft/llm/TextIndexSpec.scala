@@ -1,0 +1,151 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** Lifecycle contract of the persistent inverted text index: stored
+  * search is bit-identical to the from-scratch BM25 pass over the live
+  * documents, re-feeding a committed batch is a no-op, crash-replay
+  * duplicate postings never change a score, removal shifts every corpus
+  * statistic, a re-add after removal is indistinguishable from
+  * never-removed, compaction changes no result while reclaiming dead
+  * rows, and an interrupted compaction is refused.
+  */
+class TextIndexSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  private val terms = Seq("hash", "scan", "merge")
+
+  /** The from-scratch reference: TextOps.bm25 over `docs`, the same
+    * >0-filter/top-k shape as TextIndex.search. */
+  private def batchTopK(docs: DataFrame, k: Int): Seq[(Long, Int, Int, Int, Double)] =
+    graft.queries.TextOps.bm25(docs, terms)
+      .where(col("bm25") > 0d)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+      .toSeq
+
+  private def searchTopK(dir: String, k: Int): Seq[(Long, Int, Int, Int, Double)] =
+    TextIndex.search(spark, dir, terms, k).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+      .toSeq
+
+  test("two-batch add serves the batch scorer bit-exactly; re-feed is a no-op") {
+    val dir = Files.createTempDirectory("graft-textidx").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    TextIndex.add(spark, dir, docs.where(col("doc_id") % 2 === 0))
+    TextIndex.add(spark, dir, docs.where(col("doc_id") % 2 =!= 0))
+    assert(TextIndex.size(spark, dir) == docs.count())
+    assert(searchTopK(dir, 25) == batchTopK(docs, 25))
+
+    // a re-fed committed batch must change nothing (ledger anti-join)
+    TextIndex.add(spark, dir, docs.where(col("doc_id") % 2 === 0))
+    assert(TextIndex.size(spark, dir) == docs.count())
+    assert(searchTopK(dir, 25) == batchTopK(docs, 25))
+  }
+
+  test("crash-replay duplicate postings never change a score; compact reclaims them") {
+    val dir = Files.createTempDirectory("graft-textidx-dup").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    TextIndex.add(spark, dir, docs)
+    // simulate the crash window: postings landed, ledger append lost,
+    // retry re-appended postings — byte-identical duplicate rows
+    val snap = spark.read.parquet(s"$dir/postings").localCheckpoint(true)
+    val origCount = snap.count()
+    val before = searchTopK(dir, 25)
+    snap.write.mode("append").parquet(s"$dir/postings")
+    assert(spark.read.parquet(s"$dir/postings").count() == 2 * origCount)
+    assert(searchTopK(dir, 25) == before,
+      "duplicate postings must collapse in the max(tf) read")
+    // numFiles=1 so the file-count guard can't no-op the pass (the tiny
+    // fixture fits in two files); a skipped compact leaves duplicates
+    // behind BY DESIGN — reads tolerate them until a real pass runs
+    val stats = TextIndex.compact(spark, dir, numFiles = 1)
+    assert(stats("postings")._2 <= 1)
+    assert(searchTopK(dir, 25) == before, "compact must change no result")
+    // physically deduplicated: row count back to one row per (doc, tok)
+    assert(spark.read.parquet(s"$dir/postings").count() == origCount)
+  }
+
+  test("remove shifts N/avgdl/df; re-add equals never-removed; compact is invisible") {
+    val dir = Files.createTempDirectory("graft-textidx-tomb").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    TextIndex.add(spark, dir, docs)
+    val all = docs.count()
+
+    val victims = docs.where(col("doc_id") % 7 === 3)
+    val survivors = docs.where(col("doc_id") % 7 =!= 3)
+    TextIndex.remove(spark, dir, victims.select("doc_id"))
+    assert(TextIndex.size(spark, dir) == all - victims.count())
+    // the reference recomputes from scratch on the survivors: N, sum_dl
+    // and every df shift, not just the removed rows vanishing
+    assert(searchTopK(dir, 25) == batchTopK(survivors, 25))
+    // removing already-removed ids is a no-op
+    TextIndex.remove(spark, dir, victims.select("doc_id"))
+    assert(searchTopK(dir, 25) == batchTopK(survivors, 25))
+
+    // re-add: fresh membership, identical to never-removed
+    TextIndex.add(spark, dir, victims)
+    assert(TextIndex.size(spark, dir) == all)
+    assert(searchTopK(dir, 25) == batchTopK(docs, 25))
+
+    // compact folds tombstones + dead postings away without changing
+    // any result, and the tombs dir is gone
+    TextIndex.compact(spark, dir)
+    assert(searchTopK(dir, 25) == batchTopK(docs, 25))
+    assert(!graft.store.GenLedger.hasData(spark, s"$dir/tombs"))
+    assert(TextIndex.size(spark, dir) == all)
+  }
+
+  test("torn tombstone append is invisible; commit marker makes it live") {
+    val dir = Files.createTempDirectory("graft-textidx-torn").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    TextIndex.add(spark, dir, docs)
+    val before = searchTopK(dir, 25)
+
+    // hand-write tombstone FILES without the _tcommit_ marker — the
+    // torn-append crash window
+    val g = 999L
+    docs.where(col("doc_id") % 7 === 3)
+      .select(lit(g).as("gen"), col("doc_id"))
+      .write.mode("append").parquet(s"$dir/tombs")
+    assert(searchTopK(dir, 25) == before, "torn tombstone must be invisible")
+    assert(TextIndex.size(spark, dir) == docs.count())
+
+    graft.store.GenLedger.commit(spark, dir, "_tcommit_", g)
+    val survivors = docs.where(col("doc_id") % 7 =!= 3)
+    assert(searchTopK(dir, 25) == batchTopK(survivors, 25))
+  }
+
+  test("interrupted compaction is refused until recovered") {
+    val dir = Files.createTempDirectory("graft-textidx-guard").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    TextIndex.add(spark, dir, docs.where(col("doc_id") < 50))
+    // simulate a crash mid-swap: a leftover postings.old dir
+    val fs = graft.store.GenLedger.fsOf(spark, dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/postings.old"))
+    val e = intercept[RuntimeException] {
+      TextIndex.add(spark, dir, docs.where(col("doc_id") >= 50))
+    }
+    assert(e.getMessage.contains("interrupted compaction"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/postings.old"), true)
+    TextIndex.add(spark, dir, docs.where(col("doc_id") >= 50))
+    assert(TextIndex.size(spark, dir) == docs.count())
+  }
+
+  test("search on an empty index returns the empty shape") {
+    val dir = Files.createTempDirectory("graft-textidx-empty").toString
+    val out = TextIndex.search(spark, dir, terms, 25)
+    assert(out.columns.toSeq ==
+      Seq("doc_id") ++ terms.map("tf_" + _) :+ "bm25")
+    assert(out.count() == 0)
+  }
+}
