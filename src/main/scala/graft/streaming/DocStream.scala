@@ -138,4 +138,42 @@ object DocStream {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Streaming LEXICAL-index ingest — [[nearDupScreen]]'s twin for
+    * [[graft.llm.TextIndex]]: each micro-batch of landed documents is
+    * tokenized once and appended to the persistent BM25 index, so
+    * retrieval (topic selection over the growing corpus) never re-reads
+    * text. The stream's at-least-once delivery composes to exactly-once
+    * membership through add()'s ledger anti-join (a replayed batch is a
+    * no-op; a crash between the postings and ledger appends leaves
+    * duplicates the read path collapses and compaction reclaims).
+    * Compaction rides the checkpointed batch-id cadence, serialized
+    * against add on the index WriterLock — the same
+    * maintenance-in-the-loop discipline as the dedup screen and the
+    * vector graph ingest. */
+  def textIngest(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      indexDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 100,
+      compactEvery: Int = 50,
+      compactTargetFiles: Int = 8): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.TextIndex.add(batch.sparkSession, indexDir, batch)
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+          graft.llm.TextIndex.compact(batch.sparkSession, indexDir,
+            compactTargetFiles)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -145,4 +145,49 @@ class DocStreamSpec extends AnyFunSuite {
     }
     assert(graft.llm.DedupIndex.size(spark, index) == 4L)
   }
+
+  test("textIngest accumulates the lexical index across runs and compacts on cadence") {
+    val base = Files.createTempDirectory("graft-textidx-stream").toString
+    val landing = s"$base/landing"; val index = s"$base/index"
+    val ckpt = s"$base/ckpt"
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val schema = docs.schema
+    val terms = Seq("hash", "scan", "merge")
+    import org.apache.spark.sql.functions.col
+    def batchTopK(d: org.apache.spark.sql.DataFrame) =
+      TextOps.bm25(d, terms).where(col("bm25") > 0d)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(25)
+        .collect().map(_.toSeq).toSeq
+    def idxTopK() =
+      graft.llm.TextIndex.search(spark, index, terms, 25)
+        .collect().map(_.toSeq).toSeq
+
+    // run 1: first half of the corpus in two landed files → two batches
+    // at maxFilesPerTrigger=1; compactEvery=2 fires the fold at batch 1
+    docs.where(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$landing/w1")
+    docs.where(col("doc_id") % 2 =!= 0 && col("doc_id") % 4 === 1)
+      .coalesce(1).write.parquet(s"$landing/w2")
+    DocStream.textIngest(spark, s"$landing/*", schema, index, ckpt,
+      maxFilesPerTrigger = 1, compactEvery = 2, compactTargetFiles = 1)
+      .awaitTermination()
+    for (t <- Seq("postings", "docs")) {
+      val n = new java.io.File(s"$index/$t")
+        .listFiles().count(f => f.getName.endsWith(".parquet"))
+      assert(n == 1, s"$t holds $n files after cadence compaction")
+    }
+    assert(idxTopK() ==
+      batchTopK(docs.where(col("doc_id") % 4 =!= 3)))
+
+    // run 2 (separate query, same checkpoint): the rest of the corpus —
+    // the stored index must now serve the FULL corpus scorer bit-exactly
+    docs.where(col("doc_id") % 4 === 3).coalesce(1)
+      .write.parquet(s"$landing/w3")
+    DocStream.textIngest(spark, s"$landing/*", schema, index, ckpt,
+      maxFilesPerTrigger = 1, compactEvery = 2, compactTargetFiles = 1)
+      .awaitTermination()
+    assert(graft.llm.TextIndex.size(spark, index) == docs.count())
+    assert(idxTopK() == batchTopK(docs))
+  }
 }
