@@ -207,6 +207,72 @@ object Tokenize {
           ORDER BY it"""
       }),
 
+    // t17 — BPE ENCODE: apply t16's trained merges to every document —
+    // the job a pipeline actually runs at 100 TB once the tokenizer is
+    // trained (the trainer touches the vocab; the encoder touches the
+    // corpus). The scale trick mirrors training: merges are applied to
+    // the DISTINCT-word vocabulary only (4 chained folds over
+    // vocab-sized rows), and the corpus-sized work is one (pos, tok)
+    // explode joined to the encoded vocab on the word key — the fold
+    // never runs on corpus rows, and the join is shuffle-keyed on the
+    // token (broadcastable when the vocab is; AQE decides). Per-doc
+    // output is order-exact: pieces reassemble by token position, and
+    // the gate pins the full piece STREAM via md5, so a drifted merge
+    // rule, tie order, or position handling mismatches even when counts
+    // agree. The oracle retrains and re-encodes from scratch with the
+    // identical list_reduce fold.
+    Q("t17_bpe_encode",
+      (s, d) => {
+        val docs = Tables.documentsSpread(s, d)
+        val (log, _) = bpeTrainLog(docs, 4)
+        var enc = wordCounts(docs).select(col("tok"),
+          expr("filter(split(tok, ''), x -> x <> '')").as("symbols"))
+        for ((_, a, b, _) <- log) enc = applyMerge(enc, a, b)
+        val stream = docs
+          .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "tok")))
+          .where(col("tok") =!= "")
+        stream.join(enc.select("tok", "symbols"), Seq("tok"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).cast("int").as("n_words"),
+            expr("""flatten(transform(
+                array_sort(collect_list(struct(pos, symbols))),
+                x -> x.symbols))""").as("pieces"))
+          .select(col("doc_id"), col("n_words"),
+            size(col("pieces")).cast("int").as("n_pieces"),
+            md5(concat_ws("\u0001", col("pieces"))).as("pieces_md5"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val iters = (1 to 4).map { i =>
+          s"""p$i AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(f) AS BIGINT) AS cnt
+               FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i FROM w${i - 1})
+               GROUP BY 1, 2),
+             m$i AS (SELECT a, b FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+             w$i AS (SELECT tok, f, list_reduce(list_transform(syms, s -> [s]),
+                       (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
+                                   THEN list_concat(acc[1:len(acc)-1], [m.a || m.b])
+                                   ELSE list_concat(acc, x) END) AS syms
+                     FROM w${i - 1} CROSS JOIN m$i m)"""
+        }.mkString(",\n        ")
+        s"""WITH w0 AS (
+            SELECT tok, string_split(tok, '') AS syms, CAST(COUNT(*) AS BIGINT) AS f
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+            WHERE tok <> '' GROUP BY tok),
+          $iters,
+          stream AS (
+            SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS pos
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)),
+          perdoc AS (
+            SELECT doc_id, CAST(COUNT(*) AS INT) AS n_words,
+              flatten(list(syms ORDER BY pos)) AS pieces
+            FROM stream JOIN w4 USING (tok)
+            GROUP BY doc_id)
+          SELECT doc_id, n_words, CAST(len(pieces) AS INT) AS n_pieces,
+            md5(array_to_string(pieces, chr(1))) AS pieces_md5
+          FROM perdoc ORDER BY doc_id"""
+      }),
+
     // d11 — cross-source contamination matrix: distinct-shingle Jaccard
     // overlap between every pair of corpus sources (the "is my web crawl
     // leaking into my books split?" QA report). The pair join is keyed
