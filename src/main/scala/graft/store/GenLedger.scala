@@ -3,12 +3,13 @@ package graft.store
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The generation-ledger machinery shared by the three stateful
-  * services ([[graft.llm.DedupIndex]], [[graft.llm.KnnGraphIndex]],
+/** The generation-ledger machinery shared by the stateful services
+  * ([[graft.llm.DedupIndex]], [[graft.llm.KnnGraphIndex]],
+  * [[graft.llm.VectorIndex]], [[graft.llm.TextIndex]],
   * [[graft.llm.CorpusRefresh]]): marker-file generation counter,
   * commit-marker sets, interrupted-compaction guard, and the atomic
   * directory swap. One implementation so the crash contracts — which
-  * are load-bearing in all three — cannot drift apart.
+  * are load-bearing in every caller — cannot drift apart.
   *
   * The conventions, shared verbatim by every caller:
   *  - `_gen_<n>` — the generation high-water mark lives in a marker

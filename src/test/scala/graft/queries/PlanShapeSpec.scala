@@ -189,4 +189,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("HashJoin"),
       s"c7 plan contains a join:\n$plan")
   }
+
+  test("TextIndex.search: the term IN-list reaches the postings scan as a pushed filter") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-textidx").toString
+    graft.llm.TextIndex.add(spark, dir,
+      graft.Tables.documents(spark, sf).select("doc_id", "text")
+        .where(col("doc_id") < 50))
+    val plan = graft.llm.TextIndex.search(spark, dir, Seq("hash", "scan"), 25)
+      .queryExecution.executedPlan.toString
+    // the 100 TB claim: the postings scan prunes to the queried terms
+    // (the bucket-pruned read), so the filter must reach parquet
+    assert(plan.contains("In(tok"), s"term IN-list not pushed:\n$plan")
+  }
 }
