@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * postings plus the doc-length ledger.
   *
   * On-disk layout under `dir` (plain parquet, append-only):
-  *  - `postings/` — (tok, doc_id, tf): one row per (token, document)
-  *    with the term frequency. At 100 TB this is the table you bucket
-  *    by `tok`, so a search scan prunes to the queried terms' buckets.
+  *  - `postings/` — (tok, doc_id, tf, gen): one row per (token,
+  *    document) with the term frequency, stamped with the MEMBERSHIP
+  *    generation it was written under. At 100 TB this is the table you
+  *    bucket by `tok`, so a search scan prunes to the queried terms'
+  *    buckets.
   *  - `docs/` — (doc_id, dl, gen): the doc-length ledger AND the
   *    membership commit point (written LAST, the [[DedupIndex]] write
   *    order); `gen` orders rows against tombstones.
@@ -25,15 +27,21 @@ import org.apache.spark.sql.functions._
   * Re-delivery / crash contract (same discipline as [[DedupIndex]]):
   * postings append FIRST, ledger LAST — a replayed batch anti-joins
   * against the live ledger and is a no-op once the ledger committed; a
-  * crash between the two appends leaves orphan postings the retry
-  * duplicates, and every read path tolerates duplicates (per-(doc,tok)
-  * `max(tf)` — the duplicate rows are byte-identical because tf is a
-  * pure function of the text — and `countDistinct` document
-  * frequencies); [[compact]] physically collapses them. Postings of
-  * REMOVED documents stay on disk until compact; they cost a filtered
-  * row at read time, never a wrong answer, because every read joins
-  * back to the LIVE ledger (the "stale postings die in the verify
-  * join" rule).
+  * crash between the two appends leaves orphan postings that every
+  * read path drops or collapses (rows whose `gen` has no matching live
+  * ledger row are filtered by the (doc_id, gen) join; a retry that
+  * re-lands the SAME generation's rows produces byte-identical
+  * duplicates — tf is a pure function of the text — collapsed by the
+  * per-(doc, tok) `max(tf)`); [[compact]] physically reclaims both.
+  * Postings of REMOVED documents stay on disk until compact; they cost
+  * a filtered row at read time, never a wrong answer, because every
+  * read joins back to the LIVE ledger ON (doc_id, gen) — keying on the
+  * generation, not just the id, is what makes a remove-then-re-add
+  * with DIFFERENT text exact: the old text's postings carry the dead
+  * membership's generation and can never rejoin the fresh one.
+  * (Postings written before this service grew its `gen` column read as
+  * null and match any live membership of their doc — the pre-stamp
+  * doc_id-keyed semantics; a [[compact]] re-stamps them.)
   *
   * Exactness contract (the t8b/t8c gates): [[search]] over the live
   * index is bit-identical to the from-scratch BM25 pass
@@ -98,6 +106,23 @@ object TextIndex {
     * byte-identical and the max-collapse exact. */
   private def tokens: Column = split(lower(col("text")), " ")
 
+  /** Postings with the `gen` column guaranteed present: files written
+    * before the service grew it read as null (mergeSchema keeps a mixed
+    * dir from resolving to a gen-less file's schema), and a null gen is
+    * treated by every consumer as matching any live membership of its
+    * doc — the pre-stamp semantics, until a [[compact]] re-stamps. */
+  private def readPostings(spark: SparkSession, dir: String): DataFrame = {
+    val p = spark.read.option("mergeSchema", "true").parquet(postingsPath(dir))
+    if (p.columns.contains("gen")) p
+    else p.withColumn("gen", lit(null).cast("long"))
+  }
+
+  /** The membership-validity filter: a postings row counts iff it was
+    * written under its doc's LIVE generation (`lgen`) — or predates
+    * stamping entirely. */
+  private def genMatches: Column =
+    col("gen").isNull || col("gen") === col("__lgen")
+
   /** Index `newDocs` (doc_id, text, …): tokenize once, append term
     * postings, then commit membership by appending the doc-length
     * ledger. Already-live doc ids are dropped up front (anti-join on
@@ -110,17 +135,24 @@ object TextIndex {
       graft.store.WriterLock.forIndex(spark, dir).withLock {
     guardCompaction(spark, dir)
     val gen = nextGen(spark, dir)
+    // in-batch dedup: a producer landing the same doc in two files of
+    // one batch (DocStream ingests up to 100 files per trigger) must
+    // not double tf or write two ledger rows — the single-membership
+    // invariant every read join relies on
     val fresh = (liveDocRows(spark, dir) match {
       case None => newDocs
       case Some(l) =>
         newDocs.join(l.select("doc_id"), Seq("doc_id"), "left_anti")
-    }).select(col("doc_id"), tokens.as("t")).localCheckpoint(true)
+    }).dropDuplicates("doc_id")
+      .select(col("doc_id"), tokens.as("t")).localCheckpoint(true)
     if (!fresh.isEmpty) {
-      // postings FIRST (orphans are duplicate-tolerated), ledger LAST
-      // (the membership commit point the anti-join keys on)
+      // postings FIRST (gen-stamped orphans of a lost ledger append are
+      // invisible to the (doc_id, gen) read join), ledger LAST (the
+      // membership commit point the anti-join keys on)
       fresh.select(col("doc_id"), explode(col("t")).as("tok"))
         .groupBy("tok", "doc_id")
         .agg(count(lit(1)).cast("int").as("tf"))
+        .withColumn("gen", lit(gen))
         .write.mode(SaveMode.Append).parquet(postingsPath(dir))
       fresh.select(col("doc_id"),
           org.apache.spark.sql.functions.size(col("t")).as("dl"),
@@ -170,13 +202,20 @@ object TextIndex {
         col("id").as("doc_id") +:
           terms.map(t => lit(0).cast("int").as(s"tf_$t")) :+
           lit(0.0).as("bm25"): _*))
-    // duplicate postings (crash-replay orphans) collapse on max(tf) —
-    // exact, the rows are byte-identical; removed docs' stale postings
-    // die in the inner join to the live ledger below
-    val post = spark.read.parquet(postingsPath(dir))
+    // validity BEFORE the collapse: the (doc_id, gen) join to the live
+    // ledger drops removed docs' postings AND a dead membership's
+    // old-text rows (a re-added doc must never merge its previous
+    // text's tf/df into the fresh one); what survives per (doc, tok)
+    // is then at most byte-identical same-gen crash-replay duplicates,
+    // collapsed exactly by max(tf). One live row per doc (the ledger's
+    // single-membership invariant), so the inner join duplicates
+    // nothing, and the doc_id partitioning it establishes feeds the
+    // (doc_id, tok) groupBy with no further exchange.
+    val post = readPostings(spark, dir)
       .where(col("tok").isin(terms: _*))
+      .join(live.select(col("doc_id"), col("gen").as("__lgen")), Seq("doc_id"))
+      .where(genMatches)
       .groupBy("doc_id", "tok").agg(max("tf").as("tf"))
-      .join(live.select("doc_id"), Seq("doc_id"), "left_semi")
     // (doc_id, tok) unique after the collapse, so df is a plain
     // conditional count; corpus stats come from the ledger. Both are
     // 1-row frames — the only exchanges besides the final TakeOrdered.
@@ -211,11 +250,15 @@ object TextIndex {
     liveDocRows(spark, dir).map(_.count()).getOrElse(0L)
 
   /** Compact the append-only index: fold live ledger rows to one fresh
-    * generation, reclaim removed docs' postings (live semi-join) and
-    * crash-replay duplicates (distinct — exact, duplicates are
-    * byte-identical), drop tombstones and their markers. Atomic per
-    * table via [[graft.store.GenLedger.swapIn]]; an interrupted swap is
-    * refused by guardCompaction until recovered, and a stale tombstone
+    * generation, reclaim dead postings (rows whose gen matches no live
+    * membership — removed docs, dead-membership old text, lost-ledger
+    * orphans) and crash-replay duplicates (distinct — exact, duplicates
+    * are byte-identical), drop tombstones and their markers. The two
+    * tables rewrite TOGETHER or not at all: both re-stamp to the same
+    * fold generation, and a docs-only rewrite would orphan every
+    * postings row's gen. Atomic per table via
+    * [[graft.store.GenLedger.swapIn]]; an interrupted swap is refused
+    * by guardCompaction until recovered, and a stale tombstone
     * surviving any crash window is inert against the re-stamped rows
     * (their fresh generation outranks it). */
   def compact(spark: SparkSession, dir: String,
@@ -223,30 +266,33 @@ object TextIndex {
       graft.store.WriterLock.forIndex(spark, dir).withLock {
     guardCompaction(spark, dir)
     val hasTombs = committedTombGens(spark, dir).nonEmpty
+    val nDocs = graft.store.GenLedger.dataFileCount(spark, docsPath(dir))
+    val nPost = graft.store.GenLedger.dataFileCount(spark, postingsPath(dir))
+    // joint no-op guard: a pass that rewrote only one table would leave
+    // docs.gen and postings.gen referring to different numberings
+    if (!exists(spark, docsPath(dir)) ||
+        (!hasTombs && nDocs <= numFiles && nPost <= numFiles))
+      return Map("docs" -> (nDocs, nDocs), "postings" -> (nPost, nPost))
     val foldGen = if (hasTombs) nextGen(spark, dir) else 0L
-    def rewrite(name: String, p: String,
-        content: => DataFrame): (String, (Int, Int)) = {
-      if (!exists(spark, p)) name -> (0, 0)
-      else {
-        val nOld = graft.store.GenLedger.dataFileCount(spark, p)
-        if (nOld <= numFiles && !hasTombs) name -> (nOld, nOld)
-        else name -> (nOld, graft.store.GenLedger.swapIn(spark, p, content, numFiles))
-      }
-    }
+    // live (doc_id, gen) pairs pinned BEFORE the docs swap re-stamps
+    // them — the postings rewrite below must key on the generations the
+    // postings rows were actually written under
+    val live = liveDocRows(spark, dir).get
+      .select("doc_id", "dl", "gen").localCheckpoint(true)
     val out = Map(
-      rewrite("docs", docsPath(dir),
-        liveDocRows(spark, dir).get.select("doc_id", "dl")
-          .withColumn("gen", lit(foldGen))),
-      rewrite("postings", postingsPath(dir), {
-        val p = spark.read.parquet(postingsPath(dir))
-          .select("tok", "doc_id", "tf").distinct()
-        liveDocRows(spark, dir) match {
-          case None => p
-          case Some(l) =>
-            p.join(l.select("doc_id"), Seq("doc_id"), "left_semi")
-              .select("tok", "doc_id", "tf")
-        }
-      }))
+      "docs" -> (nDocs, graft.store.GenLedger.swapIn(spark, docsPath(dir),
+        live.select("doc_id", "dl").withColumn("gen", lit(foldGen)),
+        numFiles)),
+      "postings" -> (nPost,
+        if (nPost == 0) 0
+        else graft.store.GenLedger.swapIn(spark, postingsPath(dir),
+          readPostings(spark, dir).distinct()
+            .join(live.select(col("doc_id"), col("gen").as("__lgen")),
+              Seq("doc_id"))
+            .where(genMatches)
+            .select(col("tok"), col("doc_id"), col("tf"),
+              lit(foldGen).as("gen")),
+          numFiles)))
     if (hasTombs) {
       val fs = graft.store.GenLedger.fsOf(spark, dir)
       fs.delete(new org.apache.hadoop.fs.Path(tombsPath(dir)), true)

@@ -128,10 +128,14 @@ object VectorOps {
         val cents = e.where(col("vec_id") < 16)
           .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
         // all (vector, centroid) cosines: 16 rows broadcast, map-side score
+        // feeds both the assignment and the probe selection — and is
+        // deliberately NOT cached: the probe branch's vec_id<50 filter
+        // pushes into the parquet scan (a ~50-row recompute), while a
+        // cache would pin corpus×16 rows WITH embeddings in executor
+        // memory for the rest of the session and block the pushdown
         val scored = e.join(broadcast(cents))
           .select(col("vec_id"), col("embedding"), col("cent_id"),
             cosine(col("embedding"), col("ce")).as("ccos"))
-          .cache() // feeds both the assignment and the probe selection
         val byCent = Window.partitionBy("vec_id")
           .orderBy(col("ccos").desc, col("cent_id"))
         val assigned = scored.withColumn("rn", row_number().over(byCent))
@@ -567,10 +571,12 @@ object VectorOps {
         // coarse quantizer: v5's pinned 16-centroid cosine assignment
         val cents = e.where(col("vec_id") < 16)
           .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+        // NOT cached (v5's rationale): the probe branch's filter pushes
+        // into the scan when uncached, and a cached corpus×16 frame
+        // would stay pinned in executor memory for the whole session
         val scored = e.join(broadcast(cents))
           .select(col("vec_id"), col("cent_id"),
             cosine(col("embedding"), col("ce")).as("ccos"))
-          .cache() // feeds both the assignment and the probe selection
         val byCent = Window.partitionBy("vec_id")
           .orderBy(col("ccos").desc, col("cent_id"))
         val assigned = scored.withColumn("rn", row_number().over(byCent))

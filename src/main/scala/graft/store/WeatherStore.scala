@@ -229,15 +229,16 @@ final class WeatherStore(spark: SparkSession, root: String) {
         // a 100k universe on one in ~30 runs). One day's partition is
         // small relative to the store, so the extra sampling pass is
         // noise; the payoff is deterministic footer-skipping locality.
-        val sampleKey = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
-        val prevSample = spark.conf.getOption(sampleKey)
-        spark.conf.set(sampleKey, "10000")
-        try arrange(spark.read.option("mergeSchema", "true").parquet(dir.toString))
+        // scope the override to a child session: newSession shares the
+        // SparkContext (and its spark.sql.* builder conf) but owns its
+        // SQLConf, so a concurrent query on the caller's session never
+        // sees the 100× sampling rate — set/restore on the shared conf
+        // would leak it for the duration of the rewrite
+        val scoped = spark.newSession()
+        scoped.conf.set(
+          "spark.sql.execution.rangeExchange.sampleSizePerPartition", "10000")
+        arrange(scoped.read.option("mergeSchema", "true").parquet(dir.toString))
           .write.parquet(tmp.toString)
-        finally prevSample match {
-          case Some(v) => spark.conf.set(sampleKey, v)
-          case None => spark.conf.unset(sampleKey)
-        }
         val parts = fs.listStatus(tmp).map(_.getPath)
           .filter(p => p.getName.endsWith(".parquet"))
         // FileSystem.rename reports failure by RETURNING false — abort

@@ -105,6 +105,42 @@ class TextIndexSpec extends AnyFunSuite {
     assert(TextIndex.size(spark, dir) == all)
   }
 
+  test("re-add with DIFFERENT text serves the new text only; compact keeps it") {
+    val dir = Files.createTempDirectory("graft-textidx-readd").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    TextIndex.add(spark, dir, docs)
+
+    // remove a slice, then re-add the SAME ids with rewritten text —
+    // the old text's postings are a dead membership's rows and must
+    // not merge into the fresh one (old max(tf) / df resurrection)
+    val victims = docs.where(col("doc_id") % 7 === 3)
+    TextIndex.remove(spark, dir, victims.select("doc_id"))
+    val rewritten = victims.select(col("doc_id"),
+      concat(lit("hash hash scan rewritten "), col("text")).as("text"))
+    TextIndex.add(spark, dir, rewritten)
+
+    val corpusNow = docs.where(col("doc_id") % 7 =!= 3).unionByName(rewritten)
+    assert(TextIndex.size(spark, dir) == docs.count())
+    assert(searchTopK(dir, 25) == batchTopK(corpusNow, 25),
+      "stale old-text postings must not contribute tf or df")
+
+    // compact reclaims the dead membership's postings without changing
+    // any result
+    TextIndex.compact(spark, dir, numFiles = 1)
+    assert(searchTopK(dir, 25) == batchTopK(corpusNow, 25))
+  }
+
+  test("duplicate doc_id rows within one add batch index once") {
+    val dir = Files.createTempDirectory("graft-textidx-batchdup").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    // the DocStream shape: one trigger lands the same doc from two files
+    TextIndex.add(spark, dir, docs.unionByName(docs.where(col("doc_id") % 5 === 0)))
+    assert(TextIndex.size(spark, dir) == docs.count(),
+      "a doc landing twice in one batch must produce one membership")
+    assert(searchTopK(dir, 25) == batchTopK(docs, 25),
+      "in-batch duplicates must not double tf or df")
+  }
+
   test("torn tombstone append is invisible; commit marker makes it live") {
     val dir = Files.createTempDirectory("graft-textidx-torn").toString
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
