@@ -83,7 +83,14 @@ object Bench {
     // executor/JVM spin-up so the first warm-in isn't also paying that
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args = run only these queries (the isolated fresh-JVM
+    // measurement protocol SCALING.md's drift adjudications use); no
+    // args = the driver's full sweep
+    val names =
+      if (args.nonEmpty) args.toSeq.sorted.map { n =>
+        require(SparkEntry.queries.contains(n), s"unknown query: $n"); n
+      }
+      else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> measure(n))
     // 3-decimal (millisecond) precision: full-double repr made the line
     // ~3.5 KB and the round harness records only a 2000-char output tail,
@@ -101,11 +108,27 @@ object Bench {
       java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
     catch { case _: Throwable => () }
     println(line)
+    // Bench-pair drift guard (VERDICT r10 #1): every registered query
+    // must have a row in the committed DuckDB baseline sweep, or the 2×
+    // bar silently loses coverage as queries are added. Full sweeps
+    // surface the gap in the artifact line; subset runs skip the check.
+    val unpaired =
+      if (args.nonEmpty) Seq.empty
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_DUCKDB.json")))
+        SparkEntry.queries.keys.toSeq.sorted
+          .filterNot(k => txt.contains("\"" + k + "\""))
+      } catch { case _: Throwable => Seq.empty }
+    if (unpaired.nonEmpty)
+      System.err.println(s"[bench] WARNING: ${unpaired.size} queries have " +
+        s"no BENCH_DUCKDB.json pair: ${unpaired.mkString(",")} — " +
+        "re-run scripts/duckdb_bench.py and commit the refreshed sweep")
     // The harness records only the LAST 2000 chars of output, which
     // beheads the ~2.5 KB full line (every round's artifact shows
     // parsed:null); this final short line always survives the tail
     // intact and points at the committed full artifact.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","queries_in":"BENCH_FULL.json","n_queries":${results.size}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","queries_in":"BENCH_FULL.json","n_queries":${results.size},"unpaired_duckdb":${unpaired.size}}""")
     spark.stop()
   }
 }

@@ -141,6 +141,22 @@ object Components {
     * original component's minimum — exactly the contract. A graph not
     * yet at fixpoint cannot pass the check (some chain of length ≥ 2
     * survives ⟹ its middle node is both child and parent).
+    *
+    * The check stays a SEPARATE action per round BY MEASUREMENT, not
+    * oversight. Fusing it into the round job (the 1-row violation count
+    * cross-joined back onto every row through the round's own distinct()
+    * exchange, so the checkpoint materializes the verdict and the exit
+    * test becomes a 1-row take) was built and measured in round 11
+    * (FusionProbe, d13 chain at sf0.1): the FIRST round's plan reuses
+    * exchanges as designed (6 Exchange / 5 ReusedExchange), but from
+    * round 2 on — once the loop input is a checkpoint that itself came
+    * from a fused round — ReuseExchange stops matching entirely (31
+    * exchanges, 0 reused, the round lineage expanded ~6×), and a round
+    * costs 2.5-3.3 s / ~7000 task-ms vs 0.9-1.1 s / ~650 task-ms for
+    * this two-action shape. Whole-query: d13 4.7 → 14.6 s, d13b 3.8 →
+    * 12.7 s. The check job reads the just-written checkpoint blocks, so
+    * its marginal cost is one shuffle over O(|edges|) local data —
+    * cheaper than any known way of hiding it.
     */
   def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 40): DataFrame =
     connectedComponentsStarStats(pairs, maxIters)._1
