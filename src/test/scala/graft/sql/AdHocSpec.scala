@@ -70,4 +70,70 @@ class AdHocSpec extends AnyFunSuite {
     // a statement list never parses as one plan — rejected at parse, not run
     intercept[Exception] { AdHoc.run(spark, "SELECT 1; DROP TABLE obs_view") }
   }
+
+  test("fuzz: every write kernel under every disguise wrapper is rejected, with zero effect") {
+    // POST /query is the public arbitrary-SQL surface (the reference UI
+    // left its SELECT-only guard as a TODO, ui/main.js:130). Cartesian
+    // fuzz: write/DDL/state kernels × syntactic disguises. Contract per
+    // combination: AdHoc.run throws (NotAQueryException when it parses
+    // to a plan the guard sees, ParseException when the disguise is
+    // ungrammatical — both are rejections) and NOTHING executes.
+    AdHoc.registerViews(spark, Map("fz_view" ->
+      Seq(("A", 1), ("B", 2)).toDF("station_id", "v")))
+    val kernels = Seq(
+      "INSERT INTO fz_view VALUES ('X', 9)",
+      "INSERT OVERWRITE TABLE fz_view VALUES ('X', 9)",
+      "DROP TABLE fz_view",
+      "DROP VIEW fz_view",
+      "CREATE TABLE fz_sink(a INT) USING parquet",
+      "CREATE TABLE fz_sink USING parquet AS SELECT * FROM fz_view",
+      "CREATE OR REPLACE TEMPORARY VIEW fz_view AS SELECT 'P' AS station_id, 0 AS v",
+      "CREATE GLOBAL TEMPORARY VIEW fz_g AS SELECT 1",
+      "ALTER TABLE fz_view ADD COLUMNS (z INT)",
+      "TRUNCATE TABLE fz_view",
+      "DELETE FROM fz_view WHERE v = 1",
+      "UPDATE fz_view SET v = 0",
+      "MERGE INTO fz_view USING fz_view s ON 1=1 WHEN MATCHED THEN DELETE",
+      "SET spark.sql.shuffle.partitions=1",
+      "RESET",
+      "CACHE TABLE fz_view",
+      "UNCACHE TABLE fz_view",
+      "REFRESH TABLE fz_view",
+      "ANALYZE TABLE fz_view COMPUTE STATISTICS",
+      "LOAD DATA INPATH '/tmp/x' INTO TABLE fz_view",
+      "CREATE FUNCTION fz_f AS 'java.lang.String'",
+      "ADD JAR '/tmp/evil.jar'")
+    val wrap: Seq[String => String] = Seq(
+      identity,
+      s => s"  \n\t$s",
+      s => s"/* audit: read-only */ $s",
+      s => s"$s -- trailing comment",
+      s => s"EXPLAIN $s",
+      s => s"EXPLAIN EXTENDED $s",
+      s => s"WITH q AS (SELECT 1) $s",
+      s => s"WITH q AS (SELECT 1), r AS (SELECT * FROM q) $s",
+      s => s"SELECT 1; $s",
+      s => s"$s; SELECT 1",
+      s => s.toLowerCase)
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    for (k <- kernels; w <- wrap) {
+      val sql = w(k)
+      val e = intercept[Exception] { AdHoc.run(spark, sql) }
+      assert(e.isInstanceOf[AdHoc.NotAQueryException] ||
+        e.getClass.getName.contains("Parse"),
+        s"unexpected rejection type ${e.getClass} for: $sql")
+    }
+    // zero effect: the view still serves its original rows, no sink or
+    // function appeared, session conf untouched, nothing cached
+    assert(AdHoc.run(spark, "SELECT sum(v) FROM fz_view").head.getLong(0) == 3L)
+    assert(!spark.catalog.tableExists("fz_sink"))
+    assert(!spark.catalog.functionExists("fz_f"))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == partsBefore)
+    assert(!spark.catalog.isCached("fz_view"))
+    // and the same wrappers around a legitimate query still pass
+    for (w <- Seq(wrap(1), wrap(2), wrap(3), wrap(6), wrap(7))) {
+      assert(AdHoc.run(spark, w("SELECT count(*) FROM fz_view"))
+        .head.getLong(0) == 2L)
+    }
+  }
 }
