@@ -10,7 +10,8 @@ object SparkEntry {
   /** All correctness-gated queries, in registration order. */
   def allQs: Seq[Q] =
     Relational.all ++ TextOps.all ++ Tokenize.all ++
-      graft.llm.CorpusEtl.all ++ VectorOps.all ++ Hybrid.all ++
+      graft.llm.CorpusEtl.all ++ graft.llm.PipelineE2e.all ++
+      VectorOps.all ++ Hybrid.all ++
       ScaleOps.all ++ WeatherGate.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

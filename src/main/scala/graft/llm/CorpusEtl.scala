@@ -131,7 +131,12 @@ object CorpusEtl {
     * the IDENTICAL output from the incremental [[CorpusRefresh]] state;
     * c1c from the refresh state AFTER a takedown — its oracle is the
     * from-scratch run on the SURVIVING subset. */
-  private def corpusPrepSqlFrom(src: String): String = s"""WITH RECURSIVE tok AS (
+  /** The corpus-prep oracle's CTE chain over `src`, ending in a `prep`
+    * CTE that exposes the kept canonical documents WITH their redacted
+    * text — shared by the c1 family (which hashes the text in its final
+    * projection) and the p1 end-to-end pipeline gate (which keeps
+    * tokenizing it downstream). */
+  private[llm] def corpusPrepCtes(src: String): String = s"""WITH RECURSIVE tok AS (
           SELECT doc_id, lang, text, string_split(lower(text), ' ') AS t
           FROM $src),
         g AS (SELECT doc_id,
@@ -181,18 +186,24 @@ object CorpusEtl {
           SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
         comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
         cs AS (SELECT component, CAST(COUNT(*) AS INT) AS cluster_size
-               FROM comp GROUP BY component)
-        SELECT exk.doc_id, exk.lang, exk.n_tokens, exk.n_copies,
-          COALESCE(cs.cluster_size, 1) AS cluster_size,
-          md5(regexp_replace(regexp_replace(regexp_replace(exk.text,
-            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-            '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
-            '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '<PHONE>', 'g')) AS redacted_md5
-        FROM exk
-        LEFT JOIN comp ON exk.doc_id = comp.doc_id
-        LEFT JOIN cs ON COALESCE(comp.component, exk.doc_id) = cs.component
-        WHERE COALESCE(comp.component, exk.doc_id) = exk.doc_id
-        ORDER BY exk.doc_id"""
+               FROM comp GROUP BY component),
+        prep AS MATERIALIZED (
+          SELECT exk.doc_id, exk.lang, exk.n_tokens, exk.n_copies,
+            COALESCE(cs.cluster_size, 1) AS cluster_size,
+            regexp_replace(regexp_replace(regexp_replace(exk.text,
+              '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+              '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+              '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '<PHONE>', 'g') AS redacted
+          FROM exk
+          LEFT JOIN comp ON exk.doc_id = comp.doc_id
+          LEFT JOIN cs ON COALESCE(comp.component, exk.doc_id) = cs.component
+          WHERE COALESCE(comp.component, exk.doc_id) = exk.doc_id)"""
+
+  private def corpusPrepSqlFrom(src: String): String =
+    corpusPrepCtes(src) + """
+        SELECT doc_id, lang, n_tokens, n_copies, cluster_size,
+          md5(redacted) AS redacted_md5
+        FROM prep ORDER BY doc_id"""
 
   private lazy val corpusPrepSql: String = corpusPrepSqlFrom("documents")
 

@@ -37,10 +37,10 @@ object VectorOps {
   }
 
   /** DuckDB mirror of [[dot]] (list_sum is a sequential fold too). */
-  private[queries] def duckDot(a: String, b: String): String =
+  private[graft] def duckDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
 
-  private[queries] def duckCos(a: String, b: String): String =
+  private[graft] def duckCos(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
   /** 6-bit sign-signature over fixed dims (axis-aligned hyperplane LSH). */
@@ -837,7 +837,7 @@ object VectorOps {
   /** DuckDB mirror of KMeans' squared-L2 fold (list_sum is the same
     * sequential double fold duckDot relies on, so cell ranking is
     * bit-identical cross-engine). */
-  private def duckSqL2(a: String, b: String): String =
+  private[graft] def duckSqL2(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), " +
       s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE)))"
 
