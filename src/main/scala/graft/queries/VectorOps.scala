@@ -566,77 +566,8 @@ object VectorOps {
     // Same exactness posture as v8: fixed-order 16-term folds, 4-term
     // ADC sums in subspace order, argmin/rank ties on the lower id.
     Q("v10_ivf_pq",
-      (s, d) => {
-        val e = Tables.embeddingsSpread(s, d)
-        // coarse quantizer: v5's pinned 16-centroid cosine assignment
-        val cents = e.where(col("vec_id") < 16)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-        // NOT cached (v5's rationale): the probe branch's filter pushes
-        // into the scan when uncached, and a cached corpus×16 frame
-        // would stay pinned in executor memory for the whole session
-        val scored = e.join(broadcast(cents))
-          .select(col("vec_id"), col("cent_id"),
-            cosine(col("embedding"), col("ce")).as("ccos"))
-        val byCent = Window.partitionBy("vec_id")
-          .orderBy(col("ccos").desc, col("cent_id"))
-        val assigned = scored.withColumn("rn", row_number().over(byCent))
-          .where(col("rn") === 1)
-          .select(col("vec_id"), col("cent_id").as("cell"))
-        val probes = scored.where(col("vec_id") < 50)
-          .withColumn("rn", row_number().over(byCent)).where(col("rn") <= 2)
-          .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
-        // product codes: v8's 4×16-codeword encoding + per-query tables
-        val subs = expr("transform(sequence(0, 3), s -> slice(embedding, s * 16 + 1, 16))")
-        val parts = e.select(col("vec_id"),
-          posexplode(subs).as(Seq("sub", "sv")))
-        val cb = parts.where(col("vec_id") < 16)
-          .select(col("vec_id").cast("int").as("j"), col("sub"), col("sv").as("cw"))
-        val l2 = expr("""aggregate(zip_with(sv, cw,
-            (x, y) -> (cast(x as double) - cast(y as double)) *
-                      (cast(x as double) - cast(y as double))),
-          0d, (acc, v) -> acc + v)""")
-        val dists = parts.join(broadcast(cb), Seq("sub"))
-          .select(col("vec_id"), col("sub"), col("j"), l2.as("dist"))
-        val enc = dists
-          .groupBy("vec_id", "sub")
-          .agg(min(struct(col("dist"), col("j"))).as("m"))
-          .select(col("vec_id"), col("sub"), col("m.j").as("code"))
-          .groupBy("vec_id")
-          .agg(expr("transform(array_sort(collect_list(struct(sub, code))), x -> x.code)")
-            .as("codes"))
-        val dtab = dists.where(col("vec_id") < 50)
-          .select(col("vec_id").as("qid"), (col("sub") * 16 + col("j")).as("pos"), col("dist"))
-          .groupBy("qid")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, dist))), x -> x.dist)")
-            .as("dt"))
-        // the composition: candidates are probed-cell members only (a
-        // vector has ONE cell, so a (qid, nid) pair arises at most once)
-        val cand = probes.join(assigned, Seq("cell"))
-          .where(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("nid"))
-        val adc = cand
-          .join(enc.select(col("vec_id").as("nid"), col("codes")), Seq("nid"))
-          .join(broadcast(dtab), Seq("qid"))
-          .select(col("qid"), col("nid"),
-            (element_at(col("dt"), expr("codes[0] + 1")) +
-              element_at(col("dt"), expr("codes[1] + 17")) +
-              element_at(col("dt"), expr("codes[2] + 33")) +
-              element_at(col("dt"), expr("codes[3] + 49"))).as("adc_dist"))
-        val w1 = Window.partitionBy("qid").orderBy(col("adc_dist"), col("nid"))
-        val top = adc.withColumn("r", row_number().over(w1)).where(col("r") <= 10)
-        // ONLY the ADC survivors rejoin full-precision embeddings
-        val rr = top
-          .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
-          .join(broadcast(e.where(col("vec_id") < 50)
-            .select(col("vec_id").as("qid"), col("embedding").as("qe"))), Seq("qid"))
-          .select(col("qid"), col("nid"), col("adc_dist"),
-            cosine(col("qe"), col("ne")).as("cos_sim"))
-        val w2 = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
-        rr.withColumn("rnk", row_number().over(w2).cast("int"))
-          .where(col("rnk") <= 3)
-          .select("qid", "nid", "rnk", "adc_dist", "cos_sim")
-          .orderBy("qid", "rnk")
-      },
+      (s, d) => ivfPqSearch(Tables.embeddingsSpread(s, d),
+        col("vec_id") < 50, k = 3, adcKeep = 10, nprobe = 2),
       Some(s"""WITH cents AS (
           SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
         cscored AS (
@@ -820,6 +751,89 @@ object VectorOps {
       },
       Some(knnGraphSqlOver("WHERE vec_id % 10 <> 6")))
   )
+
+  /** The v10 IVF-PQ search pipeline, parameterized so the oracle gate
+    * (pinned fixture: 50 queries, top-3 from 10 ADC survivors, 2
+    * probes) and AnnRecallSpec's 10×-replica recall measurement drive
+    * the SAME code. Coarse quantizer and the 4×16 PQ codewords both
+    * come from the first 16 vectors (the v5/v8 fixture posture);
+    * candidates are probed-cell members only, distances are 4 ADC
+    * table lookups, and only the `adcKeep` ADC survivors per query
+    * rejoin full-precision embeddings for the exact cosine re-rank.
+    * Fixed-order 16-term folds, 4-term ADC sums in subspace order,
+    * argmin/rank ties on the lower id — the oracle-matched arithmetic. */
+  private[graft] def ivfPqSearch(e: DataFrame, isQuery: Column, k: Int,
+      adcKeep: Int, nprobe: Int): DataFrame = {
+    // coarse quantizer: v5's pinned 16-centroid cosine assignment
+    val cents = e.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    // NOT cached (v5's rationale): the probe branch's filter pushes
+    // into the scan when uncached, and a cached corpus×16 frame
+    // would stay pinned in executor memory for the whole session
+    val scored = e.join(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        cosine(col("embedding"), col("ce")).as("ccos"))
+    val byCent = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = scored.withColumn("rn", row_number().over(byCent))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val probes = scored.where(isQuery)
+      .withColumn("rn", row_number().over(byCent)).where(col("rn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
+    // product codes: v8's 4×16-codeword encoding + per-query tables
+    val subs = expr("transform(sequence(0, 3), s -> slice(embedding, s * 16 + 1, 16))")
+    val parts = e.select(col("vec_id"),
+      posexplode(subs).as(Seq("sub", "sv")))
+    val cb = parts.where(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("j"), col("sub"), col("sv").as("cw"))
+    val l2 = expr("""aggregate(zip_with(sv, cw,
+        (x, y) -> (cast(x as double) - cast(y as double)) *
+                  (cast(x as double) - cast(y as double))),
+      0d, (acc, v) -> acc + v)""")
+    val dists = parts.join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("j"), l2.as("dist"))
+    val enc = dists
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("j"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.j").as("code"))
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(sub, code))), x -> x.code)")
+        .as("codes"))
+    val dtab = dists.where(isQuery)
+      .select(col("vec_id").as("qid"), (col("sub") * 16 + col("j")).as("pos"), col("dist"))
+      .groupBy("qid")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, dist))), x -> x.dist)")
+        .as("dt"))
+    // the composition: candidates are probed-cell members only (a
+    // vector has ONE cell, so a (qid, nid) pair arises at most once
+    // per probed cell)
+    val cand = probes.join(assigned, Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"))
+    val adc = cand
+      .join(enc.select(col("vec_id").as("nid"), col("codes")), Seq("nid"))
+      .join(broadcast(dtab), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        (element_at(col("dt"), expr("codes[0] + 1")) +
+          element_at(col("dt"), expr("codes[1] + 17")) +
+          element_at(col("dt"), expr("codes[2] + 33")) +
+          element_at(col("dt"), expr("codes[3] + 49"))).as("adc_dist"))
+    val w1 = Window.partitionBy("qid").orderBy(col("adc_dist"), col("nid"))
+    val top = adc.withColumn("r", row_number().over(w1)).where(col("r") <= adcKeep)
+    // ONLY the ADC survivors rejoin full-precision embeddings
+    val rr = top
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
+      .join(broadcast(e.where(isQuery)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))), Seq("qid"))
+      .select(col("qid"), col("nid"), col("adc_dist"),
+        cosine(col("qe"), col("ne")).as("cos_sim"))
+    val w2 = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    rr.withColumn("rnk", row_number().over(w2).cast("int"))
+      .where(col("rnk") <= k)
+      .select("qid", "nid", "rnk", "adc_dist", "cos_sim")
+      .orderBy("qid", "rnk")
+  }
 
   /** v5b/v5c's pinned codebook: the first 16 vectors (by id), as
     * doubles, cell id = rank. The DuckDB oracle reconstructs exactly

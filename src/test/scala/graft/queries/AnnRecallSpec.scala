@@ -78,4 +78,60 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r4 >= 0.5, f"nprobe=4 recall collapsed: $r4%.3f")
     assert(r1 >= 0.2, f"nprobe=1 recall collapsed: $r1%.3f")
   }
+
+  test("IVF-PQ (v10 composition) recall@10 on the 10x replica holds its floor") {
+    // The configuration actually shipped at 100 TB is IVF × PQ-ADC ×
+    // exact-rerank (v10). Its oracle gate pins arithmetic at sf0.01;
+    // THIS pins retrieval quality at the 10× replica (20k vectors):
+    // the Spark pipeline itself runs (not a driver-side re-derivation),
+    // recall is measured against brute-force exact top-10, and the
+    // floors are pinned from measurement so a quantization or probe
+    // regression fails loudly. Cancels (not fails) when the replica
+    // hasn't been built on this host (ScaleBuild writes it to /tmp).
+    val replica = "/tmp/graft-scale/full10x"
+    assume(new java.io.File(s"$replica/embeddings.parquet").exists,
+      "10x replica not built on this host")
+    val topK = 10
+    val e = Tables.embeddings(spark, replica)
+    val vecs: Map[Long, Array[Float]] = e
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val queries = (0L until 20L).toSeq
+    val exact: Map[Long, Set[Long]] = queries.map { q =>
+      q -> vecs.keySet.filter(_ != q).toSeq
+        .sortBy(n => (-cos(vecs(q), vecs(n)), n)).take(topK).toSet
+    }.toMap
+    def recallAt(nprobe: Int, adcKeep: Int): Double = {
+      val got: Map[Long, Set[Long]] = VectorOps.ivfPqSearch(
+          e.select("vec_id", "embedding"), col("vec_id") < 20,
+          k = topK, adcKeep = adcKeep, nprobe = nprobe)
+        .select("qid", "nid").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val rs = queries.map { q =>
+        (got.getOrElse(q, Set.empty) intersect exact(q)).size.toDouble / topK
+      }
+      rs.sum / rs.length
+    }
+    val r20 = recallAt(2, 20)
+    val r100 = recallAt(2, 100)
+    val r200 = recallAt(2, 200)
+    info(f"IVF-PQ recall@10 at 10x (nprobe=2): adcKeep=20 $r20%.3f  100 $r100%.3f  200 $r200%.3f")
+    // Measured round 11 (full grid in the commit): with the pinned
+    // fixture codebook (first 16 vectors as coarse centroids AND PQ
+    // codewords — the oracle posture, NOT trained), recall is
+    // ADC-BOUNDED, not probe-bounded: widening nprobe 2→8 left
+    // recall flat (0.195→0.185) while deepening the exact-rerank pool
+    // adcKeep 20→200 lifted it 0.195→0.565 — more candidates only
+    // help once the rerank can rescue what coarse ADC ordering
+    // misranks. That is the production lever too (rerank depth
+    // 10-100× k); the trained-quantizer path's probe-scaling recall
+    // is gated by the k-means test above. Floors pinned just under
+    // measurement so a quantization/indexing regression fails loudly.
+    assert(r100 >= r20 - 1e-9 && r200 >= r100 - 1e-9,
+      f"recall must not degrade with rerank depth: $r20%.3f/$r100%.3f/$r200%.3f")
+    assert(r20 >= 0.15, f"IVF-PQ 10x adcKeep=20 recall collapsed: $r20%.3f")
+    assert(r100 >= 0.35, f"IVF-PQ 10x adcKeep=100 recall collapsed: $r100%.3f")
+    assert(r200 >= 0.50, f"IVF-PQ 10x adcKeep=200 recall collapsed: $r200%.3f")
+  }
 }
