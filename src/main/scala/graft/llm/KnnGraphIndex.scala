@@ -390,6 +390,69 @@ object KnnGraphIndex {
   def size(spark: SparkSession, dir: String): Long =
     liveLedger(spark, dir).map(_.count()).getOrElse(0L)
 
+  /** Graph-descent ANN serve over the STORED graph — the HNSW-shaped
+    * alternative to IVF probing (Malkov & Yashunin's search loop on a
+    * single-layer NSW graph, batch-beam form): start every query at the
+    * deterministic entry point (the minimum live id), and for `hops`
+    * rounds expand the current beam's adjacency lists, score the newly
+    * reached vectors by exact cosine, and keep the best `beam` visited
+    * per query; the answer is the top-`k` of everything visited
+    * (excluding the query itself). Batch-synchronous expansion (whole
+    * beam per hop, fixed hop count) instead of the classical
+    * one-candidate priority queue — same contract, but deterministic
+    * and flat-SQL-enumerable, so the v11 gate can pin it against a
+    * DuckDB recompute.
+    *
+    * Scale shape: per-query state is O(beam·k·hops) ids. Each hop
+    * collects the frontier's ≤ queries×beam DISTINCT ids to the driver
+    * (driver-bounded, the VectorIndex.loadCentroids posture) and pushes
+    * them into the graph scan as an IN-list — the adjacency read prunes
+    * to the frontier's rows (at 100 TB: the vec_id-bucketed lookup), so
+    * per-hop work is O(frontier × degree), never graph-sized. Scoring
+    * joins only the newly-visited ids' embeddings.
+    */
+  def beamSearch(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, beam: Int, hops: Int): DataFrame = {
+    require(k >= 1 && beam >= 1 && hops >= 0)
+    val live = liveLedger(spark, dir).getOrElse(
+      return spark.range(0).select(col("id").as("qid"), col("id").as("nid"),
+        lit(0).cast("int").as("rnk"), lit(0d).as("cos_sim")))
+    val emb = live.select(col("vec_id"), col("embedding"))
+    val adj = resolve(spark, dir).select(col("vec_id"), col("nid"))
+    val entry = live.agg(min("vec_id")).head.getLong(0)
+    val q = queries.select(col("qid"), col("qe"))
+
+    // visited/beam state: (qid, nid, cos_sim) — scored once per reached
+    // pair, tiny (queries × beam·k·hops rows), kept as lazy lineage
+    // (hops is a small constant; no checkpoint needed)
+    def scoreOf(pairs: DataFrame): DataFrame = pairs
+      .join(emb.withColumnRenamed("vec_id", "nid"), Seq("nid"))
+      .join(q, Seq("qid"))
+      .select(col("qid"), col("nid"),
+        VectorOps.cosine(col("qe"), col("embedding")).as("cos_sim"))
+    var visited = scoreOf(q.select(col("qid"), lit(entry).as("nid")))
+    val byQ = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("nid"))
+    var beamDf = visited // hop 0: the entry point alone
+    for (_ <- 1 to hops) {
+      val frontierIds = beamDf.select("nid").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val expanded = beamDf.select(col("qid"), col("nid").as("vec_id"))
+        .join(adj.where(col("vec_id").isin(frontierIds: _*)), Seq("vec_id"))
+        .select(col("qid"), col("nid"))
+        .join(visited.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
+        .distinct()
+      visited = visited.unionByName(scoreOf(expanded))
+      beamDf = visited.withColumn("__r", row_number().over(byQ))
+        .where(col("__r") <= beam).drop("__r")
+    }
+    visited.where(col("nid") =!= col("qid"))
+      .withColumn("rnk", row_number().over(byQ).cast("int"))
+      .where(col("rnk") <= k)
+      .select("qid", "nid", "rnk", "cos_sim")
+      .orderBy("qid", "rnk")
+  }
+
   /** Fold the generation deltas flat (graph → resolved rows at gen 0 of
     * a fresh file set; vectors → repacked). Same atomic directory-swap
     * discipline as [[DedupIndex.compact]]: write `.compacting`, rename

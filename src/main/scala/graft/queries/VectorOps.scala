@@ -749,8 +749,84 @@ object VectorOps {
         graft.llm.KnnGraphIndex.neighbors(s, dir)
           .orderBy("vec_id", "rnk")
       },
-      Some(knnGraphSqlOver("WHERE vec_id % 10 <> 6")))
+      Some(knnGraphSqlOver("WHERE vec_id % 10 <> 6"))),
+
+    // Graph-descent ANN SERVE over the stored kNN graph — the
+    // HNSW-shaped alternative to IVF probing (VERDICT r10 #9): queries
+    // start at the deterministic entry point and walk the stored
+    // adjacency lists, beam-limited, exact-cosine-scored, for a fixed
+    // hop budget. Batch-synchronous beam (whole frontier per hop, fixed
+    // hops) instead of the classical priority queue, so the oracle can
+    // enumerate the exact same traversal as unrolled flat SQL over the
+    // v9-form graph. Per-query work is O(beam × degree × hops) — the
+    // per-hop adjacency read prunes to the frontier ids (pushed
+    // IN-list, asserted by KnnGraphIndexSpec). Same two-batch build +
+    // session-memoized dir as v9b.
+    Q("v11_knn_beam",
+      (s, d) => {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_knngraph/$tag/${graft.Sessions.sessionTag(s)}").getAbsolutePath
+        val marker = s"graft_knng_marker_$tag"
+        if (!s.catalog.tableExists(marker)) {
+          val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+          graft.llm.KnnGraphIndex.add(s, dir, emb.where(col("vec_id") % 2 === 0), 3)
+          graft.llm.KnnGraphIndex.add(s, dir, emb.where(col("vec_id") % 2 =!= 0), 3)
+          s.emptyDataFrame.createOrReplaceTempView(marker)
+        }
+        graft.llm.KnnGraphIndex.beamSearch(s, dir,
+          Tables.embeddings(s, d).where(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+          k = 5, beam = 4, hops = 3)
+      },
+      Some(beamSql(k = 5, beam = 4, hops = 3)))
   )
+
+  /** v11's oracle: the beam traversal unrolled to flat SQL — the v9
+    * graph (top-3 sig-bucket cosine edges), the min-id entry point,
+    * then per hop: expand the beam's adjacency, score the newly reached
+    * ids exactly, union into the visited set, re-take the beam. */
+  private def beamSql(k: Int, beam: Int, hops: Int): String = {
+    def beamOf(src: String, name: String): String =
+      s"""$name AS (SELECT qid, nid, cos_sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY cos_sim DESC, nid) AS r FROM $src)
+          WHERE r <= $beam)"""
+    val base = s"""WITH e AS (
+          SELECT vec_id, embedding, CAST($sigSql AS INT) AS sig FROM embeddings),
+        gcand AS (
+          SELECT a.vec_id, b.vec_id AS nid,
+            ${duckCos("a.embedding", "b.embedding")} AS cos_sim
+          FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+        g AS (SELECT vec_id, nid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos_sim DESC, nid) AS rnk FROM gcand)
+          WHERE rnk <= 3),
+        q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id < 10),
+        s0 AS (
+          SELECT q.qid, n.vec_id AS nid, ${duckCos("qe", "n.embedding")} AS cos_sim
+          FROM q JOIN e n ON n.vec_id = (SELECT MIN(vec_id) FROM e)),
+        ${beamOf("s0", "b0")}"""
+    val hopCtes = (1 to hops).map { h =>
+      s""",
+        x$h AS (
+          SELECT DISTINCT b.qid, g.nid FROM b${h - 1} b
+          JOIN g ON b.nid = g.vec_id
+          WHERE NOT EXISTS (SELECT 1 FROM s${h - 1} s
+                            WHERE s.qid = b.qid AND s.nid = g.nid)),
+        sx$h AS (
+          SELECT x.qid, x.nid, ${duckCos("qe", "n.embedding")} AS cos_sim
+          FROM x$h x JOIN e n ON x.nid = n.vec_id JOIN q ON x.qid = q.qid),
+        s$h AS (SELECT * FROM s${h - 1} UNION ALL SELECT * FROM sx$h),
+        ${beamOf(s"s$h", s"b$h")}"""
+    }.mkString
+    base + hopCtes + s"""
+        SELECT qid, nid, CAST(rnk AS INT) AS rnk, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+                      ORDER BY cos_sim DESC, nid) AS rnk
+          FROM s$hops WHERE nid <> qid)
+        WHERE rnk <= $k ORDER BY qid, rnk"""
+  }
 
   /** The v10 IVF-PQ search pipeline, parameterized so the oracle gate
     * (pinned fixture: 50 queries, top-3 from 10 ADC survivors, 2

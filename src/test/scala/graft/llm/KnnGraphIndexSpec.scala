@@ -158,6 +158,61 @@ class KnnGraphIndexSpec extends AnyFunSuite {
     assert(gens == Set(0L), s"expected only folded gen 0, got $gens")
   }
 
+  test("beamSearch: takedown re-routes the walk; equals a fresh survivors-only build") {
+    // beam serve over a tombstoned index must behave as if removed ids
+    // never existed — as graph NODES, as NEIGHBORS en route, and as
+    // the entry point (min LIVE id, not min ever-indexed id)
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val queries = emb.where(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def run(dir: String): Seq[Seq[Any]] =
+      KnnGraphIndex.beamSearch(spark, dir, queries, k = 4, beam = 3, hops = 3)
+        .collect().toSeq.map(_.toSeq)
+
+    val lifecycled = tmp()
+    KnnGraphIndex.add(spark, lifecycled, emb, K)
+    // remove a slice INCLUDING the current entry point (id 0)
+    KnnGraphIndex.remove(spark, lifecycled,
+      emb.where(col("vec_id") % 10 === 0).select("vec_id"), K)
+    val fresh = tmp()
+    KnnGraphIndex.add(spark, fresh, emb.where(col("vec_id") % 10 =!= 0), K)
+    assert(run(lifecycled) == run(fresh),
+      "beam over tombstoned index must equal the survivors-only build")
+  }
+
+  test("beamSearch: per-hop adjacency read prunes to the frontier (pushed IN-list)") {
+    // the 100 TB claim behind O(beam × degree) per query: each hop's
+    // graph read must push the frontier ids into the parquet scan, not
+    // scan the whole adjacency table per hop
+    val dir = tmp()
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    KnnGraphIndex.add(spark, dir, emb, K)
+    val plans = scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      KnnGraphIndex.beamSearch(spark, dir,
+        emb.where(col("vec_id") < 4)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        k = 3, beam = 3, hops = 2).collect()
+      Thread.sleep(1000) // onSuccess fires async; let it drain
+      val withGraphScan = plans.synchronized {
+        plans.filter(p => p.contains("/graph") && p.contains("PushedFilters"))
+      }
+      assert(withGraphScan.nonEmpty, "no graph scan captured")
+      assert(withGraphScan.exists(_.contains("In(vec_id")),
+        "frontier IN-list never reached a graph scan:\n" +
+          withGraphScan.mkString("\n---\n").take(4000))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("fuzz: exact-tie fixtures across batch splits still match one-shot") {
     import spark.implicits._
     // The merge's crux is tie order: identical embeddings give exactly
