@@ -478,6 +478,10 @@ object CorpusRefresh {
       // consistent latest-wins state
       oldMarkers.foreach(m =>
         fs.delete(new org.apache.hadoop.fs.Path(dir, m), false))
+      // 6. sweep the materialized-components cache: every entry is
+      // keyed to a pre-fold generation (and any crashed write-asides);
+      // the fold generation re-materializes on first read
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/compcache"), true)
       out ++ idx + ("removed" -> (0, 0))
     }
   } // WriterLock released here
@@ -494,8 +498,7 @@ object CorpusRefresh {
         .select("doc_a", "doc_b").distinct()
         .join(keepers.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
         .join(keepers.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
-    val comp = Components.connectedComponents(livePairs)
-      .withColumnRenamed("node", "doc_id")
+    val comp = cachedComponents(spark, dir, cfg, livePairs)
     val sizes = comp.groupBy("component")
       .agg(count(lit(1)).cast("int").as("cluster_size"))
     keepers
@@ -504,6 +507,44 @@ object CorpusRefresh {
       .where(col("doc_id") === col("component"))
       .join(sizes, Seq("component"), "left")
       .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1)))
+  }
+
+  /** Component labels of the live near-dup pair graph, MATERIALIZED
+    * once per state generation — the serve-path shape that matters at
+    * 100 TB: the iterative CC loop is the one genuinely expensive step
+    * in [[prepared]], and its input is a pure function of the committed
+    * state (the max `_commit_` generation — monotone, never reused:
+    * every refresh/remove/compact reserves a fresh one) plus the
+    * caller's jaccard floor. The first serve at a generation computes
+    * CC and publishes the labels by write-aside + atomic rename; every
+    * later serve reads the parquet. Concurrent first-serves race on the
+    * rename harmlessly (identical content — the loser deletes its
+    * aside); mutations never touch the cache (they move to a new
+    * generation), and [[compact]] sweeps the whole cache dir (its fold
+    * lands on a fresh generation that will re-materialize on first
+    * read). Incremental CC maintenance is deliberately NOT attempted:
+    * removals can split components, so per-generation recompute-once
+    * is the correct sound granularity. */
+  private def cachedComponents(spark: SparkSession, dir: String,
+      cfg: CorpusEtlConfig, livePairs: DataFrame): DataFrame = {
+    def fresh() = Components.connectedComponents(livePairs)
+      .withColumnRenamed("node", "doc_id")
+    val gens = committedGens(spark, dir)
+    if (gens.isEmpty) return fresh()
+    val key = f"g${gens.max}_j${math.round(cfg.minJaccard * 1e6)}"
+    val cachePath = new org.apache.hadoop.fs.Path(s"$dir/compcache/$key")
+    val fs = fsOf(spark, dir)
+    if (fs.exists(cachePath))
+      return spark.read.parquet(cachePath.toString)
+    val comp = fresh()
+    if (comp.isEmpty) comp // empty parquet dirs don't round-trip a schema
+    else {
+      val aside = new org.apache.hadoop.fs.Path(
+        s"$dir/compcache/.tmp_${java.util.UUID.randomUUID()}")
+      comp.write.parquet(aside.toString)
+      if (!fs.rename(aside, cachePath)) fs.delete(aside, true)
+      spark.read.parquet(cachePath.toString)
+    }
   }
 
   /** The current prepared corpus, assembled from the committed state —

@@ -423,14 +423,18 @@ object KnnGraphIndex {
     val q = queries.select(col("qid"), col("qe"))
 
     // visited/beam state: (qid, nid, cos_sim) — scored once per reached
-    // pair, tiny (queries × beam·k·hops rows), kept as lazy lineage
-    // (hops is a small constant; no checkpoint needed)
+    // pair, tiny (queries × beam·k·hops rows). Eagerly checkpointed per
+    // hop: the hop's frontier collect is an action, and a lazy visited
+    // lineage would re-execute every prior hop's scoring joins (and
+    // re-read the graph/embedding parquet) once per subsequent action —
+    // measured 3.8 → 2.0 s at sf0.1 for hops=3.
     def scoreOf(pairs: DataFrame): DataFrame = pairs
       .join(emb.withColumnRenamed("vec_id", "nid"), Seq("nid"))
       .join(q, Seq("qid"))
       .select(col("qid"), col("nid"),
         VectorOps.cosine(col("qe"), col("embedding")).as("cos_sim"))
     var visited = scoreOf(q.select(col("qid"), lit(entry).as("nid")))
+      .localCheckpoint(true)
     val byQ = Window.partitionBy("qid")
       .orderBy(col("cos_sim").desc, col("nid"))
     var beamDf = visited // hop 0: the entry point alone
@@ -442,7 +446,7 @@ object KnnGraphIndex {
         .select(col("qid"), col("nid"))
         .join(visited.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
         .distinct()
-      visited = visited.unionByName(scoreOf(expanded))
+      visited = visited.unionByName(scoreOf(expanded)).localCheckpoint(true)
       beamDf = visited.withColumn("__r", row_number().over(byQ))
         .where(col("__r") <= beam).drop("__r")
     }
