@@ -59,13 +59,16 @@ object TextOps {
   private val hvalsExpr =
     "transform(split(lower(text), ' '), tok -> cast(conv(substring(md5(tok), 1, 4), 16, 10) as int))"
 
-  /** Same in DuckDB (no hex-string cast, so parse nibbles by strpos). */
-  private val duckHvals =
-    """list_transform(t, tok ->
+  /** Same in DuckDB (no hex-string cast, so parse nibbles by strpos),
+    * over an arbitrary string-list expression. */
+  private def duckHvalsOf(listExpr: String): String =
+    s"""list_transform($listExpr, tok ->
         (strpos('0123456789abcdef', substr(md5(tok),1,1))-1)*4096 +
         (strpos('0123456789abcdef', substr(md5(tok),2,1))-1)*256 +
         (strpos('0123456789abcdef', substr(md5(tok),3,1))-1)*16 +
         (strpos('0123456789abcdef', substr(md5(tok),4,1))-1))"""
+
+  private val duckHvals = duckHvalsOf("t")
 
   /** documents with doc_id, lang, distinct shingle set `s`. */
   private def shingled(s: SparkSession, d: String): DataFrame =
@@ -1560,6 +1563,89 @@ object TextOps {
         SELECT doc_id, array_to_string(vec, ',') AS vec_csv,
           sqrt(CAST(list_sum(list_transform(vec, x -> x * x)) AS DOUBLE)) AS l2_norm
         FROM v ORDER BY doc_id""")),
+
+    // DSIR importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score every document
+    // by how much more likely its hashed n-gram features are under a
+    // TARGET distribution (here the lang='en' slice — the bootstrapped
+    // in-corpus setup) than under the RAW corpus distribution; training
+    // pipelines resample by these weights to shift the mixture toward
+    // the target domain. Features are the paper's hashed n-grams at
+    // n ∈ {1,2}: the shared 16-bit md5 token hash (hvals — the ONE
+    // definition SimHash/t12 use) over unigrams and bigrams, folded
+    // into 1024 buckets.
+    //
+    // Cross-engine exactness, the t13 discipline: the per-feature log
+    // ratio log2(p_t(f)/p_r(f)) is QUANTIZED to exact integer space —
+    // qlr(f) = bitlen((n_t+1)·N_r) − bitlen((n_r+1)·N_t), bitlen(x) =
+    // length of x's exact binary string — because neither engine's
+    // float log is correctly-rounded and a sum of true logs is not
+    // hash-stable. A doc's weight is then the exact long
+    // Σ_f c_f · qlr(f) (add-1 smoothing keeps absent features finite).
+    //
+    // Scale shape: one corpus-sized (doc, feature) aggregate, the
+    // feature table is BUCKET-BOUNDED (≤1024 rows — broadcast back),
+    // and the per-doc reduce is one doc_id-keyed aggregate; nothing
+    // joins corpus-sized sides. (The bitlen products stay < 2^63 up to
+    // ~10^9-token targets; past that the qlr table is precomputed
+    // driver-side anyway — it is 1024 rows.)
+    Q("t18_dsir_weights",
+      (s, d) => {
+        val B = 1024
+        def h16(c: Column): Column = transform(c,
+          tok => conv(substring(md5(tok), 1, 4), 16, 10).cast("int"))
+        def bitlen(c: Column): Column = length(conv(c, 10, 2)).cast("long")
+        val docF = Tables.documentsSpread(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(concat(h16(split(lower(col("text")), " ")),
+              h16(ngramsExpr(2, distinct = false)))).as("hv"))
+          .withColumn("f", col("hv") % B)
+          .groupBy("doc_id", "lang", "f").agg(count(lit(1)).as("c"))
+        val raw = docF.groupBy("f").agg(sum("c").as("n_r"))
+        val tgt = docF.where(col("lang") === "en")
+          .groupBy("f").agg(sum("c").as("n_t"))
+        val totals = raw.agg(sum("n_r").as("nr_tot"))
+          .crossJoin(tgt.agg(coalesce(sum("n_t"), lit(0L)).as("nt_tot")))
+        val qlr = raw.join(tgt, Seq("f"), "left")
+          .withColumn("n_t", coalesce(col("n_t"), lit(0L)))
+          .crossJoin(broadcast(totals))
+          .select(col("f"),
+            (bitlen((col("n_t") + 1L) * col("nr_tot")) -
+              bitlen((col("n_r") + 1L) * col("nt_tot"))).as("qlr"))
+        docF.join(broadcast(qlr), Seq("f"))
+          .groupBy("doc_id", "lang")
+          .agg(sum("c").cast("long").as("n_feats"),
+            sum(col("c") * col("qlr")).cast("long").as("dsir_bits"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (
+          SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+          FROM documents),
+        tok2 AS (
+          SELECT doc_id, lang, t,
+            list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg
+          FROM tok),
+        allf AS (
+          SELECT doc_id, lang,
+            unnest(list_concat(${duckHvalsOf("t")}, ${duckHvalsOf("bg")})) AS hv
+          FROM tok2),
+        f AS (SELECT doc_id, lang, CAST(hv % 1024 AS INT) AS f, COUNT(*) AS c
+          FROM allf GROUP BY 1, 2, 3),
+        raw AS (SELECT f, SUM(c) AS n_r FROM f GROUP BY f),
+        tgt AS (SELECT f, SUM(c) AS n_t FROM f WHERE lang = 'en' GROUP BY f),
+        tot AS (SELECT (SELECT SUM(n_r) FROM raw) AS nr_tot,
+                       (SELECT COALESCE(SUM(n_t), 0) FROM tgt) AS nt_tot),
+        qlr AS (SELECT raw.f,
+            -- SUM() is HUGEINT in DuckDB; format('{:b}') needs BIGINT
+            CAST(length(format('{:b}',
+              CAST((COALESCE(n_t, 0) + 1) * nr_tot AS BIGINT))) AS BIGINT)
+          - CAST(length(format('{:b}',
+              CAST((n_r + 1) * nt_tot AS BIGINT))) AS BIGINT) AS qlr
+          FROM raw LEFT JOIN tgt ON raw.f = tgt.f, tot)
+        SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_feats,
+          CAST(SUM(c * qlr) AS BIGINT) AS dsir_bits
+        FROM f JOIN qlr ON f.f = qlr.f
+        GROUP BY doc_id, lang ORDER BY doc_id""")),
 
     // Quantized-surprisal perplexity filter — the CCNet-shaped "score
     // documents by corpus-LM perplexity, keep the in-distribution ones"
