@@ -111,6 +111,35 @@ class CorpusRefreshSpec extends AnyFunSuite {
     assert(rows(CorpusRefresh.prepared(spark, dir)) == expected)
   }
 
+  test("components cache: generation-keyed, crashed asides inert, delete-safe") {
+    val dir = Files.createTempDirectory("graft-compcache").toString
+    val docs = Tables.documents(spark, sf)
+    CorpusRefresh.refresh(spark, dir, docs)
+    val before = rows(CorpusRefresh.prepared(spark, dir))
+    // first serve materialized the labels under the current generation
+    val cache = new java.io.File(s"$dir/compcache")
+    assert(cache.exists && cache.listFiles().nonEmpty,
+      "first serve must materialize the components cache")
+    // a crashed write-aside (renamed-never) must be invisible to serves
+    assert(new java.io.File(s"$dir/compcache/.tmp_dead").mkdirs())
+    assert(rows(CorpusRefresh.prepared(spark, dir)) == before)
+    // deleting the cache is always safe: the next serve recomputes and
+    // re-materializes the identical labels
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(cache)
+    assert(rows(CorpusRefresh.prepared(spark, dir)) == before)
+    assert(cache.exists, "serve after a cache wipe must re-materialize")
+    // a mutation moves to a fresh generation: the old entry is never
+    // consulted — the post-takedown serve equals the from-scratch
+    // prepare on the survivors, not the cached pre-takedown labels
+    CorpusRefresh.remove(spark, dir,
+      docs.where(col("doc_id") % 5 === 2).select("doc_id"))
+    assert(rows(CorpusRefresh.prepared(spark, dir)) ==
+      rows(CorpusEtl.prepare(docs.where(col("doc_id") % 5 =!= 2))))
+  }
+
   test("takedown handover: removed keeper's memberships transfer to its exact twin") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-takedown2").toString
