@@ -779,7 +779,79 @@ object VectorOps {
             .select(col("vec_id").as("qid"), col("embedding").as("qe")),
           k = 5, beam = 4, hops = 3)
       },
-      Some(beamSql(k = 5, beam = 4, hops = 3)))
+      Some(beamSql(k = 5, beam = 4, hops = 3))),
+
+    // FILTERED ANN — the metadata-predicate vector search every
+    // production vector store serves ("nearest eligible neighbors", here
+    // label % 3 = 1): the predicate applies to the CANDIDATE corpus
+    // BEFORE any scoring (pre-filtering — post-filtering an unfiltered
+    // top-k silently loses recall whenever fewer than k of the true
+    // neighbors are eligible, the classic filtered-search bug), while
+    // queries stay unfiltered (any caller may search the eligible
+    // slice). Same IVF discipline as v5 (pinned 16-cell codebook,
+    // cosine probe ranking to match cosine assignment). Scale shape:
+    // the row-wise predicate composes with the scan (pushed filter —
+    // with the stored index it rides the cell-pruned read), assignment
+    // stays the zero-shuffle broadcast map over ONLY eligible rows, and
+    // per-query work is still Σ probed-cell sizes, now smaller by the
+    // predicate's selectivity.
+    Q("v12_ann_filtered",
+      (s, d) => {
+        val e = Tables.embeddingsSpread(s, d)
+        val cents = e.where(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+        val byCent = Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cent_id"))
+        val assigned = e.where(col("label") % 3 === 1)
+          .join(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("cent_id"),
+            cosine(col("embedding"), col("ce")).as("ccos"))
+          .withColumn("rn", row_number().over(byCent))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+        val probes = e.where(col("vec_id") < 30)
+          .join(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("cent_id"),
+            cosine(col("embedding"), col("ce")).as("ccos"))
+          .withColumn("rn", row_number().over(byCent)).where(col("rn") <= 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("cent_id").as("cell"))
+        val cand = probes.join(assigned, Seq("cell"))
+          .where(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            cosine(col("qe"), col("embedding")).as("cos_sim"))
+        val byQ = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+        cand.withColumn("rnk", row_number().over(byQ).cast("int"))
+          .where(col("rnk") <= 5)
+          .select("qid", "nid", "rnk", "cos_sim")
+          .orderBy("qid", "rnk")
+      },
+      Some(s"""WITH cents AS (
+            SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+          escored AS (
+            SELECT e.vec_id, e.embedding, cent_id, ${duckCos("e.embedding", "ce")} AS ccos
+            FROM embeddings e CROSS JOIN cents WHERE e.label % 3 = 1),
+          eranked AS (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY ccos DESC, cent_id) AS rn FROM escored),
+          assigned AS (
+            SELECT vec_id, embedding, cent_id AS cell FROM eranked WHERE rn = 1),
+          qscored AS (
+            SELECT e.vec_id, e.embedding, cent_id, ${duckCos("e.embedding", "ce")} AS ccos
+            FROM embeddings e CROSS JOIN cents WHERE e.vec_id < 30),
+          qranked AS (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY ccos DESC, cent_id) AS rn FROM qscored),
+          probes AS (
+            SELECT vec_id AS qid, embedding AS qe, cent_id AS cell
+            FROM qranked WHERE rn <= 3),
+          cand AS (
+            SELECT qid, a.vec_id AS nid, ${duckCos("qe", "a.embedding")} AS cos_sim
+            FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.qid)
+        SELECT qid, nid, CAST(rnk AS INT) AS rnk, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rnk
+          FROM cand)
+        WHERE rnk <= 5 ORDER BY qid, rnk"""))
   )
 
   /** v11's oracle: the beam traversal unrolled to flat SQL — the v9
@@ -913,8 +985,9 @@ object VectorOps {
 
   /** v5b/v5c's pinned codebook: the first 16 vectors (by id), as
     * doubles, cell id = rank. The DuckDB oracle reconstructs exactly
-    * this with a row_number over the same ORDER BY. */
-  private def pinnedCentroids(s: SparkSession, d: String): Array[Array[Double]] =
+    * this with a row_number over the same ORDER BY. Shared with h2's
+    * stored-trio hybrid serve. */
+  private[graft] def pinnedCentroids(s: SparkSession, d: String): Array[Array[Double]] =
     Tables.embeddings(s, d).where(col("vec_id") < 16)
       .orderBy("vec_id").select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)

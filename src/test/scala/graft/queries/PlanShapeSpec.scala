@@ -177,6 +177,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"h1 lost the k-bounded top-k on a candidate branch:\n$plan")
   }
 
+  test("h2_hybrid_index_serve: stored-trio serve keeps both k-bounded top-ks, no cartesian") {
+    val plan = SparkEntry.queries("h2_hybrid_index_serve")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // each index serve must end in its own TakeOrdered before fusion —
+    // the ≤k × ≤k full-outer join is the only thing downstream
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2,
+      s"h2 lost a serve-side k-bounded top-k:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"h2 fusion must not plan a cartesian:\n$plan")
+  }
+
   test("c7_chunk_overlap: pure per-row fanout — only the output sort exchanges") {
     // chunking must stay a map-side Generate; any groupBy/join sneaking
     // in would shuffle the full token volume at corpus scale
