@@ -851,8 +851,92 @@ object VectorOps {
         SELECT qid, nid, CAST(rnk AS INT) AS rnk, cos_sim FROM (
           SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rnk
           FROM cand)
-        WHERE rnk <= 5 ORDER BY qid, rnk"""))
+        WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
+    // MMR diversified rerank (Carbonell & Goldstein 1998) — the
+    // serve-edge diversity pass a retrieval stack runs on its top-k:
+    // greedily pick argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s),
+    // λ = 0.7, 10 picks from the cosine top-25. The greedy loop is
+    // inherently sequential over ≤ pool candidates, so it runs at the
+    // SAME k-bounded driver boundary the API edge and pinnedCentroids
+    // use: the corpus is touched exactly once (the distributed
+    // TakeOrdered producing the pool — the only scale-sized work), the
+    // driver receives 25 rows × 64 floats, and every pairwise sim is
+    // the identical sequential fold duckCos defines, so scores
+    // hash-match with no tolerance. Constants are written 0.7/0.3
+    // literally on BOTH sides — deriving 1−λ in floating point yields
+    // 0.30000000000000004 and breaks the hash.
+    Q("v13_mmr_rerank",
+      (s, d) => {
+        val e = Tables.embeddingsSpread(s, d)
+        val q0 = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val pool = e.where(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q0))
+          .select(col("vec_id").as("nid"), col("embedding"),
+            cosine(col("qe"), col("embedding")).as("simq"))
+          .orderBy(col("simq").desc, col("nid")).limit(25)
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+        def dot(a: Array[Float], b: Array[Float]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+          acc
+        }
+        def cos(a: Array[Float], b: Array[Float]): Double =
+          dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+        val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+        val selEmb = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        var remaining = pool.toBuffer
+        for (step <- 1 to 10) {
+          val scored = remaining.map { case c @ (_, emb, simq) =>
+            val maxSim = if (selEmb.isEmpty) 0.0
+              else selEmb.map(se => cos(emb, se)).max
+            (c, 0.7 * simq - 0.3 * maxSim)
+          }
+          val ((nid, emb, _), score) =
+            scored.minBy { case ((n, _, _), sc) => (-sc, n) }
+          sel += ((nid, step, score)); selEmb += emb
+          remaining = remaining.filterNot(_._1 == nid)
+        }
+        import s.implicits._
+        sel.toSeq.toDF("nid", "rnk", "mmr_score").orderBy("rnk")
+      },
+      Some(mmrSql(k = 10, pool = 25)))
   )
+
+  /** v13's oracle: the greedy MMR selection unrolled to flat SQL — the
+    * cosine top-`pool` candidate CTE, the full candidate×candidate sim
+    * matrix, then one CTE per pick: score the unselected by
+    * 0.7·simq − 0.3·max-sim-to-selected, take the (score, nid) argmax. */
+  private def mmrSql(k: Int, pool: Int): String = {
+    val base = s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      cand AS MATERIALIZED (
+        SELECT vec_id AS nid, embedding, ${duckCos("qe", "embedding")} AS simq
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY simq DESC, nid LIMIT $pool),
+      pair AS MATERIALIZED (
+        SELECT a.nid AS na, b.nid AS nb,
+          ${duckCos("a.embedding", "b.embedding")} AS ps
+        FROM cand a JOIN cand b ON a.nid <> b.nid),
+      s1 AS MATERIALIZED (
+        SELECT nid, 1 AS rnk, 0.7e0 * simq AS mmr_score FROM cand
+        ORDER BY simq DESC, nid LIMIT 1)"""
+    val steps = (2 to k).map { h =>
+      s""",
+      s$h AS MATERIALIZED (
+        SELECT * FROM s${h - 1}
+        UNION ALL
+        SELECT nid, $h AS rnk, score AS mmr_score FROM (
+          SELECT c.nid,
+            0.7e0 * c.simq - 0.3e0 * (
+              SELECT MAX(ps) FROM pair
+              WHERE na = c.nid AND nb IN (SELECT nid FROM s${h - 1})) AS score
+          FROM cand c WHERE c.nid NOT IN (SELECT nid FROM s${h - 1})
+          ORDER BY score DESC, c.nid LIMIT 1))"""
+    }.mkString
+    base + steps + s"""
+      SELECT nid, CAST(rnk AS INT) AS rnk, mmr_score FROM s$k ORDER BY rnk"""
+  }
 
   /** v11's oracle: the beam traversal unrolled to flat SQL — the v9
     * graph (top-3 sig-bucket cosine edges), the min-id entry point,
