@@ -237,12 +237,23 @@ object WeatherGate {
       val (q13, ss13, sink13) =
         graft.streaming.WindowNdv.startHourlyNdv(parent, dir)
 
-      val qs = Seq(q11, q12, q13)
+      // w14: stateful exact dedup (first-seen key emission)
+      val ss14 = graft.Sessions.streamSession(parent, 8)
+      val sink14 = sinkName("w14_sink_")
+      val q14 = graft.streaming.StreamDedup.hourlyKeyDedup(
+          graft.Tables.eventsStream(ss14, dir)
+            .where(col("user_id") % 5 === 0)
+            .withWatermark("ts", "0 seconds"))
+        .writeStream.format("memory").queryName(sink14)
+        .outputMode("append").start()
+
+      val qs = Seq(q11, q12, q13, q14)
       try qs.foreach(_.processAllAvailable()) finally qs.foreach(_.stop())
       Map(
         "w11b" -> graft.streaming.WindowNdv.drainSink(parent, ss11, sink11),
         "w12b" -> graft.streaming.WindowNdv.drainSink(parent, ss12, sink12),
-        "w13b" -> graft.streaming.WindowNdv.drainSink(parent, ss13, sink13))
+        "w13b" -> graft.streaming.WindowNdv.drainSink(parent, ss13, sink13),
+        "w14" -> graft.streaming.WindowNdv.drainSink(parent, ss14, sink14))
     })
 
   val all: Seq[Q] = Seq(
@@ -701,6 +712,23 @@ object WeatherGate {
           TRUE AS ndv_ok
         FROM events
         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
-        GROUP BY 1 ORDER BY hour_start"""))
+        GROUP BY 1 ORDER BY hour_start""")),
+
+    // §2.8 + d1's dedup, streaming: stateful EXACT dedup executed as a
+    // micro-batch stream (graft.streaming.StreamDedup) — each
+    // (user_id, hour-window) key emits on first arrival, duplicates
+    // emit nothing. Unlike the windowed AGGREGATES (w13b), dropDuplicates
+    // passes rows through in their arrival batch — the watermark governs
+    // STATE eviction, not emission — so the emitted set is the full
+    // DISTINCT, tail window included, and the oracle carries no
+    // tail-window filter. Output is key columns only, making the set
+    // arrival-order-independent. Runs in the shared concurrent stream
+    // lifecycle (streamTrio); StreamDedupSpec pins the state-eviction
+    // half (post-watermark state holds only the open tail window's keys).
+    Q("w14_stream_dedup",
+      (s, d) => streamTrio(s, d)("w14").orderBy("user_id", "hour_start"),
+      Some("""SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour_start
+        FROM events WHERE user_id % 5 = 0
+        ORDER BY user_id, hour_start"""))
   )
 }
