@@ -250,9 +250,18 @@ object VectorIndex {
 
   /** Top-`k` cosine neighbors per query vector, probing the `nprobe`
     * nearest cells. `queries` carries (qid, qe array<float>). Returns
-    * (qid, nid, rnk, cos_sim), deterministic ties by id. */
+    * (qid, nid, rnk, cos_sim), deterministic ties by id.
+    *
+    * `eligible` (first column = vec_id) restricts the CANDIDATE corpus
+    * to an allow-list — the filtered-search form every production
+    * vector store serves. The restriction is a left-semi join applied
+    * to the inverted-list scan BEFORE any scoring (pre-filtering:
+    * post-filtering a finished top-k silently under-fills whenever
+    * fewer than k of the unfiltered winners are eligible), so it
+    * composes with the cell partition pruning — per-query work is
+    * still Σ probed-list sizes, shrunk by the predicate. */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int, eligible: Option[DataFrame] = None): DataFrame = {
     val cs = loadCentroids(spark, dir)
     require(nprobe >= 1 && nprobe <= cs.length, s"nprobe must be in [1, ${cs.length}]")
     // rank cells per query on the driver-sized centroid list: explode a
@@ -275,8 +284,12 @@ object VectorIndex {
         Window.partitionBy("qid").orderBy(col("dist"), col("cell"))))
       .where(col("crn") <= nprobe)
       .select("qid", "qe", "cell")
+    val corpus0 = liveVectors(spark, live(spark, dir))
+    val corpus = eligible.fold(corpus0)(el =>
+      corpus0.join(el.select(col(el.columns.head).as("vec_id")),
+        Seq("vec_id"), "left_semi"))
     val cand = probes
-      .join(liveVectors(spark, live(spark, dir)), Seq("cell"))
+      .join(corpus, Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("qe"), col("embedding")).as("cos_sim"))

@@ -853,6 +853,62 @@ object VectorOps {
           FROM cand)
         WHERE rnk <= 5 ORDER BY qid, rnk""")),
 
+    // v12's filtered search served from the STORED index — the
+    // allow-list form of the graft.llm.VectorIndex service: build the
+    // v5b lifecycle (pinned codebook, two add() halves), then search
+    // with `eligible` = the label slice's ids, a left-semi join the
+    // service applies to the inverted-list scan BEFORE scoring, inside
+    // the cell-pruned read. Queries stay unfiltered; probe ranking is
+    // squared L2 (the assignment metric — the stored-index discipline
+    // v5b pins), so this gate and v12 (cosine-probed batch form) are
+    // different operators sharing the pre-filter semantics. The oracle
+    // flattens the whole thing: pinned codebook, L2 assignment,
+    // label-filtered membership, L2-probed cells, cosine top-5.
+    Q("v12b_ann_filtered_index",
+      (s, d) => {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_vecidx_flt/$tag/${graft.Sessions.sessionTag(s)}").getAbsolutePath
+        val marker = s"graft_vecidxf_marker_$tag"
+        if (!s.catalog.tableExists(marker)) {
+          val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+          graft.llm.VectorIndex.buildWith(s, dir,
+            emb.where(col("vec_id") % 2 === 0), pinnedCentroids(s, d))
+          graft.llm.VectorIndex.add(s, dir, emb.where(col("vec_id") % 2 =!= 0))
+          s.emptyDataFrame.createOrReplaceTempView(marker)
+        }
+        val eligible = Tables.embeddings(s, d)
+          .where(col("label") % 3 === 1).select("vec_id")
+        graft.llm.VectorIndex.search(s, dir,
+          Tables.embeddings(s, d).where(col("vec_id") < 30)
+            .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+          k = 5, nprobe = 3, eligible = Some(eligible))
+      },
+      Some(s"""WITH cents AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cent_id,
+              embedding AS ce
+            FROM embeddings WHERE vec_id < 16),
+          scored AS (
+            SELECT e.vec_id, e.embedding, e.label, cent_id,
+              ${duckSqL2("ce", "e.embedding")} AS dist
+            FROM embeddings e CROSS JOIN cents),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dist, cent_id) AS rn FROM scored),
+          assigned AS (
+            SELECT vec_id, embedding, cent_id AS cell FROM ranked
+            WHERE rn = 1 AND label % 3 = 1),
+          probes AS (
+            SELECT vec_id AS qid, embedding AS qe, cent_id AS cell FROM ranked
+            WHERE vec_id < 30 AND rn <= 3),
+          cand AS (
+            SELECT qid, a.vec_id AS nid, ${duckCos("qe", "a.embedding")} AS cos_sim
+            FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.qid)
+        SELECT qid, nid, CAST(rnk AS INT) AS rnk, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rnk
+          FROM cand)
+        WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
     // MMR diversified rerank (Carbonell & Goldstein 1998) — the
     // serve-edge diversity pass a retrieval stack runs on its top-k:
     // greedily pick argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s),

@@ -213,4 +213,35 @@ class VectorIndexSpec extends AnyFunSuite {
       .exists(_.getName.startsWith("cell=")),
       "compacted legacy vectors must be cell-partitioned")
   }
+
+  test("filtered search: allow-list pre-filters candidates, keeps cell pruning") {
+    val dir = Files.createTempDirectory("graft-vec-filtered").toString
+    val embeddings = Tables.embeddings(spark, sf)
+    val k = 8
+    VectorIndex.build(spark, dir, embeddings, k)
+    val vecs = embeddings.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val q = vecs.keys.min
+    val queries = Seq((q, vecs(q).toSeq)).toDF("qid", "qe")
+    val eligibleIds = vecs.keySet.filter(_ % 3 == 1)
+    val eligible = eligibleIds.toSeq.toDF("vec_id")
+
+    // full probe + allow-list == exact top-k over the eligible slice
+    val got = VectorIndex.search(spark, dir, queries, k = 5, nprobe = k,
+      eligible = Some(eligible))
+    val rows = got.collect().sortBy(_.getInt(2)).map(_.getLong(1)).toSeq
+    val exact = eligibleIds.filter(_ != q).toSeq
+      .sortBy(n => (-cos(vecs(q), vecs(n)), n)).take(5)
+    assert(rows == exact, s"filtered search diverged: $rows vs $exact")
+    assert(rows.forall(eligibleIds), "a non-eligible id leaked into the result")
+
+    // pre-filtering must not break the dynamic cell pruning (the scan
+    // still reads only probed inverted lists at scale)
+    val pruned = VectorIndex.search(spark, dir, queries, k = 5, nprobe = 2,
+      eligible = Some(eligible))
+    pruned.collect()
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("dynamicpruningexpression(cell"),
+      "filtered search lost the dynamic partition pruning on cell")
+  }
 }
