@@ -906,7 +906,74 @@ object CorpusEtl {
           FROM documents CROSS JOIN (SELECT 0 AS epoch UNION ALL SELECT 1))
         SELECT epoch, doc_id,
           row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS pos
-        FROM docs ORDER BY epoch, pos"""))
+        FROM docs ORDER BY epoch, pos""")),
+
+    // The SHARD WRITER's manifest — the step between c6's packing and
+    // the bytes on disk: every packed L=512 sequence is assigned to a
+    // fixed-size numbered shard (S=16 sequences/shard, the WebDataset/
+    // MDS posture) in a deterministically shuffled order, so shard 0
+    // is a uniform sample of the corpus, not the first source's head.
+    // Sequence count per source comes from c6's packing arithmetic
+    // (ceil of the source's token total / L); the global permutation is
+    // md5-keyed and assigned HIERARCHICALLY (bucket counts → ≤256-row
+    // cumulative-offset window → in-bucket row_number — c12's shape,
+    // never an output-wide single-partition window); shard id and
+    // in-shard position are integer div/mod on the permuted position.
+    // Oracle: same arithmetic flat, with DuckDB's global row_number —
+    // equal because the bucket is the md5's own 2-hex-char prefix.
+    Q("c13_shard_manifest",
+      (s, d) => {
+        val L = 512L; val S = 16L
+        val docs = Tables.documentsSpread(s, d)
+          .select(col("source"),
+            size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+        val nseq = docs.groupBy("source")
+          .agg(expr(s"(sum(n_tokens) + ${L - 1}) div $L").as("n_seqs"))
+        val seqs = nseq
+          .select(col("source"),
+            explode(expr("sequence(cast(0 as bigint), n_seqs - 1)")).as("seq"))
+          .withColumn("h",
+            md5(concat(col("source"), lit(":"), col("seq").cast("string"))))
+          .withColumn("bucket",
+            conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
+        val wOff = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = seqs.groupBy("bucket")
+          .agg(count(lit(1)).as("b_n"))
+          .withColumn("b_start", coalesce(sum("b_n").over(wOff), lit(0L)))
+          .select("bucket", "b_start")
+        val wIn = Window.partitionBy("bucket")
+          .orderBy(col("h"), col("source"), col("seq"))
+        seqs.join(offsets, Seq("bucket"))
+          .withColumn("pos", col("b_start") + row_number().over(wIn) - 1)
+          .select(col("source"), col("seq"),
+            expr(s"pos div $S").as("shard_id"),
+            expr(s"pos % $S").as("pos_in_shard"),
+            (col("seq") * L).as("token_offset"))
+          .orderBy("shard_id", "pos_in_shard")
+      },
+      Some("""WITH d AS (
+          SELECT source,
+            CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        t AS (
+          SELECT source, CAST((SUM(n_tokens) + 511) // 512 AS BIGINT) AS n_seqs
+          FROM d GROUP BY source),
+        seqs AS (
+          SELECT source, CAST(unnest(range(0, n_seqs)) AS BIGINT) AS seq FROM t),
+        h AS (
+          SELECT source, seq,
+            md5(source || ':' || CAST(seq AS VARCHAR)) AS h
+          FROM seqs),
+        p AS (
+          SELECT source, seq,
+            row_number() OVER (ORDER BY h, source, seq) - 1 AS pos
+          FROM h)
+        SELECT source, seq,
+          CAST(pos // 16 AS BIGINT) AS shard_id,
+          CAST(pos % 16 AS BIGINT) AS pos_in_shard,
+          CAST(seq * 512 AS BIGINT) AS token_offset
+        FROM p ORDER BY shard_id, pos_in_shard"""))
   )
 
   /** c12's plan body: the deterministic per-epoch global permutation of

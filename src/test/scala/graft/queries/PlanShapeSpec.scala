@@ -188,6 +188,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"h2 fusion must not plan a cartesian:\n$plan")
   }
 
+  test("c13_shard_manifest: the only unpartitioned window rides the bounded bucket aggregate") {
+    // the p1/c6 rule: cumulative offsets may ride ONE unpartitioned
+    // window whose input is the ≤256-row bucket aggregate; everything
+    // else (in-bucket numbering) must carry a partition spec
+    val plan = SparkEntry.queries("c13_shard_manifest")(spark, sf)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    val unpart = windows.filter(_.partitionSpec.isEmpty)
+    assert(unpart.size <= 1,
+      s"more than one unpartitioned window:\n${unpart.mkString("\n")}")
+    for (w <- unpart)
+      assert(w.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if a.groupingExpressions.size == 1 => a
+      }.nonEmpty,
+        s"the unpartitioned window must consume the bucket aggregate:\n$w")
+  }
+
   test("c7_chunk_overlap: pure per-row fanout — only the output sort exchanges") {
     // chunking must stay a map-side Generate; any groupBy/join sneaking
     // in would shuffle the full token volume at corpus scale
