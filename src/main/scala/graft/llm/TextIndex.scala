@@ -249,6 +249,64 @@ object TextIndex {
   def size(spark: SparkSession, dir: String): Long =
     liveDocRows(spark, dir).map(_.count()).getOrElse(0L)
 
+  /** Read-only fsck: audit the stored index's invariants and return a
+    * 1-row report. Never mutates state and never throws on a damaged
+    * dir — the point is to LOOK at a suspect index (guardCompaction
+    * refuses operations while a `.old` aside exists; doctor is how you
+    * find out why). Columns:
+    *  - `live_docs` — live memberships (== [[size]]);
+    *  - `dup_live_memberships` — doc_ids with >1 live ledger row: a
+    *    REAL violation of the single-membership invariant (reads
+    *    tolerate it via max-collapse, but writes assumed it — repair
+    *    by compact);
+    *  - `reclaimable_postings` — postings rows no live membership
+    *    validates (tombstoned docs, dead-membership old text, orphans
+    *    of a ledger append lost mid-crash): INERT by the gen-validity
+    *    read rule, reclaimed by the next [[compact]] — a growth
+    *    metric, not corruption;
+    *  - `uncommitted_tombstone_rows` — tombstone rows whose generation
+    *    has no `_tcommit_` marker (a remove that died pre-commit):
+    *    invisible to reads, replay-healed by re-issuing the remove;
+    *  - `stale_asides` — `postings/docs` `.old` or `.compacting`
+    *    leftovers: `.old` means an interrupted swap needing manual
+    *    recovery (the one state that blocks writes), `.compacting` is
+    *    droppable scratch. */
+  def doctor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val live = liveDocRows(spark, dir)
+    val liveN = live.map(_.count()).getOrElse(0L)
+    val dups = live.map(
+      _.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .where(col("n") > 1).count()).getOrElse(0L)
+    val reclaimable = live match {
+      case None =>
+        if (exists(spark, postingsPath(dir)))
+          readPostings(spark, dir).count()
+        else 0L
+      case Some(l) =>
+        readPostings(spark, dir)
+          .join(l.groupBy("doc_id").agg(max("gen").as("__lgen")),
+            Seq("doc_id"), "left")
+          .where(col("__lgen").isNull || !genMatches)
+          .count()
+    }
+    val tornTombs =
+      if (!exists(spark, tombsPath(dir))) 0L
+      else {
+        val committed = committedTombGens(spark, dir)
+        val t = spark.read.parquet(tombsPath(dir))
+        if (committed.isEmpty) t.count()
+        else t.where(!col("gen").isin(committed: _*)).count()
+      }
+    val fs = graft.store.GenLedger.fsOf(spark, dir)
+    val staleAsides = Seq("postings", "docs")
+      .flatMap(t => Seq(s"$dir/$t.old", s"$dir/$t.compacting"))
+      .count(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    Seq((liveN, dups, reclaimable, tornTombs, staleAsides))
+      .toDF("live_docs", "dup_live_memberships", "reclaimable_postings",
+        "uncommitted_tombstone_rows", "stale_asides")
+  }
+
   /** Compact the append-only index: fold live ledger rows to one fresh
     * generation, reclaim dead postings (rows whose gen matches no live
     * membership — removed docs, dead-membership old text, lost-ledger
@@ -280,8 +338,12 @@ object TextIndex {
     val live = liveDocRows(spark, dir).get
       .select("doc_id", "dl", "gen").localCheckpoint(true)
     val out = Map(
+      // one row per doc: an anomalous duplicate live membership (forged
+      // write, lost-lock writer) would inflate n_docs in every search —
+      // the fold is where it gets repaired (max dl wins, deterministic)
       "docs" -> (nDocs, graft.store.GenLedger.swapIn(spark, docsPath(dir),
-        live.select("doc_id", "dl").withColumn("gen", lit(foldGen)),
+        live.groupBy("doc_id").agg(max("dl").as("dl"))
+          .withColumn("gen", lit(foldGen)),
         numFiles)),
       "postings" -> (nPost,
         if (nPost == 0) 0

@@ -177,6 +177,54 @@ class TextIndexSpec extends AnyFunSuite {
     assert(TextIndex.size(spark, dir) == docs.count())
   }
 
+  test("doctor: clean on healthy state, counts every damage class, read-only") {
+    val dir = Files.createTempDirectory("graft-textidx-doctor").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    TextIndex.add(spark, dir, docs.where(col("doc_id") % 2 === 0))
+    TextIndex.add(spark, dir, docs.where(col("doc_id") % 2 =!= 0))
+    val n = docs.count()
+
+    def report(): (Long, Long, Long, Long, Int) = {
+      val r = TextIndex.doctor(spark, dir).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))
+    }
+    assert(report() == ((n, 0L, 0L, 0L, 0)), "healthy index must audit clean")
+
+    // a committed takedown leaves INERT postings: reclaimable, not wrong
+    val victims = docs.where(col("doc_id") % 7 === 3)
+    TextIndex.remove(spark, dir, victims.select("doc_id"))
+    val (live1, dup1, reclaim1, torn1, stale1) = report()
+    assert(live1 == n - victims.count() && dup1 == 0L && torn1 == 0L && stale1 == 0)
+    assert(reclaim1 > 0L, "removed docs' postings must count as reclaimable")
+
+    // torn tombstone (files, no marker): counted, nothing else moves
+    docs.where(col("doc_id") % 11 === 5).limit(3)
+      .select(lit(999L).as("gen"), col("doc_id"))
+      .write.mode("append").parquet(s"$dir/tombs")
+    val (live2, _, _, torn2, _) = report()
+    assert(live2 == live1 && torn2 == 3L,
+      s"3 uncommitted tombstone rows expected, got $torn2")
+
+    // duplicate live membership (hand-forged second ledger row)
+    val dupDoc = docs.where(col("doc_id") % 7 =!= 3).select("doc_id").head().getLong(0)
+    spark.read.parquet(s"$dir/docs").where(col("doc_id") === dupDoc)
+      .limit(1).withColumn("gen", col("gen") + 1000L)
+      .write.mode("append").parquet(s"$dir/docs")
+    assert(report()._2 == 1L, "forged duplicate membership must be counted")
+
+    // stale aside: doctor still reports (guardCompaction would refuse writes)
+    assert(new java.io.File(s"$dir/docs.old").mkdirs())
+    assert(report()._5 == 1, "docs.old aside must be counted")
+    assert(new java.io.File(s"$dir/docs.old").delete())
+
+    // doctor never mutated anything: searches unaffected by auditing,
+    // and a compact repairs what it reported (dups fold, inerts reclaim)
+    TextIndex.compact(spark, dir)
+    val (live3, dup3, reclaim3, torn3, stale3) = report()
+    assert(dup3 == 0L && reclaim3 == 0L && torn3 == 0L && stale3 == 0)
+    assert(live3 == live1, "compact must not change live membership count")
+  }
+
   test("search on an empty index returns the empty shape") {
     val dir = Files.createTempDirectory("graft-textidx-empty").toString
     val out = TextIndex.search(spark, dir, terms, 25)
