@@ -240,6 +240,59 @@ object VectorIndex {
     }
   } // WriterLock released here
 
+  /** Read-only fsck for the stored IVF index — [[graft.llm.TextIndex
+    * .doctor]]'s counterpart. Never mutates state. Columns:
+    *  - `live_vectors` — live rows in the current version;
+    *  - `dup_live_ids` — vec_ids with >1 live row (the add() anti-join
+    *    invariant broken: duplicates tie at identical cos_sim and eat
+    *    top-k slots);
+    *  - `misassigned_cells` — live rows whose stored cell is NOT the
+    *    squared-L2-nearest centroid of the live codebook: REAL
+    *    corruption — probes ranked under the assignment metric will
+    *    never open the right list, so the vector silently vanishes
+    *    from every search; repaired by a [[build]] (retrain reassigns;
+    *    [[compact]] copies cells verbatim and would carry it);
+    *  - `uncommitted_tombstone_rows` — tombstone rows whose generation
+    *    has no `_tcommit_` marker (torn remove): invisible to reads,
+    *    healed by re-issuing;
+    *  - `uncommitted_versions` — `vNNNNNNNN` dirs with no `_commit_`
+    *    marker (a build that died pre-flip): inert scratch, safe to
+    *    delete. */
+  def doctor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val names =
+      if (!fs.exists(p)) Seq.empty[String]
+      else fs.listStatus(p).map(_.getPath.getName).toSeq
+    val uncommitted = names.count(n =>
+      n.matches("v\\d{8}") && !names.contains(CommitPrefix + n))
+    val report = currentVersion(spark, dir) match {
+      case None => (0L, 0L, 0L, 0L, uncommitted)
+      case Some(v) =>
+        val verDir = s"$dir/$v"
+        val lv = liveVectors(spark, verDir)
+        val liveN = lv.count()
+        val dups = lv.groupBy("vec_id").agg(count(lit(1)).as("n"))
+          .where(col("n") > 1).count()
+        val cs = loadCentroids(spark, dir)
+        val mis = lv.where(col("cell") =!=
+          KMeans.assignCell(cs, col("embedding"))).count()
+        val torn =
+          if (!graft.store.GenLedger.hasData(spark, s"$verDir/tombs")) 0L
+          else {
+            val cg = graft.store.GenLedger.committedMarkers(
+              spark, verDir, TcommitPrefix)
+            val t = spark.read.parquet(s"$verDir/tombs")
+            if (cg.isEmpty) t.count()
+            else t.where(!col("gen").isin(cg: _*)).count()
+          }
+        (liveN, dups, mis, torn, uncommitted)
+    }
+    Seq(report).toDF("live_vectors", "dup_live_ids", "misassigned_cells",
+      "uncommitted_tombstone_rows", "uncommitted_versions")
+  }
+
   /** Per-cell inverted-list sizes — the index-health report (heavily
     * skewed lists mean the centroids have drifted from the data and a
     * scheduled rebuild is due). Live rows only. */

@@ -214,6 +214,59 @@ class VectorIndexSpec extends AnyFunSuite {
       "compacted legacy vectors must be cell-partitioned")
   }
 
+  test("doctor: clean on healthy state; counts misassignment, torn state, dead builds") {
+    val dir = Files.createTempDirectory("graft-vec-doctor").toString
+    val embeddings = Tables.embeddings(spark, sf)
+    val k = 8
+    VectorIndex.build(spark, dir, embeddings, k)
+    val n = embeddings.count()
+
+    def report(): (Long, Long, Long, Long, Int) = {
+      val r = VectorIndex.doctor(spark, dir).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))
+    }
+    assert(report() == ((n, 0L, 0L, 0L, 0)), "healthy index must audit clean")
+
+    // a committed takedown just shrinks live; nothing else moves
+    val victims = embeddings.select("vec_id").orderBy("vec_id").limit(2)
+    VectorIndex.remove(spark, dir, victims)
+    assert(report() == ((n - 2, 0L, 0L, 0L, 0)))
+
+    val verDir = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d{8}"))
+      .maxBy(_.getName).getAbsolutePath
+
+    // torn tombstone rows (no marker): counted, live unchanged
+    victims.select(lit(999L).as("gen"), col("vec_id"))
+      .write.mode("append").parquet(s"$verDir/tombs")
+    assert(report() == ((n - 2, 0L, 0L, 2L, 0)))
+
+    // a vector forged into the WRONG inverted list: real corruption —
+    // probes under the assignment metric never open its cell
+    val seedRow = spark.read.option("mergeSchema", "true")
+      .parquet(s"$verDir/vectors").where(col("vec_id") === 5)
+      .select("embedding", "cell").head()
+    val seed = seedRow.getSeq[Float](0)
+    val wrongCell = (seedRow.getInt(1) + 1) % k
+    Seq((900001L, seed, 0L)).toDF("vec_id", "embedding", "gen")
+      .withColumn("cell", lit(wrongCell))
+      .write.partitionBy("cell").mode("append").parquet(s"$verDir/vectors")
+    val afterForge = report()
+    assert(afterForge._3 == 1L,
+      s"forged wrong-cell vector must be counted misassigned: $afterForge")
+
+    // a build that died before its commit marker: inert, counted
+    assert(new java.io.File(s"$dir/v99999999").mkdirs())
+    assert(report()._5 == 1, "dead build dir must be counted")
+    assert(new java.io.File(s"$dir/v99999999").delete())
+
+    // retrain repairs what compact would carry: fresh assignment, fresh
+    // version, no tombstones
+    VectorIndex.build(spark, dir, embeddings, k)
+    assert(report() == ((n, 0L, 0L, 0L, 0)),
+      "a rebuild must audit clean again")
+  }
+
   test("filtered search: allow-list pre-filters candidates, keeps cell pruning") {
     val dir = Files.createTempDirectory("graft-vec-filtered").toString
     val embeddings = Tables.embeddings(spark, sf)
