@@ -397,6 +397,64 @@ object DedupIndex {
   def size(spark: SparkSession, dir: String): Long =
     liveSigRows(spark, dir).map(_.count()).getOrElse(0L)
 
+  /** Read-only fsck — the [[graft.llm.TextIndex.doctor]] counterpart
+    * for the dedup index. Never mutates state. Columns:
+    *  - `live_docs` — live memberships (== [[size]]);
+    *  - `dup_live_memberships` — doc_ids with >1 live sig row: a real
+    *    violation of the checkAndAdd anti-join invariant (a duplicated
+    *    membership double-counts in every pair verify);
+    *  - `reclaimable_sigs` — dead sig rows (tombstoned docs, superseded
+    *    incarnations): inert by the gen-liveness read rule, reclaimed
+    *    by [[compact]];
+    *  - `reclaimable_bands` — band postings matching no live (doc_id,
+    *    band, mh): dead docs' postings plus a re-added doc's old-text
+    *    postings — inert (their candidates die in the verify join),
+    *    reclaimed by [[compact]];
+    *  - `uncommitted_tombstone_rows` — tombstone rows whose gen has no
+    *    `_tcommit_` marker (torn remove): invisible, replay-healed;
+    *  - `stale_asides` — `sigs/bands` `.old` / `.compacting` leftovers
+    *    (`.old` blocks writes until recovered). */
+  def doctor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val live = liveSigRows(spark, dir)
+    val liveN = live.map(_.count()).getOrElse(0L)
+    val dups = live.map(
+      _.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .where(col("n") > 1).count()).getOrElse(0L)
+    val deadSigs =
+      if (!exists(spark, sigsPath(dir))) 0L
+      else readSigs(spark, dir).count() - liveN
+    val deadBands =
+      if (!exists(spark, bandsPath(dir))) 0L
+      else {
+        val b = spark.read.parquet(bandsPath(dir))
+          .select("doc_id", "band", "mh")
+        live match {
+          case None => b.count()
+          case Some(l) =>
+            val livePostings = l.select(col("doc_id"),
+                posexplode(col("sigs")).as(Seq("band", "mh")))
+            b.join(livePostings, Seq("doc_id", "band", "mh"), "left_anti")
+              .count()
+        }
+      }
+    val tornTombs =
+      if (!exists(spark, tombsPath(dir))) 0L
+      else {
+        val committed = committedTombGens(spark, dir)
+        val t = spark.read.parquet(tombsPath(dir))
+        if (committed.isEmpty) t.count()
+        else t.where(!col("gen").isin(committed: _*)).count()
+      }
+    val fs = graft.store.GenLedger.fsOf(spark, dir)
+    val staleAsides = Seq("sigs", "bands")
+      .flatMap(t => Seq(s"$dir/$t.old", s"$dir/$t.compacting"))
+      .count(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    Seq((liveN, dups, deadSigs, deadBands, tornTombs, staleAsides))
+      .toDF("live_docs", "dup_live_memberships", "reclaimable_sigs",
+        "reclaimable_bands", "uncommitted_tombstone_rows", "stale_asides")
+  }
+
   /** Compact the append-only index (each checkAndAdd batch appends its
     * own files; a long-lived service accumulates thousands). Unlike
     * `WeatherStore.compactPartition` — whose readers tolerate duplicate
@@ -442,17 +500,22 @@ object DedupIndex {
     val out = Map(
       rewrite("sigs", sigsPath(dir),
         liveSigs(spark, dir).get.withColumn("gen", lit(foldGen))),
-      // dead postings reclaimed by the live semi-join; duplicate
-      // postings from a re-add collapse in the distinct
-      rewrite("bands", bandsPath(dir), {
-        val b = spark.read.parquet(bandsPath(dir)).select("band", "mh", "doc_id")
+      // dead postings reclaimed by REGENERATION: live postings are a
+      // pure function of live sigs (8 posexploded rows per membership),
+      // so the rewrite derives them from the live sig frame directly.
+      // This also drops a re-added doc's OLD-text postings — which a
+      // doc_id-keyed semi-join would carry forever (the TextIndex
+      // gen-stamp lesson; here solved by construction, since the sig
+      // row IS the membership) — and crash-orphaned bands whose sigs
+      // append never landed.
+      rewrite("bands", bandsPath(dir),
         liveSigs(spark, dir) match {
-          case None => b.distinct()
-          case Some(l) =>
-            b.join(l.select("doc_id"), Seq("doc_id"), "left_semi").distinct()
-              .select("band", "mh", "doc_id")
-        }
-      }))
+          case None => spark.read.parquet(bandsPath(dir))
+            .select("band", "mh", "doc_id").limit(0)
+          case Some(l) => l
+            .select(col("doc_id"), posexplode(col("sigs")).as(Seq("band", "mh")))
+            .select("band", "mh", "doc_id")
+        }))
     if (hasTombs) {
       val fs = fsOf(spark, dir)
       fs.delete(new org.apache.hadoop.fs.Path(tombsPath(dir)), true)

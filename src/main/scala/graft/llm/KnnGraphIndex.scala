@@ -390,6 +390,55 @@ object KnnGraphIndex {
   def size(spark: SparkSession, dir: String): Long =
     liveLedger(spark, dir).map(_.count()).getOrElse(0L)
 
+  /** Read-only fsck — the [[graft.llm.TextIndex.doctor]] counterpart
+    * for the kNN-graph index. Never mutates state. Columns:
+    *  - `live_vectors` — live ledger rows (== [[size]]);
+    *  - `dup_live_ids` — vec_ids with >1 live ledger row (the add()
+    *    anti-join invariant broken);
+    *  - `dangling_edges` — CURRENT graph rows (post-resolve: committed,
+    *    max-gen, dead-filtered) whose `nid` has no live ledger row at
+    *    all: a real violation — [[remove]]'s reroute and the read-time
+    *    dead filter should make these impossible, so a nonzero count
+    *    means a forged write or a bug;
+    *  - `uncommitted_graph_rows` — graph rows whose gen has no
+    *    `_gcommit_` marker (an add that died between the graph append
+    *    and its commit): invisible to reads, replay-healed;
+    *  - `uncommitted_tombstone_rows` — same, for `_tcommit_`;
+    *  - `stale_asides` — `vectors/graph` `.old` / `.compacting`. */
+  def doctor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val live = liveLedger(spark, dir)
+    val liveN = live.map(_.count()).getOrElse(0L)
+    val dups = live.map(
+      _.groupBy("vec_id").agg(count(lit(1)).as("n"))
+        .where(col("n") > 1).count()).getOrElse(0L)
+    val dangling = live match {
+      case None => 0L
+      case Some(l) =>
+        resolve(spark, dir)
+          .join(l.select(col("vec_id").as("nid")), Seq("nid"), "left_anti")
+          .count()
+    }
+    def tornRows(path: String, prefix: String): Long =
+      if (!exists(spark, path)) 0L
+      else {
+        val committed = committedMarkers(spark, dir, prefix)
+        val t = spark.read.parquet(path)
+        if (committed.isEmpty) t.count()
+        else t.where(!col("gen").isin(committed: _*)).count()
+      }
+    val tornGraph = tornRows(graphPath(dir), GcommitPrefix)
+    val tornTombs = tornRows(tombsPath(dir), TcommitPrefix)
+    val fs = graft.store.GenLedger.fsOf(spark, dir)
+    val staleAsides = Seq("vectors", "graph")
+      .flatMap(t => Seq(s"$dir/$t.old", s"$dir/$t.compacting"))
+      .count(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    Seq((liveN, dups, dangling, tornGraph, tornTombs, staleAsides))
+      .toDF("live_vectors", "dup_live_ids", "dangling_edges",
+        "uncommitted_graph_rows", "uncommitted_tombstone_rows",
+        "stale_asides")
+  }
+
   /** Graph-descent ANN serve over the STORED graph — the HNSW-shaped
     * alternative to IVF probing (Malkov & Yashunin's search loop on a
     * single-layer NSW graph, batch-beam form): start every query at the

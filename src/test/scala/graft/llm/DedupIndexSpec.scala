@@ -116,4 +116,63 @@ class DedupIndexSpec extends AnyFunSuite {
     // the lock file is released
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_writer_lock")))
   }
+
+  test("doctor: clean when healthy; counts dead rows, torn tombs, stale asides") {
+    val dir = Files.createTempDirectory("graft-dedup-doctor").toString
+    val docs = Tables.documents(spark, sf)
+    DedupIndex.checkAndAdd(spark, dir, docs.where(col("doc_id") % 2 === 0))
+    DedupIndex.checkAndAdd(spark, dir, docs.where(col("doc_id") % 2 =!= 0))
+    val n = docs.count()
+
+    def report(): (Long, Long, Long, Long, Long, Int) = {
+      val r = DedupIndex.doctor(spark, dir).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getInt(5))
+    }
+    assert(report() == ((n, 0L, 0L, 0L, 0L, 0)), "healthy index must audit clean")
+
+    // committed takedown: dead sigs AND their band postings become
+    // reclaimable, live shrinks, nothing is a violation
+    val victims = docs.where(col("doc_id") % 7 === 3).select("doc_id")
+    DedupIndex.remove(spark, dir, victims)
+    val v = victims.count()
+    val (live1, dup1, dsig1, dband1, torn1, stale1) = report()
+    assert(live1 == n - v && dup1 == 0L && torn1 == 0L && stale1 == 0)
+    assert(dsig1 == v, s"$v dead sig rows expected, got $dsig1")
+    assert(dband1 == v * 8, s"${v * 8} dead band postings expected, got $dband1")
+
+    // torn tombstone rows: counted, liveness unchanged
+    docs.where(col("doc_id") % 11 === 5).limit(2)
+      .select(lit(999L).as("gen"), col("doc_id"))
+      .write.mode("append").parquet(s"$dir/tombs")
+    val r2 = report()
+    assert(r2._1 == live1 && r2._5 == 2L, s"2 torn tombstone rows expected: $r2")
+
+    // stale aside blocks writers; doctor still reads
+    assert(new java.io.File(s"$dir/bands.old").mkdirs())
+    assert(report()._6 == 1)
+    assert(new java.io.File(s"$dir/bands.old").delete())
+
+    // re-add one victim slice with DIFFERENT text: the doc is live
+    // again, but its old-text band postings are stale — doctor must
+    // count them even though the doc_id itself is live
+    DedupIndex.checkAndAdd(spark, dir,
+      docs.where(col("doc_id") % 7 === 3)
+        .withColumn("text", concat(col("text"), lit(" zqj zqj zqj"))))
+    val (live2b, _, dsig2b, dband2b, _, _) = report()
+    assert(live2b == n, "re-added docs must be live again")
+    assert(dsig2b == v, "old incarnations' sig rows stay dead")
+    // only the bands whose minhash actually moved go stale (a few new
+    // shingles rarely displace every per-band minimum), so the bound is
+    // existence, not v*8
+    assert(dband2b > 0, s"old-text postings must count as reclaimable: $dband2b")
+
+    // compact reclaims everything doctor flagged as inert — including
+    // the re-added docs' old-text postings (postings are REGENERATED
+    // from live sigs, not semi-joined by doc_id)
+    DedupIndex.compact(spark, dir)
+    val (live3, dup3, dsig3, dband3, torn3, stale3) = report()
+    assert((live3, dup3, dsig3, dband3, torn3, stale3) ==
+      ((n, 0L, 0L, 0L, 0L, 0)), "post-compact index must audit clean")
+  }
 }

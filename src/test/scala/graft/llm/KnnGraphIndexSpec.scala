@@ -258,4 +258,49 @@ class KnnGraphIndexSpec extends AnyFunSuite {
       assert(graphOf(d) == expected, s"split $splitName diverged from one-shot")
     }
   }
+
+  test("doctor: clean when healthy; counts dangling edges, torn rows, stale asides") {
+    val dir = tmp()
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    KnnGraphIndex.add(spark, dir, emb.where(col("vec_id") % 2 === 0), K)
+    KnnGraphIndex.add(spark, dir, emb.where(col("vec_id") % 2 =!= 0), K)
+    val n = emb.count()
+
+    def report(): (Long, Long, Long, Long, Long, Int) = {
+      val r = KnnGraphIndex.doctor(spark, dir).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getInt(5))
+    }
+    assert(report() == ((n, 0L, 0L, 0L, 0L, 0)), "healthy graph must audit clean")
+
+    // committed takedown re-routes lists: live shrinks, NOTHING dangles
+    val victims = emb.select("vec_id").orderBy("vec_id").limit(2)
+    KnnGraphIndex.remove(spark, dir, victims, K)
+    assert(report() == ((n - 2, 0L, 0L, 0L, 0L, 0)),
+      "post-takedown graph must still audit clean (reroute + dead filter)")
+
+    // torn graph rows (no _gcommit_ marker): counted, invisible
+    import spark.implicits._
+    Seq((1L, 3L, 1, 0.5, 999L)).toDF("vec_id", "nid", "rnk", "cos_sim", "gen")
+      .write.mode("append").parquet(s"$dir/graph")
+    assert(report()._4 == 1L, "torn graph row must be counted")
+
+    // a committed edge to a NEVER-existing id: the one shape reroute
+    // and the dead filter cannot explain — a real violation
+    val sample = spark.read.parquet(s"$dir/graph")
+      .where(col("gen") =!= 999L)
+      .orderBy(col("gen").desc, col("vec_id")).limit(1).head()
+    Seq((sample.getLong(0), 987654321L, 99, -0.99, sample.getLong(4)))
+      .toDF("vec_id", "nid", "rnk", "cos_sim", "gen")
+      .write.mode("append").parquet(s"$dir/graph")
+    assert(report()._3 == 1L, "dangling edge must be counted")
+
+    // torn tombstone rows and a stale swap aside
+    Seq((998L, 5L)).toDF("gen", "vec_id")
+      .write.mode("append").parquet(s"$dir/tombs")
+    assert(report()._5 == 1L, "torn tombstone row must be counted")
+    assert(new java.io.File(s"$dir/graph.old").mkdirs())
+    assert(report()._6 == 1)
+    assert(new java.io.File(s"$dir/graph.old").delete())
+  }
 }
