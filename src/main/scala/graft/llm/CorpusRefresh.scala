@@ -400,6 +400,61 @@ object CorpusRefresh {
     }
   } // WriterLock released here
 
+  /** Read-only fsck — the refresh service's member of the doctor
+    * family ([[TextIndex.doctor]] et al.). Never mutates state.
+    * Columns:
+    *  - `live_hashes` / `live_copies` — resolved exact-state size;
+    *  - `uncommitted_rows` — rows across exact/copies/removed/pairs/
+    *    scrub whose gen has no `_commit_` marker: debris of a refresh
+    *    or takedown that died pre-commit — invisible to resolution,
+    *    healed by replay, reclaimed by [[compact]];
+    *  - `keepers_missing_scrub` — live exact keepers with NO scrub row:
+    *    a REAL violation of the assembly invariant ("every assembled
+    *    output row finds its scrub row") — the handover path re-keys
+    *    scrub rows precisely so this stays 0 through takedowns;
+    *  - `stale_asides` — `.old`/`.compacting` leftovers across the five
+    *    state tables (`.old` blocks writers until recovered);
+    *  - `dedup_violations` — the inner [[DedupIndex.doctor]]'s
+    *    dup-membership count (its inert classes are reported by its own
+    *    doctor; only the violation class rolls up). */
+  def doctor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val committed = committedGens(spark, dir)
+    def torn(path: String): Long =
+      if (!exists(spark, path)) 0L
+      else {
+        val t = spark.read.parquet(path)
+        if (committed.isEmpty) t.count()
+        else t.where(!col("gen").isin(committed: _*)).count()
+      }
+    val tornRows = Seq(exactPath(dir), copiesPath(dir), removedPath(dir),
+      pairsPath(dir), scrubPath(dir)).map(torn).sum
+    val exact = exactResolve(spark, dir)
+    val liveHashes = exact.map(_.count()).getOrElse(0L)
+    val liveCopies = copiesResolve(spark, dir).map(_.count()).getOrElse(0L)
+    val missingScrub = exact match {
+      case None => 0L
+      case Some(e) =>
+        val keepers = e.select(col("keeper_id").as("doc_id"))
+        scrubResolve(spark, dir) match {
+          case None => keepers.count()
+          case Some(sc) => keepers
+            .join(sc.select("doc_id"), Seq("doc_id"), "left_anti").count()
+        }
+    }
+    val fs = fsOf(spark, dir)
+    val staleAsides = Seq("exact", "copies", "removed", "pairs", "scrub")
+      .flatMap(t => Seq(s"$dir/$t.old", s"$dir/$t.compacting"))
+      .count(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val dedupViolations =
+      if (!exists(spark, s"${dedupDir(dir)}/sigs")) 0L
+      else DedupIndex.doctor(spark, dedupDir(dir)).head().getLong(1)
+    Seq((liveHashes, liveCopies, tornRows, missingScrub, staleAsides,
+      dedupViolations))
+      .toDF("live_hashes", "live_copies", "uncommitted_rows",
+        "keepers_missing_scrub", "stale_asides", "dedup_violations")
+  }
+
   /** Fold the accumulated state to ONE generation: every table rewritten
     * to its resolved content (latest-per-key exact/scrub, live copies,
     * live-endpoint pairs), removal tombstones physically reclaimed, the

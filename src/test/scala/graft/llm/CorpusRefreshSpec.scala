@@ -273,4 +273,49 @@ class CorpusRefreshSpec extends AnyFunSuite {
     assert(rows(CorpusRefresh.prepared(spark, dir)) ==
       rows(CorpusEtl.prepare(docs.where(col("doc_id") % 7 =!= 3))))
   }
+
+  test("doctor: clean when healthy; handover keeps the scrub invariant; debris counted") {
+    val dir = Files.createTempDirectory("graft-refresh-doctor").toString
+    val docs = Tables.documents(spark, sf)
+    CorpusRefresh.refresh(spark, dir, docs.where(col("doc_id") % 2 === 0))
+    CorpusRefresh.refresh(spark, dir, docs.where(col("doc_id") % 2 =!= 0))
+
+    def report(): (Long, Long, Long, Long, Int, Long) = {
+      val r = CorpusRefresh.doctor(spark, dir).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4),
+        r.getLong(5))
+    }
+    val (h0, c0, u0, m0, s0, d0) = report()
+    assert(h0 > 0L && c0 >= h0, s"resolved state looks wrong: $h0 hashes / $c0 copies")
+    assert((u0, m0, s0, d0) == ((0L, 0L, 0, 0L)), "healthy state must audit clean")
+
+    // takedown including exact-dup keepers: handovers re-key scrub rows,
+    // so the assembly invariant (every live keeper has a scrub row)
+    // must hold THROUGH the takedown, not just before it
+    CorpusRefresh.remove(spark, dir,
+      docs.where(col("doc_id") % 5 === 2).select("doc_id"))
+    val (h1, c1, u1, m1, s1, d1) = report()
+    assert(h1 <= h0 && c1 < c0)
+    assert((u1, m1, s1, d1) == ((0L, 0L, 0, 0L)),
+      s"takedown must leave a clean audit: missing_scrub=$m1 torn=$u1")
+
+    // debris of a refresh that died pre-commit: counted, invisible
+    spark.range(1).select(lit(999L).as("gen"), lit("deadbeef").as("content_hash"),
+        lit(1L).as("keeper_id"), lit(1).as("n_copies"), lit("en").as("lang"),
+        lit(10L).as("n_tokens"))
+      .write.mode("append").parquet(s"$dir/exact")
+    assert(report()._3 == 1L, "uncommitted exact row must be counted")
+    assert(report()._1 == h1, "uncommitted row must not change resolution")
+
+    // stale swap aside: doctor reads, writers would refuse
+    assert(new java.io.File(s"$dir/copies.old").mkdirs())
+    assert(report()._5 == 1)
+    assert(new java.io.File(s"$dir/copies.old").delete())
+
+    // compact reclaims the debris; the audit is clean after
+    CorpusRefresh.compact(spark, dir)
+    val (h2, c2, u2, m2, s2, d2) = report()
+    assert((h2, c2) == ((h1, c1)), "compact must not change resolved state")
+    assert((u2, m2, s2, d2) == ((0L, 0L, 0, 0L)), "post-compact audit must be clean")
+  }
 }
