@@ -52,7 +52,7 @@ object PipelineE2e {
   private val L = 512
   private val TopK = 20
 
-  val all: Seq[Q] = Seq(
+  private val p1q: Q =
     Q("p1_pipeline_e2e",
       (s, d) => {
         val tag = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -171,11 +171,66 @@ object PipelineE2e {
           .orderBy("pos")
       },
       Some(oracleSql))
-  )
+
+  // The pipeline taken to its true end state: p1's packed token stream
+  // cut into fixed-size training SHARDS (c13's writer arithmetic over
+  // p1's output instead of the raw table) — stream ingest →
+  // decontaminate → plan → order+pack → shard. One more bounded
+  // hierarchical permutation (md5 over the global sequence ids, bucket
+  // offsets on a ≤256-row aggregate); the oracle extends p1's flat
+  // recompute with the same four CTEs, so the hash pins the WHOLE
+  // composition end-to-end.
+  private val p2q: Q =
+    Q("p2_pipeline_shards",
+      (s, d) => {
+        val S = 16L
+        val packed = p1q.fn(s, d)
+        val nseq = packed.agg(sum("n_tokens").as("t"))
+          .select(expr(s"(t + ${L - 1}) div $L").as("n_seqs"))
+        val seqs = nseq
+          .select(explode(expr("sequence(cast(0 as bigint), n_seqs - 1)")).as("seq"))
+          .withColumn("h", md5(concat(lit("s:"), col("seq").cast("string"))))
+          .withColumn("bucket",
+            conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
+        val wOff = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = seqs.groupBy("bucket")
+          .agg(count(lit(1)).as("b_n"))
+          .withColumn("b_start", coalesce(sum("b_n").over(wOff), lit(0L)))
+          .select("bucket", "b_start")
+        val wIn = Window.partitionBy("bucket").orderBy("h", "seq")
+        seqs.join(offsets, Seq("bucket"))
+          .withColumn("spos", col("b_start") + row_number().over(wIn) - 1)
+          .select(col("seq"),
+            expr(s"spos div $S").as("shard_id"),
+            expr(s"spos % $S").as("pos_in_shard"),
+            (col("seq") * L).as("token_offset"))
+          .orderBy("shard_id", "pos_in_shard")
+      },
+      Some(oracleCtes + s""",
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM packed),
+        nseq AS (SELECT (t + ${L - 1}) // $L AS n_seqs FROM tot),
+        sseqs AS (SELECT CAST(unnest(range(0, n_seqs)) AS BIGINT) AS seq FROM nseq),
+        shh AS (SELECT seq, md5('s:' || CAST(seq AS VARCHAR)) AS h2s FROM sseqs),
+        shp AS (SELECT seq, row_number() OVER (ORDER BY h2s, seq) - 1 AS spos FROM shh)
+        SELECT seq, CAST(spos // 16 AS BIGINT) AS shard_id,
+          CAST(spos % 16 AS BIGINT) AS pos_in_shard,
+          CAST(seq * $L AS BIGINT) AS token_offset
+        FROM shp ORDER BY shard_id, pos_in_shard"""))
+
+  val all: Seq[Q] = Seq(p1q, p2q)
 
   /** The flat recompute: prep CTEs → BM25 top-20 → IVF probe → c11
     * greedy → one-ORDER-BY permutation → running-sum pack. */
-  private def oracleSql: String = {
+  private def oracleSql: String = oracleCtes + s"""
+        SELECT doc_id, rep, pos, n_tokens, start_off,
+          start_off // $L AS first_seq,
+          (start_off + n_tokens - 1) // $L AS last_seq
+        FROM packed ORDER BY pos"""
+
+  /** Everything up to the `packed` CTE — shared by p1's final select
+    * and p2's shard extension. */
+  private def oracleCtes: String = {
     val tfCols = Terms.map(t =>
       s"CAST(len(list_filter(t, x -> x = '$t')) AS INT) AS tf_$t")
       .mkString(",\n            ")
@@ -263,14 +318,10 @@ object PipelineE2e {
           FROM inst),
         posd AS (SELECT *, row_number() OVER (ORDER BY h2, doc_id, rep) AS pos
           FROM ordr),
-        packed AS (SELECT *,
+        packed AS MATERIALIZED (SELECT *,
             CAST(SUM(n_tokens) OVER (ORDER BY pos
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
               - n_tokens AS start_off
-          FROM posd)
-        SELECT doc_id, rep, pos, n_tokens, start_off,
-          start_off // $L AS first_seq,
-          (start_off + n_tokens - 1) // $L AS last_seq
-        FROM packed ORDER BY pos"""
+          FROM posd)"""
   }
 }

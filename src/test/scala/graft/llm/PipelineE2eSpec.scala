@@ -66,6 +66,26 @@ class PipelineE2eSpec extends AnyFunSuite {
     }
   }
 
+  test("p2 shard extension: every unpartitioned window stays on a bounded bucket aggregate") {
+    // p2 = p1 + one more hierarchical permutation, so the budget is two
+    // unpartitioned windows — both must consume ≤256-row bucket frames
+    val plan = graft.SparkEntry.queries("p2_pipeline_shards")(spark, sf)
+      .queryExecution.optimizedPlan
+    val unpartitioned = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.size <= 2,
+      s"more than two unpartitioned windows:\n${unpartitioned.mkString("\n")}")
+    for (w <- unpartitioned)
+      assert(w.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if a.groupingExpressions.size == 1 &&
+              a.groupingExpressions.head.references.toSeq
+                .exists(_.name == "bucket") => a
+      }.nonEmpty, s"unpartitioned window not over a bucket aggregate: $w")
+  }
+
   test("composing the serve path never materializes corpus data to the driver") {
     serve.count() // state built + marker set before we start measuring
     // composition legitimately runs cluster-side jobs (the live-pair CC
