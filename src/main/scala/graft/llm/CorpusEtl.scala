@@ -973,7 +973,110 @@ object CorpusEtl {
           CAST(pos // 16 AS BIGINT) AS shard_id,
           CAST(pos % 16 AS BIGINT) AS pos_in_shard,
           CAST(seq * 512 AS BIGINT) AS token_offset
-        FROM p ORDER BY shard_id, pos_in_shard"""))
+        FROM p ORDER BY shard_id, pos_in_shard""")),
+
+    // APPEND-ONLY shard growth — what a production shard store does
+    // daily: shards already written are IMMUTABLE, so a corpus delta
+    // opens NEW shards instead of reshuffling the world. Base corpus
+    // (doc_id % 3 ≠ 0) gets c13's manifest verbatim; the delta's
+    // per-source sequences continue each source's numbering at its base
+    // count, get their own deterministic permutation, and land in
+    // shards starting AFTER the last base shard (the base shard count
+    // rides a broadcast 1-row frame — no driver action). Base rows are
+    // therefore a pure function of the base corpus alone: re-running
+    // with a different delta can never rewrite a shipped shard. Same
+    // hierarchical position assignment as c13 on both sides of the
+    // union; the oracle mirrors the arithmetic flat.
+    Q("c13b_shard_append",
+      (s, d) => {
+        val L = 512L; val S = 16L
+        val toks = Tables.documentsSpread(s, d)
+          .select(col("doc_id"), col("source"),
+            size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+        def nseq(docs: DataFrame) = docs.groupBy("source")
+          .agg(expr(s"(sum(n_tokens) + ${L - 1}) div $L").as("n_seqs"))
+        val baseN = nseq(toks.where(col("doc_id") % 3 =!= 0))
+        val deltaN = nseq(toks.where(col("doc_id") % 3 === 0))
+        def assign(seqs: DataFrame, shardBase: org.apache.spark.sql.Column): DataFrame = {
+          val withH = seqs
+            .withColumn("h",
+              md5(concat(col("source"), lit(":"), col("seq").cast("string"))))
+            .withColumn("bucket",
+              conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
+          val wOff = Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val offsets = withH.groupBy("bucket")
+            .agg(count(lit(1)).as("b_n"))
+            .withColumn("b_start", coalesce(sum("b_n").over(wOff), lit(0L)))
+            .select("bucket", "b_start")
+          val wIn = Window.partitionBy("bucket")
+            .orderBy(col("h"), col("source"), col("seq"))
+          withH.join(offsets, Seq("bucket"))
+            .withColumn("pos", col("b_start") + row_number().over(wIn) - 1)
+            .select(col("source"), col("seq"),
+              (shardBase + expr(s"pos div $S")).as("shard_id"),
+              expr(s"pos % $S").as("pos_in_shard"),
+              (col("seq") * L).as("token_offset"))
+        }
+        val baseSeqs = baseN.select(col("source"),
+          explode(expr("sequence(cast(0 as bigint), n_seqs - 1)")).as("seq"))
+        val baseShards = baseSeqs
+          .agg(expr(s"(count(1) + ${S - 1}) div $S").as("base_shards"))
+        val deltaSeqs = deltaN
+          .join(baseN.withColumnRenamed("n_seqs", "base_n"), Seq("source"), "left")
+          .select(col("source"),
+            explode(expr("sequence(cast(0 as bigint), n_seqs - 1)")).as("s0"),
+            coalesce(col("base_n"), lit(0L)).as("b0"))
+          .select(col("source"), (col("s0") + col("b0")).as("seq"))
+        val base = assign(baseSeqs, lit(0L)).withColumn("batch", lit("base"))
+        val delta = assign(
+            deltaSeqs.crossJoin(broadcast(baseShards)), col("base_shards"))
+          .withColumn("batch", lit("delta"))
+        base.unionByName(delta)
+          .select("batch", "source", "seq", "shard_id", "pos_in_shard",
+            "token_offset")
+          .orderBy("shard_id", "pos_in_shard")
+      },
+      Some("""WITH d0 AS (
+          SELECT doc_id, source,
+            CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        bt AS (
+          SELECT source, CAST((SUM(n_tokens) + 511) // 512 AS BIGINT) AS n_seqs
+          FROM d0 WHERE doc_id % 3 <> 0 GROUP BY source),
+        dt AS (
+          SELECT source, CAST((SUM(n_tokens) + 511) // 512 AS BIGINT) AS n_seqs
+          FROM d0 WHERE doc_id % 3 = 0 GROUP BY source),
+        bseqs AS (
+          SELECT source, CAST(unnest(range(0, n_seqs)) AS BIGINT) AS seq FROM bt),
+        dseqs AS (
+          SELECT d.source,
+            CAST(unnest(range(0, d.n_seqs)) AS BIGINT) + COALESCE(b.n_seqs, 0) AS seq
+          FROM dt d LEFT JOIN bt b USING (source)),
+        bshards AS (
+          SELECT CAST((COUNT(*) + 15) // 16 AS BIGINT) AS base_shards FROM bseqs),
+        bp AS (
+          SELECT source, seq, row_number() OVER (
+            ORDER BY md5(source || ':' || CAST(seq AS VARCHAR)), source, seq) - 1
+            AS pos
+          FROM bseqs),
+        dp AS (
+          SELECT source, seq, row_number() OVER (
+            ORDER BY md5(source || ':' || CAST(seq AS VARCHAR)), source, seq) - 1
+            AS pos
+          FROM dseqs)
+        SELECT 'base' AS batch, source, seq,
+          CAST(pos // 16 AS BIGINT) AS shard_id,
+          CAST(pos % 16 AS BIGINT) AS pos_in_shard,
+          CAST(seq * 512 AS BIGINT) AS token_offset
+        FROM bp
+        UNION ALL
+        SELECT 'delta', source, seq,
+          CAST(pos // 16 + (SELECT base_shards FROM bshards) AS BIGINT),
+          CAST(pos % 16 AS BIGINT),
+          CAST(seq * 512 AS BIGINT)
+        FROM dp
+        ORDER BY shard_id, pos_in_shard"""))
   )
 
   /** c12's plan body: the deterministic per-epoch global permutation of
