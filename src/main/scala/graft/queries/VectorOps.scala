@@ -1051,7 +1051,7 @@ object VectorOps {
     * Fixed-order 16-term folds, 4-term ADC sums in subspace order,
     * argmin/rank ties on the lower id — the oracle-matched arithmetic. */
   private[graft] def ivfPqSearch(e: DataFrame, isQuery: Column, k: Int,
-      adcKeep: Int, nprobe: Int): DataFrame = {
+      adcKeep: Int, nprobe: Int, pqCb: Option[DataFrame] = None): DataFrame = {
     // coarse quantizer: v5's pinned 16-centroid cosine assignment
     val cents = e.where(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
@@ -1073,8 +1073,11 @@ object VectorOps {
     val subs = expr("transform(sequence(0, 3), s -> slice(embedding, s * 16 + 1, 16))")
     val parts = e.select(col("vec_id"),
       posexplode(subs).as(Seq("sub", "sv")))
-    val cb = parts.where(col("vec_id") < 16)
-      .select(col("vec_id").cast("int").as("j"), col("sub"), col("sv").as("cw"))
+    // codebook: the deterministic gate fixture by default; a TRAINED
+    // per-subspace codebook ([[pqTrainCodebooks]]) when supplied —
+    // same (sub, j, cw) shape, so encode/ADC/rerank are untouched
+    val cb = pqCb.getOrElse(parts.where(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("j"), col("sub"), col("sv").as("cw")))
     val l2 = expr("""aggregate(zip_with(sv, cw,
         (x, y) -> (cast(x as double) - cast(y as double)) *
                   (cast(x as double) - cast(y as double))),
@@ -1121,6 +1124,28 @@ object VectorOps {
       .where(col("rnk") <= k)
       .select("qid", "nid", "rnk", "adc_dist", "cos_sim")
       .orderBy("qid", "rnk")
+  }
+
+  /** Production PQ TRAINING — the step the v8/v10 gate fixtures stand
+    * in for: one k-means codebook per subspace (Jégou et al.'s product
+    * quantizer), trained on the corpus's own subvectors with the
+    * deterministic farthest-first [[KMeans.fit]] (no RNG — reproducible
+    * across runs and engines). Returns the (sub, j, cw) frame
+    * [[ivfPqSearch]] accepts: m × k rows, driver-sized at any corpus
+    * scale (the codebook is a model parameter, not data).
+    * AnnRecallSpec measures the trained codebooks' recall against the
+    * fixture's at the 10× replica. */
+  private[graft] def pqTrainCodebooks(e: DataFrame, m: Int = 4,
+      dSub: Int = 16, k: Int = 16): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    (0 until m).flatMap { sub =>
+      val slice = e.select(col("vec_id"),
+        expr(s"slice(embedding, ${sub * dSub + 1}, $dSub)").as("embedding"))
+      KMeans.fit(slice, k)._1.zipWithIndex.map { case (cw, j) =>
+        (sub, j, cw.toSeq)
+      }
+    }.toDF("sub", "j", "cw")
   }
 
   /** v5b/v5c's pinned codebook: the first 16 vectors (by id), as
