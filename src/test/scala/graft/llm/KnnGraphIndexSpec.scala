@@ -290,7 +290,8 @@ class KnnGraphIndexSpec extends AnyFunSuite {
     val sample = spark.read.parquet(s"$dir/graph")
       .where(col("gen") =!= 999L)
       .orderBy(col("gen").desc, col("vec_id")).limit(1).head()
-    Seq((sample.getLong(0), 987654321L, 99, -0.99, sample.getLong(4)))
+    Seq((sample.getAs[Long]("vec_id"), 987654321L, 99, -0.99,
+        sample.getAs[Long]("gen")))
       .toDF("vec_id", "nid", "rnk", "cos_sim", "gen")
       .write.mode("append").parquet(s"$dir/graph")
     assert(report()._3 == 1L, "dangling edge must be counted")
