@@ -177,6 +177,48 @@ class TextIndexSpec extends AnyFunSuite {
     assert(TextIndex.size(spark, dir) == docs.count())
   }
 
+  test("racing add/remove vs compact keeps the search contract") {
+    // the DedupIndexSpec discipline for the lexical service: concurrent
+    // maintainers serialize on the shared WriterLock, so any interleave
+    // of batch adds, a takedown, and a compaction must land on exactly
+    // the batch scorer over the surviving documents — and the lock file
+    // must be released at the end
+    val dir = Files.createTempDirectory("graft-textidx-race").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    TextIndex.add(spark, dir, docs.where(col("doc_id") % 4 === 0))
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val tasks: Seq[Runnable] = (1 until 4).map[Runnable] { part => () =>
+      try TextIndex.add(spark, dir, docs.where(col("doc_id") % 4 === part))
+      catch { case t: Throwable => failures.add(t) }
+    } :+ ({ () =>
+      try TextIndex.compact(spark, dir, numFiles = 2)
+      catch { case t: Throwable => failures.add(t) }
+    }: Runnable) :+ ({ () =>
+      // victims confined to the PRE-SEEDED batch: they are live before
+      // the race starts and no racing task re-adds them, so the end
+      // state is interleave-independent (a remove only tombstones
+      // currently-live ids — removing a slice a racing add might land
+      // LATER would make the outcome depend on scheduling)
+      try TextIndex.remove(spark, dir,
+        docs.where(col("doc_id") % 4 === 0 && col("doc_id") % 13 === 7)
+          .select("doc_id"))
+      catch { case t: Throwable => failures.add(t) }
+    }: Runnable)
+    tasks.foreach(pool.execute)
+    pool.shutdown()
+    assert(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS))
+    assert(failures.isEmpty, s"concurrent maintainer failed: ${failures.peek()}")
+
+    val survivors = docs.where(!(col("doc_id") % 4 === 0 && col("doc_id") % 13 === 7))
+    assert(searchTopK(dir, 25) == batchTopK(survivors, 25),
+      "racing maintainers broke the search contract")
+    assert(TextIndex.size(spark, dir) == survivors.count())
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_writer_lock")))
+  }
+
   test("doctor: clean on healthy state, counts every damage class, read-only") {
     val dir = Files.createTempDirectory("graft-textidx-doctor").toString
     val docs = Tables.documents(spark, sf).select("doc_id", "text")

@@ -214,6 +214,49 @@ class VectorIndexSpec extends AnyFunSuite {
       "compacted legacy vectors must be cell-partitioned")
   }
 
+  test("racing add/remove vs compact keeps the search contract") {
+    // concurrent maintainers serialize on the WriterLock: any interleave
+    // of appends, a takedown of pre-seeded ids (never re-added by the
+    // racers, so the end state is interleave-independent), and a
+    // reclamation compact must land on the exact filtered top-k
+    val dir = Files.createTempDirectory("graft-vec-race").toString
+    val embeddings = Tables.embeddings(spark, sf)
+    val k = 8
+    VectorIndex.build(spark, dir, embeddings.where(col("vec_id") % 4 === 0), k)
+    val vecs = embeddings.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val victims = vecs.keySet.filter(_ % 4 == 0).toSeq.sorted.take(2)
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val tasks: Seq[Runnable] = (1 until 4).map[Runnable] { part => () =>
+      try VectorIndex.add(spark, dir,
+        embeddings.where(col("vec_id") % 4 === part)
+          .select("vec_id", "embedding"))
+      catch { case t: Throwable => failures.add(t) }
+    } :+ ({ () =>
+      try VectorIndex.compact(spark, dir)
+      catch { case t: Throwable => failures.add(t) }
+    }: Runnable) :+ ({ () =>
+      try VectorIndex.remove(spark, dir, victims.toDF("vec_id"))
+      catch { case t: Throwable => failures.add(t) }
+    }: Runnable)
+    tasks.foreach(pool.execute)
+    pool.shutdown()
+    assert(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS))
+    assert(failures.isEmpty, s"concurrent maintainer failed: ${failures.peek()}")
+
+    val q = vecs.keys.max
+    val got = VectorIndex.search(spark, dir,
+        Seq((q, vecs(q).toSeq)).toDF("qid", "qe"), k = 5, nprobe = k)
+      .collect().sortBy(_.getInt(2)).map(_.getLong(1)).toSeq
+    val exact = vecs.keySet.filter(n => n != q && !victims.contains(n)).toSeq
+      .sortBy(n => (-cos(vecs(q), vecs(n)), n)).take(5)
+    assert(got == exact, s"racing maintainers broke the search contract: $got vs $exact")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_writer_lock")))
+  }
+
   test("doctor: clean on healthy state; counts misassignment, torn state, dead builds") {
     val dir = Files.createTempDirectory("graft-vec-doctor").toString
     val embeddings = Tables.embeddings(spark, sf)
