@@ -225,6 +225,31 @@ final class EventStore(spark: SparkSession, root: String,
       .map(_.stripPrefix(CommitPrefix))
   }
 
+  /** Read-only fsck — the doctor-family member for the versioned event
+    * store (same posture as the index services' doctors). One row per
+    * table: the live version, committed-version count (the time-travel
+    * window), `uncommitted_dirs` — version dirs with no `_commit_`
+    * marker (a swap that died pre-commit: inert scratch, reaped by the
+    * next retention pass or by hand), and `dangling_markers` — markers
+    * whose version DIR is missing: a REAL violation (resolution lands
+    * on the highest marker, so a dangling highest marker breaks every
+    * read of the table; recover by deleting the marker). */
+  def doctor(): DataFrame = {
+    val rows = Seq("events", "events_entries").map { t =>
+      val dir = new Path(path(t))
+      val names =
+        if (!fs.exists(dir)) Seq.empty[String]
+        else fs.listStatus(dir).map(_.getPath.getName).toSeq
+      val dirs = names.filter(_.matches("v\\d{8}")).toSet
+      val marks = names.filter(_.startsWith(CommitPrefix))
+        .map(_.stripPrefix(CommitPrefix)).toSet
+      (t, marks.toSeq.sorted.lastOption.getOrElse(""),
+        marks.size, (dirs -- marks).size, (marks -- dirs).size)
+    }
+    rows.toDF("table", "live_version", "committed_versions",
+      "uncommitted_dirs", "dangling_markers")
+  }
+
   /** Time-travel read of `events_entries` at a RETIRED `version` (from
     * [[tableVersions]]): the pre-merge state of the scores table — e.g.
     * for auditing what a J5 score merge changed. Only non-current

@@ -361,4 +361,29 @@ class EventStoreSpec extends AnyFunSuite {
       Map(n1 -> 10L, n2 -> 20L))
     assert(store.tableVersions("events_entries").last == f"v$nextNum%08d")
   }
+
+  test("doctor: clean when healthy; counts dead version dirs and dangling markers") {
+    val root = Files.createTempDirectory("graft-events-doctor").toString
+    val store = new EventStore(spark, root)
+    store.insertEvents(Seq(mkEvent(Uuid7.generate())))
+
+    def report(): Map[String, (String, Int, Int, Int)] =
+      store.doctor().collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    val healthy = report()
+    assert(healthy("events")._1 == "v00000001")
+    assert(healthy.values.forall(v => v._3 == 0 && v._4 == 0),
+      s"healthy store must audit clean: $healthy")
+
+    // a swap that died before its marker: inert, counted
+    assert(new java.io.File(s"$root/events/v99999999").mkdirs())
+    assert(report()("events")._3 == 1, "dead version dir must be counted")
+    assert(new java.io.File(s"$root/events/v99999999").delete())
+
+    // a marker whose dir is missing: the violation that breaks reads
+    new java.io.File(s"$root/events/_commit_v00000007").createNewFile()
+    assert(report()("events")._4 == 1, "dangling marker must be counted")
+    assert(new java.io.File(s"$root/events/_commit_v00000007").delete())
+    assert(report() == healthy)
+  }
 }
