@@ -45,4 +45,45 @@ class StreamDedupSpec extends AnyFunSuite {
       s"state holds $stateRows rows; only the $open open-tail-window keys should survive eviction")
     ss.catalog.dropTempView(sink)
   }
+
+  test("cross-batch suppression: a key emitted in batch 1 emits nothing in batch 2") {
+    // the w14 gate's single-file source delivers everything in one
+    // micro-batch, so it never exercises the STATE half of dedup: here
+    // the same keys land in TWO batches (split by event_id parity, so
+    // (user, hour) keys overlap across files; maxFilesPerTrigger=1
+    // forces one batch per file) and the second occurrence must be
+    // suppressed by the state store, not re-emitted. Watermark delay
+    // covers the fixture span so no row is late — suppression, not
+    // eviction, is what this pins.
+    val src = graft.Tables.events(spark, sf)
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft-sd-landing").toString
+    src.where(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(landing)
+    src.where(col("event_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(landing)
+
+    val ss = graft.Sessions.streamSession(spark, 4)
+    val sink = "sd_xb_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = ss.readStream.schema(ss.read.parquet(landing).schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+      .withWatermark("ts", "3650 days")
+    val q = StreamDedup.hourlyKeyDedup(stream)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val emitted = ss.table(sink).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+    assert(emitted.size == emitted.distinct.size,
+      "a key was emitted twice — cross-batch state failed to suppress")
+    val batch = src
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(emitted.toSet == batch,
+      s"emitted ${emitted.size} keys, batch distinct ${batch.size}")
+    ss.catalog.dropTempView(sink)
+  }
 }
