@@ -119,7 +119,37 @@ for n in sorted(oracle):
     results[n] = val
     sys.stderr.flush()
 
+# Host-calibration anchor: the same fixed CPU probe arithmetic
+# graft.Bench runs (sum(i % 1000003) over range(), 32 threads, warm +
+# min-of-3; 2e8 rows here vs Spark's 4e9 because DuckDB's per-row cost
+# on this shape is ~20× — each engine carries its own pinned
+# reference). A host_factor of 1.3 in a sweep's artifact says that
+# sweep ran on a ~30%-slower host — drift triage becomes a recorded
+# column instead of a hand-run protocol.
+PROBE_REF_SEC = 1.00  # pinned 2026-08-15 (round 12), quiet host
+
+
+def host_probe():
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    sql = "SELECT sum(i % 1000003) FROM range(200000000) t(i)"
+    con.execute(sql).fetchall()  # warm
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        runs.append(time.time() - t0)
+    return min(runs)
+
+
+probe = host_probe()
+host_factor = probe / PROBE_REF_SEC
+print(f"[duck] host_probe={probe:.3f} factor={host_factor:.2f} "
+      f"(ref={PROBE_REF_SEC})", file=sys.stderr)
+
 total = sum(v for v in results.values() if v >= 0)
 qs = ",".join(f'"{k}":{v}' for k, v in results.items())
 print(f'{{"metric":"duckdb_total","value":{total:.3f},"unit":"sec",'
+      f'"host_probe_sec":{probe:.3f},"host_factor":{host_factor:.3f},'
+      f'"value_norm":{total / host_factor:.3f},'
       f'"queries":{{{qs}}},"datadir":"{datadir}"}}')

@@ -83,6 +83,32 @@ object Bench {
     // executor/JVM spin-up so the first warm-in isn't also paying that
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
+    /** Host-calibration anchor (VERDICT r11 #2): rounds 9/10/11 each
+      * hand-adjudicated the same ambient-interference fingerprint —
+      * diffuse sub-second inflation across untouched queries. Automate
+      * the triage: a fixed data-independent CPU probe (pure codegen'd
+      * arithmetic over range(), 32 threads, warm + min-of-3 — the same
+      * protocol as the queries), recorded in the artifact as
+      * `host_probe_sec` / `host_factor`. (The engines' probes differ
+      * in row count only because their per-row cost differs ~10×; each
+      * carries its own pinned reference.) The reference constant is the
+      * probe's min on the round-12 build host at a quiet moment; a
+      * host_factor of e.g. 1.3 says THIS sweep ran on a ~30%-slower
+      * host, so a ~30% diffuse drift is the machine, not the code.
+      * duckdb_bench.py runs the SAME probe SQL with its own pinned
+      * reference, so both artifacts carry their own anchor. */
+    val ProbeRefSec = 0.50 // pinned 2026-08-15 (round 12), quiet host
+    def hostProbe(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(4000000000L).selectExpr("sum(id % 1000003)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm codegen
+      Seq.fill(3)(once()).min
+    }
+    val probeStart = hostProbe()
+
     // optional args = run only these queries (the isolated fresh-JVM
     // measurement protocol SCALING.md's drift adjudications use); no
     // args = the driver's full sweep
@@ -92,6 +118,12 @@ object Bench {
       }
       else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> measure(n))
+    // probe again after the sweep — interference varies over a sweep's
+    // minutes; the factor is the mean of the two anchors
+    val probeEnd = hostProbe()
+    val hostFactor = (probeStart + probeEnd) / 2.0 / ProbeRefSec
+    System.err.println(f"[bench] host_probe start=$probeStart%.3f " +
+      f"end=$probeEnd%.3f factor=$hostFactor%.2f (ref=$ProbeRefSec)")
     // 3-decimal (millisecond) precision: full-double repr made the line
     // ~3.5 KB and the round harness records only a 2000-char output tail,
     // truncating the artifact mid-JSON (ADVICE r5). ms precision is below
@@ -101,12 +133,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val hf = f"$hostFactor%.3f"
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","host_probe_start":${r3(probeStart)},"host_probe_end":${r3(probeEnd)},"host_factor":$hf,"value_norm":${r3(total / hostFactor)},"queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces against any output-capture truncation: the full
-    // line is also persisted where the repo can commit it.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
-    catch { case _: Throwable => () }
+    // line is also persisted where the repo can commit it. Subset runs
+    // (the isolated-measurement protocol) must NOT clobber the
+    // committed full-sweep artifact.
+    if (args.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+      catch { case _: Throwable => () }
     println(line)
     // Bench-pair drift guard (VERDICT r10 #1): every registered query
     // must have a row in the committed DuckDB baseline sweep, or the 2×
@@ -128,7 +164,7 @@ object Bench {
     // beheads the ~2.5 KB full line (every round's artifact shows
     // parsed:null); this final short line always survives the tail
     // intact and points at the committed full artifact.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","queries_in":"BENCH_FULL.json","n_queries":${results.size},"unpaired_duckdb":${unpaired.size}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","host_factor":$hf,"value_norm":${r3(total / hostFactor)},"sf":"$sfDir","queries_in":"BENCH_FULL.json","n_queries":${results.size},"unpaired_duckdb":${unpaired.size}}""")
     spark.stop()
   }
 }

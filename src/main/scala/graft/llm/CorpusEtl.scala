@@ -929,7 +929,10 @@ object CorpusEtl {
             size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
         val nseq = docs.groupBy("source")
           .agg(expr(s"(sum(n_tokens) + ${L - 1}) div $L").as("n_seqs"))
-        val seqs = nseq
+        // n_seqs > 0 guard: sequence(0, -1) is a DESCENDING [0, -1] in
+        // Spark (auto negative step), which would fabricate phantom
+        // sequences for an empty source instead of none
+        val seqs = nseq.where(col("n_seqs") > 0)
           .select(col("source"),
             explode(expr("sequence(cast(0 as bigint), n_seqs - 1)")).as("seq"))
           .withColumn("h",
@@ -1018,11 +1021,12 @@ object CorpusEtl {
               expr(s"pos % $S").as("pos_in_shard"),
               (col("seq") * L).as("token_offset"))
         }
-        val baseSeqs = baseN.select(col("source"),
+        // n_seqs > 0 guards (here and below): sequence(0, -1) descends
+        val baseSeqs = baseN.where(col("n_seqs") > 0).select(col("source"),
           explode(expr("sequence(cast(0 as bigint), n_seqs - 1)")).as("seq"))
         val baseShards = baseSeqs
           .agg(expr(s"(count(1) + ${S - 1}) div $S").as("base_shards"))
-        val deltaSeqs = deltaN
+        val deltaSeqs = deltaN.where(col("n_seqs") > 0)
           .join(baseN.withColumnRenamed("n_seqs", "base_n"), Seq("source"), "left")
           .select(col("source"),
             explode(expr("sequence(cast(0 as bigint), n_seqs - 1)")).as("s0"),

@@ -448,7 +448,8 @@ object CorpusRefresh {
       .count(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
     val dedupViolations =
       if (!exists(spark, s"${dedupDir(dir)}/sigs")) 0L
-      else DedupIndex.doctor(spark, dedupDir(dir)).head().getLong(1)
+      else DedupIndex.doctor(spark, dedupDir(dir)).head()
+        .getAs[Long]("dup_live_memberships")
     Seq((liveHashes, liveCopies, tornRows, missingScrub, staleAsides,
       dedupViolations))
       .toDF("live_hashes", "live_copies", "uncommitted_rows",

@@ -187,7 +187,8 @@ object PipelineE2e {
         val packed = p1q.fn(s, d)
         val nseq = packed.agg(sum("n_tokens").as("t"))
           .select(expr(s"(t + ${L - 1}) div $L").as("n_seqs"))
-        val seqs = nseq
+        // n_seqs > 0 guard: sequence(0, -1) descends (phantom seqs)
+        val seqs = nseq.where(col("n_seqs") > 0)
           .select(explode(expr("sequence(cast(0 as bigint), n_seqs - 1)")).as("seq"))
           .withColumn("h", md5(concat(lit("s:"), col("seq").cast("string"))))
           .withColumn("bucket",

@@ -348,8 +348,13 @@ object TextIndex {
       "postings" -> (nPost,
         if (nPost == 0) 0
         else graft.store.GenLedger.swapIn(spark, postingsPath(dir),
+          // key on max(gen) per doc — the SAME rule doctor's
+          // reclaimable count uses — so an anomalous duplicate live
+          // membership loses its older gen's postings here too
+          // (the pre-fix two-row join kept BOTH gens' tf rows, and
+          // duplicated null-gen rows, under the one surviving doc)
           readPostings(spark, dir).distinct()
-            .join(live.select(col("doc_id"), col("gen").as("__lgen")),
+            .join(live.groupBy("doc_id").agg(max("gen").as("__lgen")),
               Seq("doc_id"))
             .where(genMatches)
             .select(col("tok"), col("doc_id"), col("tf"),

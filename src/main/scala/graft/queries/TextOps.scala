@@ -1589,6 +1589,14 @@ object TextOps {
     // joins corpus-sized sides. (The bitlen products stay < 2^63 up to
     // ~10^9-token targets; past that the qlr table is precomputed
     // driver-side anyway — it is 1024 rows.)
+    //
+    // One-scan discipline (round-12): docF feeds two consumers — the
+    // per-feature totals and the final per-doc reduce — and raw/tgt
+    // are folded into ONE conditional aggregate (sum + sum(when en))
+    // instead of two differently-filtered scans ReuseExchange cannot
+    // merge. docF itself is localCheckpoint'd (docs×≤1024 rows, far
+    // smaller than the exploded token stream) so the corpus-sized
+    // ngram explode executes exactly once, not up to 3×.
     Q("t18_dsir_weights",
       (s, d) => {
         val B = 1024
@@ -1601,13 +1609,12 @@ object TextOps {
               h16(ngramsExpr(2, distinct = false)))).as("hv"))
           .withColumn("f", col("hv") % B)
           .groupBy("doc_id", "lang", "f").agg(count(lit(1)).as("c"))
-        val raw = docF.groupBy("f").agg(sum("c").as("n_r"))
-        val tgt = docF.where(col("lang") === "en")
-          .groupBy("f").agg(sum("c").as("n_t"))
-        val totals = raw.agg(sum("n_r").as("nr_tot"))
-          .crossJoin(tgt.agg(coalesce(sum("n_t"), lit(0L)).as("nt_tot")))
-        val qlr = raw.join(tgt, Seq("f"), "left")
-          .withColumn("n_t", coalesce(col("n_t"), lit(0L)))
+          .localCheckpoint()
+        val ft = docF.groupBy("f").agg(sum("c").as("n_r"),
+          sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("n_t"))
+        val totals = ft.agg(sum("n_r").as("nr_tot"),
+          coalesce(sum("n_t"), lit(0L)).as("nt_tot"))
+        val qlr = ft
           .crossJoin(broadcast(totals))
           .select(col("f"),
             (bitlen((col("n_t") + 1L) * col("nr_tot")) -

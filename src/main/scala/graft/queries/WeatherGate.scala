@@ -240,10 +240,16 @@ object WeatherGate {
       // w14: stateful exact dedup (first-seen key emission)
       val ss14 = graft.Sessions.streamSession(parent, 8)
       val sink14 = sinkName("w14_sink_")
+      // fixture-span-covering watermark: the gate must not depend on
+      // the single-file source delivering everything in one micro-batch
+      // (a multi-batch delivery under a 0-second watermark would drop
+      // late first-occurrence keys before dedup state and diverge from
+      // the oracle's unfiltered SELECT DISTINCT); state EVICTION under
+      // a tight watermark is pinned separately in StreamDedupSpec
       val q14 = graft.streaming.StreamDedup.hourlyKeyDedup(
           graft.Tables.eventsStream(ss14, dir)
             .where(col("user_id") % 5 === 0)
-            .withWatermark("ts", "0 seconds"))
+            .withWatermark("ts", "3650 days"))
         .writeStream.format("memory").queryName(sink14)
         .outputMode("append").start()
 
