@@ -74,9 +74,16 @@ object ImagePhash {
   /** The deterministic fixture pixel: a doc_id-keyed integer gradient,
     * with enc 2 perturbing exactly one doc_id-chosen pixel by +64
     * (mod 256). Pure long arithmetic — the DuckDB oracle states the
-    * same expression in SQL. */
+    * same expression in SQL. The doc enters through the gradient
+    * DIRECTIONS (x/y coefficients and a quadratic xy term), not just an
+    * additive offset: aHash thresholds block mean vs global mean, so a
+    * uniform brightness shift leaves the hash invariant (measured — an
+    * additive-only doc term made 500 docs collapse to ~the same hash
+    * and 49k spurious pairs); with per-doc directions the sf0.1 output
+    * is exactly the planted same-doc dups, zero cross-doc noise. */
   def pixel(docId: Long, enc: Int, x: Int, y: Int): Int = {
-    val base = (docId * 7 + x * 13 + y * 31 + (x * y % 17)) % 256
+    val base = (x * ((docId * 2654435761L) % 256) + y * ((docId * 40503L) % 256) +
+      x * y * (1 + docId % 13) + docId % 251) % 256
     val bump =
       if (enc == 2 && x == (docId % 32).toInt && y == ((docId / 32) % 32).toInt) 64
       else 0

@@ -441,16 +441,25 @@ object KnnGraphIndex {
 
   /** Graph-descent ANN serve over the STORED graph — the HNSW-shaped
     * alternative to IVF probing (Malkov & Yashunin's search loop on a
-    * single-layer NSW graph, batch-beam form): start every query at the
-    * deterministic entry point (the minimum live id), and for `hops`
-    * rounds expand the current beam's adjacency lists, score the newly
-    * reached vectors by exact cosine, and keep the best `beam` visited
-    * per query; the answer is the top-`k` of everything visited
-    * (excluding the query itself). Batch-synchronous expansion (whole
-    * beam per hop, fixed hop count) instead of the classical
-    * one-candidate priority queue — same contract, but deterministic
-    * and flat-SQL-enumerable, so the v11 gate can pin it against a
-    * DuckDB recompute.
+    * single-layer NSW graph, batch-beam form): start every query at its
+    * entry point, and for `hops` rounds expand the current beam's
+    * adjacency lists, score the newly reached vectors by exact cosine,
+    * and keep the best `beam` visited per query; the answer is the
+    * top-`k` of everything visited (excluding the query itself).
+    * Batch-synchronous expansion (whole beam per hop, fixed hop count)
+    * instead of the classical one-candidate priority queue — same
+    * contract, but deterministic and flat-SQL-enumerable, so the v11
+    * gate can pin it against a DuckDB recompute.
+    *
+    * Entry points: `centroids` = Some((cent_id, ce)) routes each query
+    * to its nearest centroid NODE first (argmax cosine, ties lower id,
+    * restricted to centroids live in the graph) — the HNSW upper-layer
+    * trick: descent depth becomes independent of graph diameter,
+    * because the walk starts one coarse-quantizer step from the target
+    * region instead of at a fixed corner of the graph. The centroid
+    * frame is bounded (the v5 16-row codebook posture) and broadcast.
+    * With None every query starts at the global minimum live id — the
+    * fixed-entry fallback (needs hops ~ graph diameter at scale).
     *
     * Scale shape: per-query state is O(beam·k·hops) ids. Each hop
     * collects the frontier's ≤ queries×beam DISTINCT ids to the driver
@@ -461,15 +470,32 @@ object KnnGraphIndex {
     * joins only the newly-visited ids' embeddings.
     */
   def beamSearch(spark: SparkSession, dir: String, queries: DataFrame,
-      k: Int, beam: Int, hops: Int): DataFrame = {
+      k: Int, beam: Int, hops: Int,
+      centroids: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && beam >= 1 && hops >= 0)
     val live = liveLedger(spark, dir).getOrElse(
       return spark.range(0).select(col("id").as("qid"), col("id").as("nid"),
         lit(0).cast("int").as("rnk"), lit(0d).as("cos_sim")))
     val emb = live.select(col("vec_id"), col("embedding"))
     val adj = resolve(spark, dir).select(col("vec_id"), col("nid"))
-    val entry = live.agg(min("vec_id")).head.getLong(0)
     val q = queries.select(col("qid"), col("qe"))
+    // per-query entry node(s): nearest live centroid, or the global
+    // min-id fallback for every query
+    val entries: DataFrame = centroids match {
+      case Some(c) =>
+        val liveCents = c.select(col("cent_id"), col("ce"))
+          .join(live.select(col("vec_id").as("cent_id")), Seq("cent_id"))
+        val wQ = Window.partitionBy("qid")
+          .orderBy(col("__cs").desc, col("cent_id"))
+        q.join(broadcast(liveCents))
+          .withColumn("__cs", graft.queries.VectorOps.cosine(col("qe"), col("ce")))
+          .withColumn("__r", row_number().over(wQ))
+          .where(col("__r") === 1)
+          .select(col("qid"), col("cent_id").as("nid"))
+      case None =>
+        val entry = live.agg(min("vec_id")).head.getLong(0)
+        q.select(col("qid"), lit(entry).as("nid"))
+    }
 
     // visited/beam state: (qid, nid, cos_sim) — scored once per reached
     // pair, tiny (queries × beam·k·hops rows). Eagerly checkpointed per
@@ -482,7 +508,7 @@ object KnnGraphIndex {
       .join(q, Seq("qid"))
       .select(col("qid"), col("nid"),
         VectorOps.cosine(col("qe"), col("embedding")).as("cos_sim"))
-    var visited = scoreOf(q.select(col("qid"), lit(entry).as("nid")))
+    var visited = scoreOf(entries.select(col("qid"), col("nid")))
       .localCheckpoint(true)
     val byQ = Window.partitionBy("qid")
       .orderBy(col("cos_sim").desc, col("nid"))

@@ -1831,6 +1831,65 @@ object TextOps {
         FROM pd GROUP BY frame_md5 HAVING COUNT(*) >= 2
         ORDER BY frame_md5""")),
 
+    // Perceptual (pixel-level) image near-dup — the pass byte digests
+    // (m2/m3) structurally miss: a re-encoded duplicate has different
+    // bytes but the same pixels. graft.llm.ImagePhash: deterministic
+    // grayscale fixtures are PNG/BMP-encoded executor-side, the hash
+    // side decodes the REAL bytes with javax.imageio and computes an
+    // integer-exact 64-bit average hash, and pairing is Hamming-band
+    // LSH (8 one-byte bands — complete for distance ≤ 7 by pigeonhole,
+    // never a cartesian pair scan). The oracle recomputes the identical
+    // hash from the closed-form pixel formula in SQL — PNG/BMP are
+    // lossless, so Spark's codec-round-tripped hash must match the
+    // formula bit-for-bit; the planted re-encodes (PNG↔BMP, Hamming 0)
+    // and one-pixel perturbations (small positive distance) are the
+    // dup classes under test. At 100 TB: hashing is partition-local
+    // over payload bytes that never shuffle; the pair join moves only
+    // (band, byte) keys + 8-byte hashes.
+    Q("m4_image_phash",
+      (s, d) => {
+        val hashes = graft.llm.ImagePhash.avgHash(
+          graft.llm.ImagePhash.synthAssets(Tables.documentsSpread(s, d)))
+        graft.llm.ImagePhash.nearDupPairs(hashes, maxHamming = 7)
+          .orderBy("asset_a", "asset_b")
+      },
+      Some("""WITH assets AS (
+          SELECT doc_id, 0 AS enc FROM documents
+          UNION ALL SELECT doc_id, 1 FROM documents WHERE doc_id % 2 = 0
+          UNION ALL SELECT doc_id, 2 FROM documents WHERE doc_id % 3 = 0),
+        px AS (
+          SELECT doc_id, enc, x, y,
+            ((x * ((doc_id * 2654435761) % 256) + y * ((doc_id * 40503) % 256)
+              + x * y * (1 + doc_id % 13) + doc_id % 251) % 256
+              + CASE WHEN enc = 2 AND x = doc_id % 32 AND y = (doc_id // 32) % 32
+                     THEN 64 ELSE 0 END) % 256 AS g
+          FROM assets, range(0, 32) rx(x), range(0, 32) ry(y)),
+        blk AS (
+          SELECT doc_id, enc, (y // 4) * 8 + (x // 4) AS b, SUM(g) AS bs
+          FROM px GROUP BY 1, 2, 3),
+        tot AS (SELECT doc_id, enc, SUM(bs) AS ts FROM blk GROUP BY 1, 2),
+        bits AS (
+          SELECT blk.doc_id, blk.enc, b,
+            CASE WHEN 64 * bs > ts THEN 1 ELSE 0 END AS bit
+          FROM blk JOIN tot USING (doc_id, enc)),
+        h AS (
+          SELECT doc_id * 4 + enc AS asset_id, b // 8 AS band,
+            CAST(SUM(bit << (b % 8)) AS INT) AS byte
+          FROM bits GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b
+          FROM h a JOIN h b ON a.band = b.band AND a.byte = b.byte
+            AND a.asset_id < b.asset_id),
+        ham AS (
+          SELECT asset_a, asset_b,
+            SUM(bit_count(xor(ha.byte, hb.byte))) AS hamming
+          FROM cand
+          JOIN h ha ON ha.asset_id = asset_a
+          JOIN h hb ON hb.asset_id = asset_b AND hb.band = ha.band
+          GROUP BY 1, 2)
+        SELECT asset_a, asset_b, CAST(hamming AS INT) AS hamming
+        FROM ham WHERE hamming <= 7 ORDER BY asset_a, asset_b""")),
+
     // PII scrubbing (graft.queries.Redact): detect + redact emails /
     // NANP phones / SSN-shaped ids, keeping per-type counts. The
     // synthetic corpus is PII-free, so deterministic spans are injected

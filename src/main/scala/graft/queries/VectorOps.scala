@@ -774,10 +774,16 @@ object VectorOps {
           graft.llm.KnnGraphIndex.add(s, dir, emb.where(col("vec_id") % 2 =!= 0), 3)
           s.emptyDataFrame.createOrReplaceTempView(marker)
         }
+        // entry = nearest pinned centroid per query (the v5 16-row
+        // codebook; centroids are corpus vectors, hence graph nodes) —
+        // the HNSW upper-layer routing that keeps hop budget
+        // independent of graph diameter (VERDICT r11 #4)
         graft.llm.KnnGraphIndex.beamSearch(s, dir,
           Tables.embeddings(s, d).where(col("vec_id") < 10)
             .select(col("vec_id").as("qid"), col("embedding").as("qe")),
-          k = 5, beam = 4, hops = 3)
+          k = 5, beam = 4, hops = 3,
+          centroids = Some(Tables.embeddings(s, d).where(col("vec_id") < 16)
+            .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))))
       },
       Some(beamSql(k = 5, beam = 4, hops = 3))),
 
@@ -1015,9 +1021,17 @@ object VectorOps {
                         ORDER BY cos_sim DESC, nid) AS rnk FROM gcand)
           WHERE rnk <= 3),
         q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id < 10),
+        cents AS (SELECT vec_id AS cent_id, embedding AS ce
+          FROM e WHERE vec_id < 16),
+        seed AS (
+          SELECT qid, cent_id AS nid FROM (
+            SELECT q.qid, c.cent_id,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY ${duckCos("qe", "ce")} DESC, cent_id) AS r
+            FROM q CROSS JOIN cents c) WHERE r = 1),
         s0 AS (
-          SELECT q.qid, n.vec_id AS nid, ${duckCos("qe", "n.embedding")} AS cos_sim
-          FROM q JOIN e n ON n.vec_id = (SELECT MIN(vec_id) FROM e)),
+          SELECT seed.qid, seed.nid, ${duckCos("qe", "n.embedding")} AS cos_sim
+          FROM seed JOIN e n ON n.vec_id = seed.nid JOIN q ON q.qid = seed.qid),
         ${beamOf("s0", "b0")}"""
     val hopCtes = (1 to hops).map { h =>
       s""",
