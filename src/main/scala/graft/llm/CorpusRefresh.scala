@@ -456,6 +456,27 @@ object CorpusRefresh {
         "keepers_missing_scrub", "stale_asides", "dedup_violations")
   }
 
+  /** Guarded repair for [[doctor]]'s `stale_asides` across the
+    * service's five tables PLUS the embedded dedup index (items
+    * prefixed `dedup/`). Rules in
+    * [[graft.store.GenLedger.repairAsides]]; `dryRun = true` lists
+    * only. */
+  def repair(spark: SparkSession, dir: String,
+      dryRun: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val own = graft.store.WriterLock.forIndex(spark, dir).withLock {
+      graft.store.GenLedger.repairAsides(spark, dir,
+        Seq("exact", "copies", "removed", "pairs", "scrub"), dryRun)
+    }.toDF("item", "damage", "action", "applied")
+    val ddFs = graft.store.GenLedger.fsOf(spark, dedupDir(dir))
+    val inner =
+      if (!ddFs.exists(new org.apache.hadoop.fs.Path(dedupDir(dir)))) own.limit(0)
+      else DedupIndex.repair(spark, dedupDir(dir), dryRun)
+        .withColumn("item", concat(lit("dedup/"), col("item")))
+        .select("item", "damage", "action", "applied")
+    own.unionByName(inner)
+  }
+
   /** Fold the accumulated state to ONE generation: every table rewritten
     * to its resolved content (latest-per-key exact/scrub, live copies,
     * live-endpoint pairs), removal tombstones physically reclaimed, the

@@ -455,6 +455,18 @@ object DedupIndex {
         "reclaimable_bands", "uncommitted_tombstone_rows", "stale_asides")
   }
 
+  /** Guarded repair for [[doctor]]'s `stale_asides` (the write-blocking
+    * class). Rules in [[graft.store.GenLedger.repairAsides]];
+    * `dryRun = true` lists only. */
+  def repair(spark: SparkSession, dir: String,
+      dryRun: Boolean = true): DataFrame =
+    graft.store.WriterLock.forIndex(spark, dir).withLock {
+      import spark.implicits._
+      graft.store.GenLedger
+        .repairAsides(spark, dir, Seq("sigs", "bands"), dryRun)
+        .toDF("item", "damage", "action", "applied")
+    }
+
   /** Compact the append-only index (each checkAndAdd batch appends its
     * own files; a long-lived service accumulates thousands). Unlike
     * `WeatherStore.compactPartition` — whose readers tolerate duplicate

@@ -439,6 +439,18 @@ object KnnGraphIndex {
         "stale_asides")
   }
 
+  /** Guarded repair for [[doctor]]'s `stale_asides` (the write-blocking
+    * class). Rules in [[graft.store.GenLedger.repairAsides]];
+    * `dryRun = true` lists only. */
+  def repair(spark: SparkSession, dir: String,
+      dryRun: Boolean = true): DataFrame =
+    graft.store.WriterLock.forIndex(spark, dir).withLock {
+      import spark.implicits._
+      graft.store.GenLedger
+        .repairAsides(spark, dir, Seq("vectors", "graph"), dryRun)
+        .toDF("item", "damage", "action", "applied")
+    }
+
   /** Graph-descent ANN serve over the STORED graph — the HNSW-shaped
     * alternative to IVF probing (Malkov & Yashunin's search loop on a
     * single-layer NSW graph, batch-beam form): start every query at its

@@ -123,6 +123,22 @@ object TextIndex {
   private def genMatches: Column =
     col("gen").isNull || col("gen") === col("__lgen")
 
+  /** Guarded repair for what [[doctor]] reports as `stale_asides` —
+    * the one damage class that BLOCKS writes (guardCompaction refuses
+    * while a `.old` aside exists). Rules and safety argument live in
+    * [[graft.store.GenLedger.repairAsides]]; `dryRun = true` (default)
+    * lists the actions without touching anything. Torn tombstones /
+    * dead postings stay with [[compact]] — they are invisible by the
+    * read rule, not corruption. */
+  def repair(spark: SparkSession, dir: String,
+      dryRun: Boolean = true): DataFrame =
+    graft.store.WriterLock.forIndex(spark, dir).withLock {
+      import spark.implicits._
+      graft.store.GenLedger
+        .repairAsides(spark, dir, Seq("docs", "postings"), dryRun)
+        .toDF("item", "damage", "action", "applied")
+    }
+
   /** Index `newDocs` (doc_id, text, …): tokenize once, append term
     * postings, then commit membership by appending the doc-length
     * ledger. Already-live doc ids are dropped up front (anti-join on

@@ -267,8 +267,18 @@ object VectorIndex {
       else fs.listStatus(p).map(_.getPath.getName).toSeq
     val uncommitted = names.count(n =>
       n.matches("v\\d{8}") && !names.contains(CommitPrefix + n))
+    // the read-breaking class: resolution lands on the HIGHEST marker,
+    // so a dangling highest marker fails every read of the index
+    val dangling = names.filter(_.startsWith(CommitPrefix))
+      .map(_.stripPrefix(CommitPrefix)).count(v => !names.contains(v))
     val report = currentVersion(spark, dir) match {
       case None => (0L, 0L, 0L, 0L, uncommitted)
+      // a dangling HIGHEST marker: the live-state audit cannot run (the
+      // dir the resolution points at is gone) — report the structural
+      // counts; repair() deletes the marker, after which reads and the
+      // full audit resolve to the previous committed version
+      case Some(v) if !names.contains(v) =>
+        (0L, 0L, 0L, 0L, uncommitted)
       case Some(v) =>
         val verDir = s"$dir/$v"
         val lv = liveVectors(spark, verDir)
@@ -289,9 +299,26 @@ object VectorIndex {
           }
         (liveN, dups, mis, torn, uncommitted)
     }
-    Seq(report).toDF("live_vectors", "dup_live_ids", "misassigned_cells",
-      "uncommitted_tombstone_rows", "uncommitted_versions")
+    Seq((report._1, report._2, report._3, report._4, report._5, dangling))
+      .toDF("live_vectors", "dup_live_ids", "misassigned_cells",
+        "uncommitted_tombstone_rows", "uncommitted_versions",
+        "dangling_markers")
   }
+
+  /** Guarded repair for the versioned layout's two structural damage
+    * classes ([[doctor]]'s `dangling_markers` — the read-breaking one —
+    * and `uncommitted_versions`). Rules in
+    * [[graft.store.GenLedger.repairVersions]]; `dryRun = true` lists
+    * only. Misassigned cells / torn tombstones stay with `build()`
+    * retrain — they are data repairs, not structure. */
+  def repair(spark: SparkSession, dir: String,
+      dryRun: Boolean = true): DataFrame =
+    graft.store.WriterLock.forIndex(spark, dir).withLock {
+      import spark.implicits._
+      graft.store.GenLedger
+        .repairVersions(spark, dir, CommitPrefix, dryRun)
+        .toDF("item", "damage", "action", "applied")
+    }
 
   /** Per-cell inverted-list sizes — the index-health report (heavily
     * skewed lists mean the centroids have drifted from the data and a

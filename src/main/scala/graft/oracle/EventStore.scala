@@ -235,7 +235,7 @@ final class EventStore(spark: SparkSession, root: String,
     * on the highest marker, so a dangling highest marker breaks every
     * read of the table; recover by deleting the marker). */
   def doctor(): DataFrame = {
-    val rows = Seq("events", "events_entries").map { t =>
+    val rows = EventStore.AllTables.map { t =>
       val dir = new Path(path(t))
       val names =
         if (!fs.exists(dir)) Seq.empty[String]
@@ -248,6 +248,26 @@ final class EventStore(spark: SparkSession, root: String,
     }
     rows.toDF("table", "live_version", "committed_versions",
       "uncommitted_dirs", "dangling_markers")
+  }
+
+  /** Guarded repair for exactly what [[doctor]] reports: dangling
+    * markers (the read-breaking class — resolution lands on the highest
+    * marker, so a dangling highest marker fails every read of its
+    * table; the marker is the corrupt artifact, its data never
+    * survived) and uncommitted version dirs (a swap that died pre-flip:
+    * inert scratch). Runs behind the store's writer lock so it can't
+    * race an in-flight swap; `dryRun = true` (the default posture)
+    * lists every action without touching the filesystem. Returns
+    * (table, item, damage, action, applied). */
+  def repair(dryRun: Boolean = true): DataFrame = withWriterLock {
+    val rows = EventStore.AllTables.flatMap { t =>
+      graft.store.GenLedger
+        .repairVersions(spark, path(t), CommitPrefix, dryRun)
+        .map { case (item, damage, action, applied) =>
+          (t, item, damage, action, applied)
+        }
+    }
+    rows.toDF("table", "item", "damage", "action", "applied")
   }
 
   /** Time-travel read of `events_entries` at a RETIRED `version` (from
@@ -461,6 +481,11 @@ final class EventStore(spark: SparkSession, root: String,
 }
 
 object EventStore {
+  /** Every versioned table the store owns — [[EventStore.doctor]] and
+    * [[EventStore.repair]] sweep all of them. */
+  val AllTables: Seq[String] = Seq("events", "events_entries",
+    "expected_observations", "weather", "events_weather")
+
   /** Retired version dirs kept per table after a swap — the retention
     * window covering the longest in-flight scan (a VACUUM horizon; a
     * production deployment sizes this to its max query duration). */

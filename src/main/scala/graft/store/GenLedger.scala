@@ -138,6 +138,87 @@ object GenLedger {
           s"$dir/$t is complete) before using the state")
     }
 
+  /** Guarded repair of interrupted-swap debris — the actuator for what
+    * the doctor family reports as `stale_asides` (VERDICT r11 #5: a
+    * fsck that can't fix leaves the 3 am operator improvising). The
+    * swap discipline ([[swapIn]]) leaves exactly three recoverable
+    * states, each with ONE correct move derived from the swap's step
+    * order (aside is written fully before any rename):
+    *  - `<t>.old` present, live `<t>` MISSING — crash between
+    *    rename-aside and rename-in: ROLL BACK (rename `.old` → live);
+    *    the original data is the one copy known complete.
+    *  - `<t>.old` present, live present — crash after rename-in but
+    *    before the aside delete: the swap COMPLETED; delete `.old`.
+    *  - `<t>.compacting` present (live present after the rules above) —
+    *    an aborted aside write; droppable scratch.
+    * Anything else (torn gen rows, dead postings) is NOT repaired here:
+    * those are invisible-by-read-rule and physically reclaimed by the
+    * service's own `compact`. Caller MUST hold the service's
+    * WriterLock — repair races a concurrent swap otherwise. With
+    * `dryRun` (the default posture) every action is listed, nothing is
+    * touched. Returns (item, damage, action, applied) rows. */
+  def repairAsides(spark: SparkSession, dir: String, tables: Seq[String],
+      dryRun: Boolean): Seq[(String, String, String, Boolean)] = {
+    val fs = fsOf(spark, dir)
+    tables.flatMap { t =>
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/$t.old")
+      val comp = new org.apache.hadoop.fs.Path(s"$dir/$t.compacting")
+      val oldAction: Option[(String, String, String, Boolean)] =
+        if (!fs.exists(old)) None
+        else if (!fs.exists(live)) {
+          val applied = !dryRun && fs.rename(old, live)
+          Some((t, "interrupted_swap_no_live", s"rename $old -> $live", applied))
+        } else {
+          val applied = !dryRun && fs.delete(old, true)
+          Some((t, "completed_swap_stale_old", s"delete $old", applied))
+        }
+      val compAction: Option[(String, String, String, Boolean)] =
+        if (!fs.exists(comp)) None
+        else {
+          val applied = !dryRun && fs.delete(comp, true)
+          Some((t, "aborted_aside_write", s"delete $comp", applied))
+        }
+      oldAction.toSeq ++ compAction
+    }
+  }
+
+  /** [[repairAsides]]' counterpart for VERSIONED layouts (the
+    * EventStore / VectorIndex `vNNNNNNNN` + `_commit_` pattern). Two
+    * damage classes, both exactly what the layouts' doctors report:
+    *  - a DANGLING MARKER (marker, no dir) — the read-breaking one:
+    *    resolution lands on the highest marker, so a dangling highest
+    *    marker fails every read; the marker is the corrupt artifact
+    *    (its data never survived), delete it and reads resolve to the
+    *    previous committed version;
+    *  - an UNCOMMITTED DIR (dir, no marker) — a build/swap that died
+    *    pre-flip: inert scratch, delete the dir.
+    * Same contract as [[repairAsides]]: hold the service's WriterLock,
+    * dryRun lists without touching. */
+  def repairVersions(spark: SparkSession, parent: String,
+      commitPrefix: String, dryRun: Boolean): Seq[(String, String, String, Boolean)] = {
+    val p = new org.apache.hadoop.fs.Path(parent)
+    val fs = fsOf(spark, parent)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val names = fs.listStatus(p).map(_.getPath.getName).toSeq
+      val dirs = names.filter(_.matches("v\\d{8}")).toSet
+      val marks = names.filter(_.startsWith(commitPrefix))
+        .map(_.stripPrefix(commitPrefix)).toSet
+      val dangling = (marks -- dirs).toSeq.sorted.map { v =>
+        val m = new org.apache.hadoop.fs.Path(parent, commitPrefix + v)
+        val applied = !dryRun && fs.delete(m, false)
+        (v, "dangling_marker", s"delete $m", applied)
+      }
+      val dead = (dirs -- marks).toSeq.sorted.map { v =>
+        val d = new org.apache.hadoop.fs.Path(parent, v)
+        val applied = !dryRun && fs.delete(d, true)
+        (v, "uncommitted_dir", s"delete $d", applied)
+      }
+      dangling ++ dead
+    }
+  }
+
   /** The atomic swap: write `content` to `<p>.compacting`, rename `p`
     * aside, rename the new dir in, delete the old. Returns the number
     * of data files written. Leftovers of an aborted WRITE (a stale
