@@ -380,6 +380,10 @@ final class OracleApi(
   def uploadFile(name: String, bytes: Array[Byte]): Either[ApiError, Unit] =
     for {
       _ <- Either.cond(WeatherStore.uploadNameIsValid(name), (), bad("Invalid file"))
+      // magic-byte clamp: readers union every landed file (S10), so one
+      // junk payload would poison later scans of its whole partition
+      _ <- Either.cond(WeatherStore.looksLikeParquet(bytes), (),
+        bad("payload is not a parquet file"))
       parsed <- parseSnapshotName(name)
       (kind, ts) = parsed
     } yield weatherStore.landFile(name, bytes, kind, ts)

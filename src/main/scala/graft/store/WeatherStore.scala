@@ -291,13 +291,35 @@ object WeatherStore {
   def toUtcDate(ts: Timestamp): LocalDate =
     Instant.ofEpochMilli(ts.getTime).atZone(ZoneOffset.UTC).toLocalDate
 
+  /** Structural parquet check on upload payloads: the PAR1 magic at
+    * both ends (the format's own framing). The reference validates only
+    * the NAME (upload.rs:22-91); this store must be stricter because
+    * its readers union every file in the partition dir (S10) — one
+    * landed junk file would poison every later scan of that partition,
+    * the multi-file analog of the poison-blob clamp. Not a full footer
+    * parse: cheap, byte-local, and enough to keep non-parquet bytes
+    * out of the scan path (a corrupt-but-framed file still fails its
+    * own read, which parquet reports per file). */
+  def looksLikeParquet(bytes: Array[Byte]): Boolean = {
+    val magic = "PAR1".getBytes("US-ASCII")
+    bytes.length >= 12 &&
+      bytes.take(4).sameElements(magic) &&
+      bytes.takeRight(4).sameElements(magic)
+  }
+
   /** Exactly one normal path component, `.parquet` extension — rejects
     * traversal (`../x.parquet`), absolute paths, nesting, and non-parquet
     * names (upload.rs:71-91). */
-  def uploadNameIsValid(name: String): Boolean = {
-    val p = java.nio.file.Paths.get(name)
-    name.nonEmpty && !name.startsWith("/") && p.getNameCount == 1 &&
-      !name.contains("..") && name.endsWith(".parquet") &&
-      name != ".parquet"
-  }
+  def uploadNameIsValid(name: String): Boolean =
+    try {
+      val p = java.nio.file.Paths.get(name)
+      name.nonEmpty && !name.startsWith("/") && p.getNameCount == 1 &&
+        !name.contains("..") && name.endsWith(".parquet") &&
+        name != ".parquet"
+    } catch {
+      // Paths.get throws on bytes the filesystem itself forbids (NUL
+      // and friends) — hostile input, not an internal error: reject,
+      // never 500 (ApiSpec's upload fuzz drives this)
+      case _: java.nio.file.InvalidPathException => false
+    }
 }

@@ -424,4 +424,96 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(postBytes(s"/file/$name", "not a multipart body".getBytes("UTF-8"),
       contentType = Some("multipart/form-data; boundary=zzzMissing")) == 400)
   }
+
+  test("upload fuzz: encoded traversals, hostile multipart, oversized junk — no filesystem effect") {
+    // VERDICT r11 #8 — the AdHoc-guard discipline applied to the landing
+    // path (the reference validates exactly this surface,
+    // upload.rs:22-91). Every case must be rejected AND leave the
+    // weather partition tree byte-for-byte identical: a rejected upload
+    // that still landed a partial file is the real vulnerability.
+    def treeSnapshot(): Set[(String, Long)] = {
+      val base = java.nio.file.Paths.get(s"$root/weather")
+      if (!java.nio.file.Files.exists(base)) Set.empty
+      else {
+        val s = java.nio.file.Files.walk(base)
+        try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => (base.relativize(p).toString, java.nio.file.Files.size(p)))
+          .toSet
+        finally s.close()
+      }
+    }
+    val before = treeSnapshot()
+
+    // 1. hostile NAMES (URL-encoded where needed so the request parses):
+    //    traversal in every encoding the HTTP layer might decode once,
+    //    absolute paths, nesting, null bytes, suffix games
+    val names = Seq(
+      "..%2Fevil.parquet", "..%2F..%2Fevil.parquet",
+      "%2e%2e%2fevil.parquet", "%2E%2E%2Fevil.parquet",
+      "..%5Cevil.parquet", "a%2Fb.parquet", "%2Fetc%2Fpasswd.parquet",
+      "%2e%2e%2f%2e%2e%2fweather%2Fforecasts_x.parquet",
+      "forecasts_2024-08-14T00:00:00Z.parquet%00.txt",
+      "evil%00forecasts_2024-08-14T00:00:00Z.parquet",
+      ".parquet", "forecasts_2024-08-14T00.parquet.exe",
+      "forecasts_2024-08-14T00:00:00Z.PARQUET", // case games on the suffix
+      "forecasts_..%2F2024.parquet")
+    val payload = Array.tabulate[Byte](64)(_.toByte)
+    for (n <- names)
+      assert(postBytes(s"/file/$n", payload) != 200, s"hostile name accepted: $n")
+
+    // 2. hostile MULTIPART bodies against a VALID name: nested inner
+    //    multipart must be treated as an opaque payload of the outer
+    //    part (never recursively decoded), framing violations are 400
+    val okName = "forecasts_2024-08-14T02:00:00Z.parquet"
+    val b1 = "outerB"; val b2 = "innerB"
+    val inner = multipartBody(b2, payload)
+    // nested: outer part's payload IS an inner multipart — parses as
+    // ONE part; the landing then fails on non-parquet bytes, but the
+    // decode must not recurse or throw
+    val nested = multipartBody(b1, inner)
+    assert(Multipart.filePart(s"multipart/form-data; boundary=$b1", nested)
+      .exists(_.sameElements(inner)), "nested multipart must stay opaque")
+    val framingCases = Seq(
+      // no closing delimiter
+      (s"--$b1\r\nContent-Disposition: form-data; name=\"file\"\r\n\r\nabc",
+        s"multipart/form-data; boundary=$b1"),
+      // part with no header/body separator
+      (s"--$b1\r\nno-separator--$b1--\r\n", s"multipart/form-data; boundary=$b1"),
+      // empty boundary parameter
+      ("--x\r\n\r\n\r\n--x--\r\n", "multipart/form-data; boundary="),
+      // boundary that never occurs
+      ("junk junk junk", s"multipart/form-data; boundary=$b1"),
+      // closing delimiter only, zero parts
+      (s"--$b1--\r\n", s"multipart/form-data; boundary=$b1"))
+    for (((body, ct), i) <- framingCases.zipWithIndex)
+      assert(postBytes(s"/file/$okName", body.getBytes("ISO-8859-1"),
+        contentType = Some(ct)) != 200, s"framing case $i accepted")
+
+    // 3. oversized junk (4 MiB of non-parquet bytes) with a valid name,
+    //    raw and multipart-framed: the PAR1 magic clamp rejects it
+    //    before anything touches the store (readers union every landed
+    //    file, so junk-with-a-valid-name is the poison case)
+    val big = Array.tabulate[Byte](4 << 20)(i => (i * 31).toByte)
+    assert(postBytes(s"/file/$okName", big) != 200)
+    assert(postBytes(s"/file/$okName", multipartBody(b1, big),
+      contentType = Some(s"multipart/form-data; boundary=$b1")) != 200)
+
+    assert(treeSnapshot() == before,
+      "a rejected upload changed the weather store tree")
+    // and nothing escaped ABOVE the store root either
+    assert(!new java.io.File(s"$root/evil.parquet").exists() &&
+      !new java.io.File("/tmp/evil.parquet").exists() &&
+      !new java.io.File(s"$root/weather/evil.parquet").exists())
+
+    // magic-framed but still junk inside: lands (the clamp is byte-local
+    // framing, not a footer parse — documented limit), but only under
+    // its OWN partition date, so scans of other partitions are
+    // unaffected; a corrupt-but-framed file fails its own read, which
+    // parquet reports per file
+    val framed = "PAR1".getBytes("US-ASCII") ++ payload ++ "PAR1".getBytes("US-ASCII")
+    assert(postBytes("/file/forecasts_1999-01-01T00:00:00Z.parquet", framed) == 200)
+    assert((treeSnapshot() -- before).forall(_._1.contains("date=1999-01-01")),
+      "an accepted upload must land only under its own partition date")
+  }
 }
