@@ -86,4 +86,63 @@ class StreamDedupSpec extends AnyFunSuite {
       s"emitted ${emitted.size} keys, batch distinct ${batch.size}")
     ss.catalog.dropTempView(sink)
   }
+
+  test("under churn, state tracks the OPEN window width, not stream length") {
+    // VERDICT r11 #7 — the eviction claim under PRESSURE, not just the
+    // single-fixture tail: a long key-heavy stream (24 hourly batches,
+    // the same 200 users recurring every hour → 4800 distinct
+    // (user, hour) keys over the stream, with in-hour duplicates) run
+    // twice, at watermark delays 0 and 4 hours. If eviction is real,
+    // the state store's peak row count is bounded by
+    // users × (delay_hours + open windows) — a narrow multiple of the
+    // WINDOW, ~constant in stream length — and widening the watermark
+    // widens state proportionally. Without window-keyed eviction both
+    // runs would end at all 4800 keys.
+    import spark.implicits._
+    val users = 200
+    val hours = 24
+    val base = java.time.Instant.parse("2024-08-01T00:00:00Z")
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft-sd-churn").toString
+    for (h <- 0 until hours) {
+      (0 until users * 3).map { i => // 3 duplicates per key per hour
+        (i % users.toLong,
+          java.sql.Timestamp.from(base.plusSeconds(h * 3600L + (i % 3000))))
+      }.toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(landing)
+    }
+
+    def run(delay: String): (Long, Long, Long) = {
+      val ss = graft.Sessions.streamSession(spark, 4)
+      val sink = "sd_churn_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val stream = ss.readStream.schema(ss.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .withWatermark("ts", delay)
+      val q = StreamDedup.hourlyKeyDedup(stream)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val emitted = ss.table(sink).count()
+      val perBatch = q.recentProgress.toSeq
+        .flatMap(p => p.stateOperators.headOption.map(_.numRowsTotal))
+      ss.catalog.dropTempView(sink)
+      (emitted, perBatch.max, perBatch.last)
+    }
+
+    val (e0, peak0, last0) = run("0 seconds")
+    val (e4, peak4, last4) = run("4 hours")
+    val total = users.toLong * hours
+    info(s"churn probe: total keys=$total; delay=0s peak=$peak0 final=$last0; " +
+      s"delay=4h peak=$peak4 final=$last4")
+    assert(e0 == total && e4 == total, "every first occurrence must emit")
+    // delay 0: at most the current + one just-closed window survives a
+    // batch boundary; delay 4h: the 4 delayed windows + current + one
+    // boundary window. Both are window-width bounds, nowhere near total.
+    assert(peak0 <= users.toLong * 2,
+      s"delay-0 state peaked at $peak0 — eviction is not tracking the open window")
+    assert(peak4 <= users.toLong * 6,
+      s"delay-4h state peaked at $peak4 — beyond the watermark window bound")
+    assert(peak4 > peak0, "a wider watermark must hold proportionally more state")
+    assert(peak4 < total / 2,
+      "state approached stream-length scale — eviction failed under churn")
+  }
 }
