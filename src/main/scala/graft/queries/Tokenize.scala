@@ -372,6 +372,163 @@ object Tokenize {
           CAST(SUM(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
             CAST(COUNT(*) AS DOUBLE) AS novelty
         FROM sh JOIN dps USING (shingle)
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // t19 — UNIGRAM-LM tokenizer training (SentencePiece-shaped; Kudo
+    // 2018), the other production tokenizer default next to BPE
+    // (t16/t17): seed a piece vocabulary from substring statistics,
+    // then run one hard-EM (Viterbi-EM) iteration — E-step segments
+    // every word optimally under the current piece costs, M-step
+    // re-estimates costs from the pieces the optimal segmentations
+    // actually used. Gate output is the re-estimated vocabulary
+    // (piece, n, qcost).
+    //
+    // Cross-engine exactness (the t13/t18 discipline): likelihoods are
+    // INTEGER-QUANTIZED — cost(p) = bitlen(total div n_p) ≈ the piece's
+    // surprisal in whole bits (bitlen = length of the exact binary
+    // string; pure long arithmetic, bit-identical anywhere) — and the
+    // E-step avoids tie-breaking entirely: instead of backtracking ONE
+    // optimal segmentation (whose tie order is a float-free but fiddly
+    // contract), it counts every piece occurrence lying on ANY optimal
+    // path — occurrence (j, L) is on an optimal path iff
+    // dpF[j] + cost + dpB[n-j-L] = dpF[n], with dpF/dpB the
+    // forward/backward Viterbi arrays. That set is unique by
+    // construction (the 0-temperature posterior support), so no
+    // tie-break can drift between engines.
+    //
+    // Scale shape: everything after wordCounts is VOCAB-sized (the BPE
+    // trick): substring seeding, the DP (one aggregate() fold per
+    // DISTINCT word — array HOFs, codegen'd, no UDF), and the
+    // occurrence explode (≤ 3·len per distinct word). The piece-cost
+    // table is bounded (singles + top-150 multis) and broadcast as two
+    // one-row map frames; the only corpus-sized work remains the
+    // word-count shuffle with map-side combine.
+    Q("t19_unigram_lm",
+      (s, d) => {
+        val INF = "cast(1000000000 as bigint)"
+        // forward Viterbi over `tokCol` with piece-cost map `mapCol`:
+        // dp[0] = 0; dp[i] = min over L in 1..3 of dp[i-L] + cost
+        def dpExpr(tokCol: String, mapCol: String) = expr(
+          s"""aggregate(sequence(1, length($tokCol)),
+             array(cast(0 as bigint)),
+             (acc, i) -> concat(acc, array(least(
+               element_at(acc, i) +
+                 coalesce(element_at($mapCol, substring($tokCol, i, 1)), $INF),
+               if(i >= 2, element_at(acc, i - 1) +
+                 coalesce(element_at($mapCol, substring($tokCol, i - 1, 2)), $INF), $INF),
+               if(i >= 3, element_at(acc, i - 2) +
+                 coalesce(element_at($mapCol, substring($tokCol, i - 2, 3)), $INF), $INF)))))""")
+        val words = wordCounts(Tables.documentsSpread(s, d))
+        // seed statistics: every substring occurrence of length 1..3,
+        // weighted by word frequency (vocab-sized explode)
+        val seed = words.select(col("wc"),
+          explode(expr("""flatten(transform(sequence(1, length(tok)),
+              j -> transform(sequence(1, least(3, length(tok) - j + 1)),
+                L -> substring(tok, j, L))))""")).as("piece"))
+          .groupBy("piece").agg(sum("wc").as("n"))
+        // kept vocabulary: ALL single chars (so every word stays
+        // segmentable) + the top-150 multi-char pieces (TakeOrdered,
+        // no global window)
+        val kept = seed.where(length(col("piece")) === 1).unionByName(
+          seed.where(length(col("piece")) >= 2)
+            .orderBy(col("n").desc, col("piece")).limit(150))
+        val costed = kept
+          .crossJoin(broadcast(kept.agg(sum("n").as("tot"))))
+          .select(col("piece"),
+            length(conv(expr("tot div n"), 10, 2)).cast("long").as("qc"))
+        val pmDf = costed.agg(map_from_entries(
+          collect_list(struct(col("piece"), col("qc")))).as("pm"))
+        val pmrDf = costed.agg(map_from_entries(
+          collect_list(struct(reverse(col("piece")), col("qc")))).as("pmr"))
+        val withDp = words
+          .crossJoin(broadcast(pmDf)).crossJoin(broadcast(pmrDf))
+          .withColumn("rtok", reverse(col("tok")))
+          .withColumn("dpf", dpExpr("tok", "pm"))
+          .withColumn("dpb", dpExpr("rtok", "pmr"))
+        // E-step: pieces on ANY optimal path (tie-free posterior support)
+        val eocc = withDp.select(col("wc"),
+          explode(expr(
+            s"""filter(flatten(transform(sequence(0, length(tok) - 1),
+                j -> transform(sequence(1, least(3, length(tok) - j)),
+                  L -> struct(substring(tok, j + 1, L) AS piece,
+                    element_at(dpf, j + 1) AS pre,
+                    element_at(dpb, length(tok) - j - L + 1) AS post)))),
+              o -> o.pre + coalesce(element_at(pm, o.piece), $INF) + o.post
+                   = element_at(dpf, -1))""")).as("o"))
+          .select(col("wc"), col("o.piece").as("piece"))
+        // M-step: re-estimated counts and requantized costs
+        eocc.groupBy("piece").agg(sum("wc").as("n"))
+          .crossJoin(broadcast(eocc.groupBy("piece").agg(sum("wc").as("n"))
+            .agg(sum("n").as("tot"))))
+          .select(col("piece"), col("n").cast("long").as("n"),
+            length(conv(expr("tot div n"), 10, 2)).cast("long").as("qcost"))
+          .orderBy("piece")
+      },
+      Some("""WITH words AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+          WHERE tok <> '' GROUP BY tok),
+        s0 AS (SELECT wc, tok, unnest(range(1, length(tok) + 1)) AS j FROM words),
+        s1 AS (SELECT wc,
+            substring(tok, CAST(j AS INT), CAST(L AS INT)) AS piece
+          FROM s0, (VALUES (1), (2), (3)) Ls(L)
+          WHERE j + L - 1 <= length(tok)),
+        seed AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS n FROM s1 GROUP BY piece),
+        kept AS (
+          SELECT piece, n FROM seed WHERE length(piece) = 1
+          UNION ALL
+          SELECT piece, n FROM (SELECT piece, n FROM seed
+            WHERE length(piece) >= 2 ORDER BY n DESC, piece LIMIT 150)),
+        tot AS (SELECT SUM(n) AS t FROM kept),
+        costed AS (SELECT piece,
+            CAST(length(format('{:b}', CAST(t // n AS BIGINT))) AS BIGINT) AS qc
+          FROM kept, tot),
+        maps AS (SELECT
+            map(list(piece ORDER BY piece), list(qc ORDER BY piece)) AS pm,
+            map(list(reverse(piece) ORDER BY piece), list(qc ORDER BY piece)) AS pmr
+          FROM costed),
+        dpw AS (
+          SELECT wc, tok, pm,
+            list_reduce(
+              list_concat([[CAST(0 AS BIGINT)]],
+                list_transform(range(1, length(tok) + 1), i -> [i])),
+              (acc, x) -> list_concat(acc, [least(
+                acc[CAST(x[1] AS INT)] + coalesce(
+                  map_extract(pm, substring(tok, CAST(x[1] AS INT), 1))[1], 1000000000),
+                CASE WHEN x[1] >= 2 THEN acc[CAST(x[1] AS INT) - 1] + coalesce(
+                  map_extract(pm, substring(tok, CAST(x[1] AS INT) - 1, 2))[1], 1000000000)
+                  ELSE 1000000000 END,
+                CASE WHEN x[1] >= 3 THEN acc[CAST(x[1] AS INT) - 2] + coalesce(
+                  map_extract(pm, substring(tok, CAST(x[1] AS INT) - 2, 3))[1], 1000000000)
+                  ELSE 1000000000 END)])) AS dpf,
+            list_reduce(
+              list_concat([[CAST(0 AS BIGINT)]],
+                list_transform(range(1, length(tok) + 1), i -> [i])),
+              (acc, x) -> list_concat(acc, [least(
+                acc[CAST(x[1] AS INT)] + coalesce(
+                  map_extract(pmr, substring(reverse(tok), CAST(x[1] AS INT), 1))[1], 1000000000),
+                CASE WHEN x[1] >= 2 THEN acc[CAST(x[1] AS INT) - 1] + coalesce(
+                  map_extract(pmr, substring(reverse(tok), CAST(x[1] AS INT) - 1, 2))[1], 1000000000)
+                  ELSE 1000000000 END,
+                CASE WHEN x[1] >= 3 THEN acc[CAST(x[1] AS INT) - 2] + coalesce(
+                  map_extract(pmr, substring(reverse(tok), CAST(x[1] AS INT) - 2, 3))[1], 1000000000)
+                  ELSE 1000000000 END)])) AS dpb
+          FROM words, maps),
+        e0 AS (SELECT wc, tok, pm, dpf, dpb,
+            unnest(range(0, length(tok))) AS j FROM dpw),
+        e AS (SELECT wc,
+            substring(tok, CAST(j + 1 AS INT), CAST(L AS INT)) AS piece
+          FROM e0, (VALUES (1), (2), (3)) Ls(L)
+          WHERE j + L <= length(tok)
+            AND dpf[CAST(j + 1 AS INT)]
+              + coalesce(map_extract(pm,
+                  substring(tok, CAST(j + 1 AS INT), CAST(L AS INT)))[1], 1000000000)
+              + dpb[CAST(length(tok) - j - L + 1 AS INT)]
+              = dpf[-1]),
+        newc AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS n FROM e GROUP BY piece),
+        newtot AS (SELECT SUM(n) AS t FROM newc)
+        SELECT piece, n,
+          CAST(length(format('{:b}', CAST(t // n AS BIGINT))) AS BIGINT) AS qcost
+        FROM newc, newtot ORDER BY piece"""))
   )
 }
