@@ -109,7 +109,14 @@ object PipelineE2e {
           s.emptyDataFrame.createOrReplaceTempView(marker)
         }
 
-        // ---- the measured serve path: decontaminate → plan → pack ----
+        servePacked(s, d, state, tIdx, vIdx)
+      },
+      Some(oracleSql))
+
+  /** The measured serve path shared by p1 (batch-built indexes) and
+    * p1b (stream-synced indexes): decontaminate → plan → pack. */
+  private def servePacked(s: org.apache.spark.sql.SparkSession, d: String,
+      state: String, tIdx: String, vIdx: String): DataFrame = {
         val prep = CorpusRefresh.prepared(s, state)
         val lexHits = TextIndex.search(s, tIdx, Terms, TopK)
           .select("doc_id")
@@ -169,6 +176,84 @@ object PipelineE2e {
             expr(s"start_off div $L").as("first_seq"),
             expr(s"(start_off + n_tokens - 1) div $L").as("last_seq"))
           .orderBy("pos")
+  }
+
+  // p1b — the STREAMING serve loop (VERDICT r11 #9): p1 streams only
+  // the ingest leg and then builds the serve indexes once, batch-style;
+  // a production refresh loop re-serves after EVERY micro-batch, which
+  // means the index trio must be kept in sync with the prepared corpus
+  // as keepers arrive AND as later batches displace earlier keepers
+  // (a smaller-id exact twin demotes an old keeper — the cross-batch
+  // case with no per-batch shortcut). Each foreachBatch therefore:
+  // refresh → diff the prepared keeper set against each index's live
+  // membership → remove the displaced, add the new (both idempotent:
+  // the services' ledger anti-joins make re-delivered syncs no-ops) →
+  // run the full decontaminate→plan→pack serve ON THE OPEN STREAM'S
+  // state. The gate returns the FINAL serve; its oracle is p1's flat
+  // recompute VERBATIM — pinning that N per-batch incremental
+  // maintenance rounds land bit-for-bit on the one-shot batch build.
+  private val p1bq: Q =
+    Q("p1b_pipeline_stream_serve",
+      (s, d) => {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_pipeline_p1b/$tag/${graft.Sessions.sessionTag(s)}").getAbsolutePath
+        val state = s"$root/state"
+        val tIdx = s"$root/textidx"
+        val vIdx = s"$root/vecidx"
+        val marker = s"graft_p1b_marker_$tag"
+        if (!s.catalog.tableExists(marker)) {
+          val docs = Tables.documents(s, d)
+          val landing = s"$root/landing"
+          (0 until 3).foreach { i =>
+            docs.where(col("doc_id") % 3 === i).coalesce(1)
+              .write.mode("append").parquet(landing)
+          }
+          val cents = Tables.embeddings(s, d).where(col("vec_id") < 16)
+            .orderBy("vec_id").select("embedding").collect()
+            .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+          val capture = s"$root/capture"
+          // one micro-batch of the production loop: ingest + sync + (a
+          // serve would run here; the gate measures the final one)
+          def serveBatch(ss: org.apache.spark.sql.SparkSession, bid: Long): Unit = {
+            CorpusRefresh.refresh(ss, state,
+              ss.read.parquet(s"$capture/b$bid"),
+              batchId = Some(s"p1b_$bid"))
+            val prep = CorpusRefresh.prepared(ss, state)
+              .select(col("doc_id"), col("redacted"))
+            TextIndex.remove(ss, tIdx, TextIndex.liveDocIds(ss, tIdx)
+              .join(prep.select("doc_id"), Seq("doc_id"), "left_anti"))
+            TextIndex.add(ss, tIdx,
+              prep.select(col("doc_id"), col("redacted").as("text")))
+            val members = Tables.embeddings(ss, d).select("vec_id", "embedding")
+              .join(prep.select(col("doc_id").as("vec_id")),
+                Seq("vec_id"), "left_semi")
+            if (VectorIndex.liveIds(ss, vIdx).isEmpty)
+              VectorIndex.buildWith(ss, vIdx, members, cents)
+            else {
+              VectorIndex.remove(ss, vIdx, VectorIndex.liveIds(ss, vIdx)
+                .join(members.select("vec_id"), Seq("vec_id"), "left_anti"))
+              VectorIndex.add(ss, vIdx, members)
+            }
+          }
+          val stream = s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(landing)
+          val q = stream.writeStream
+            .option("checkpointLocation", s"$root/ckpt")
+            .foreachBatch { (df: DataFrame, bid: Long) =>
+              df.write.mode("overwrite").parquet(s"$capture/b$bid")
+              serveBatch(df.sparkSession, bid)
+            }.start()
+          try q.processAllAvailable() finally q.stop()
+          // the crash window: the last batch RE-DELIVERED end to end —
+          // refresh no-ops on its ledger tag, every index sync anti-join
+          // finds nothing to move
+          val lastBid = new java.io.File(capture).listFiles()
+            .map(_.getName.stripPrefix("b").toLong).max
+          serveBatch(s, lastBid)
+          s.emptyDataFrame.createOrReplaceTempView(marker)
+        }
+        servePacked(s, d, state, tIdx, vIdx)
       },
       Some(oracleSql))
 
@@ -219,7 +304,7 @@ object PipelineE2e {
           CAST(seq * $L AS BIGINT) AS token_offset
         FROM shp ORDER BY shard_id, pos_in_shard"""))
 
-  val all: Seq[Q] = Seq(p1q, p2q)
+  val all: Seq[Q] = Seq(p1q, p1bq, p2q)
 
   /** The flat recompute: prep CTEs → BM25 top-20 → IVF probe → c11
     * greedy → one-ORDER-BY permutation → running-sum pack. */

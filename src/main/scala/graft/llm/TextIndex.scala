@@ -262,6 +262,13 @@ object TextIndex {
   }
 
   /** LIVE indexed document count (observability). */
+  /** Live doc ids — the membership view a serve-sync loop diffs
+    * against the upstream keeper set (p1b). Empty frame when the index
+    * has no state yet. */
+  def liveDocIds(spark: SparkSession, dir: String): DataFrame =
+    liveDocRows(spark, dir).map(_.select("doc_id"))
+      .getOrElse(spark.range(0).select(col("id").as("doc_id")))
+
   def size(spark: SparkSession, dir: String): Long =
     liveDocRows(spark, dir).map(_.count()).getOrElse(0L)
 

@@ -320,6 +320,15 @@ object VectorIndex {
         .toDF("item", "damage", "action", "applied")
     }
 
+  /** Live vec_ids of the current version — the membership view a
+    * serve-sync loop diffs against the upstream keeper set (p1b).
+    * Empty frame when no version has been committed yet. */
+  def liveIds(spark: SparkSession, dir: String): DataFrame =
+    currentVersion(spark, dir) match {
+      case None => spark.range(0).select(col("id").as("vec_id"))
+      case Some(v) => liveVectors(spark, s"$dir/$v").select("vec_id")
+    }
+
   /** Per-cell inverted-list sizes — the index-health report (heavily
     * skewed lists mean the centroids have drifted from the data and a
     * scheduled rebuild is due). Live rows only. */
