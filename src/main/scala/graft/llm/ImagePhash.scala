@@ -50,11 +50,15 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB shape: hashing is partition-local `mapPartitions` (one codec
   * per partition, payload bytes never shuffle); pairing shuffles only
-  * (band, byte) keys + 8-byte hashes; candidate verification is an
-  * `aggregate(zip_with(...))` over two 8-element arrays. Reference for
-  * the operator family: tee8z/noaa-data-pipeline has nothing
-  * multimodal — this extends the engine the way SURVEY §2's LLM
-  * additions do.
+  * (band, byte) keys + one packed long per side; candidate
+  * verification is bit_count(xor) — plain long arithmetic in
+  * whole-stage codegen. The collision volume itself is
+  * bucket-occupancy-bound (Σ per-(band,byte) n² — d6's documented
+  * shape): one-byte bands saturate past ~10⁵ assets, and the scale
+  * path is a wider hash (256-bit DCT pHash → 2-byte bands at the same
+  * completeness radius), not a different join. Reference for the
+  * operator family: tee8z/noaa-data-pipeline has nothing multimodal —
+  * this extends the engine the way SURVEY §2's LLM additions do.
   */
 object ImagePhash {
 
@@ -62,10 +66,14 @@ object ImagePhash {
   final case class ImageAsset(asset_id: Long, doc_id: Long, enc: Int,
       payload: Array[Byte])
 
-  /** 64-bit aHash as 8 one-byte bands (band i holds bits 8i..8i+7);
-    * byte-valued ints sidestep 64-bit sign headaches in BOTH engines. */
+  /** 64-bit aHash packed into one long (bit b = block b; band i =
+    * bits 8i..8i+7). One long keeps the whole pairing pipeline in
+    * whole-stage codegen — xor / bit_count / shift-mask — where an
+    * 8-element array form pays interpreted higher-order functions per
+    * candidate row (measured 10x-replica pairing: array HOFs over the
+    * ~140M-row collision volume dominated the query; longs do not). */
   final case class ImageHash(asset_id: Long, doc_id: Long, enc: Int,
-      bands: Array[Int])
+      hash: Long)
 
   val Side = 32        // image is Side×Side grayscale
   val Block = 4        // 4×4-pixel blocks → 8×8 = 64 bits
@@ -113,6 +121,11 @@ object ImagePhash {
   def synthAssets(documents: DataFrame): Dataset[ImageAsset] = {
     import documents.sparkSession.implicits._
     documents.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+      // ImageIO's default stream cache is a TEMP FILE per encode —
+      // disk I/O per image; in-memory streams are the per-partition
+      // codec posture (measured at the 10x replica: the file-backed
+      // cache dominated the whole query)
+      ImageIO.setUseCache(false)
       ids.flatMap { id =>
         val encs = Seq(0) ++ (if (id % 2 == 0) Seq(1) else Nil) ++
           (if (id % 3 == 0) Seq(2) else Nil)
@@ -145,44 +158,64 @@ object ImagePhash {
           }
           y += 1
         }
-        val bands = new Array[Int](8)
+        var hash = 0L
         var b = 0
         while (b < 64) {
-          if (blockSum(b) * 64 > total) bands(b / 8) |= 1 << (b % 8)
+          if (blockSum(b) * 64 > total) hash |= 1L << b
           b += 1
         }
-        Some(ImageHash(asset.asset_id, asset.doc_id, asset.enc, bands))
+        Some(ImageHash(asset.asset_id, asset.doc_id, asset.enc, hash))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Batch hash: one codec context per partition, bad rows dropped. */
   def avgHash(assets: Dataset[ImageAsset]): Dataset[ImageHash] = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions(_.flatMap(hashPayload))
+    assets.mapPartitions { rows =>
+      ImageIO.setUseCache(false) // in-memory streams (see synthAssets)
+      rows.flatMap(hashPayload)
+    }
   }
 
   /** Hamming-band LSH near-dup pairs over hashed assets: explode the 8
-    * bands, equi-join on (band, byte) — complete for maxHamming ≤ 7 —
-    * then verify the exact distance on the full 8-byte vectors with
-    * zip_with/aggregate (codegen'd array ops, no UDF). Output one row
-    * per unordered pair (asset_a < asset_b) with its distance. */
+    * one-byte bands of the packed hash, equi-join on (band, byte) —
+    * complete for maxHamming <= 7 by pigeonhole — and verify the exact
+    * distance as bit_count(xor) on the carried longs. Output one row
+    * per unordered pair (asset_a < asset_b) with its distance.
+    *
+    * A pair collides in up to 8 bands; instead of dedup-by-shuffle
+    * (d6's lesson — a `distinct` over the candidate set is an exchange
+    * the size of the collision volume), each pair is emitted only from
+    * its FIRST matching band, decidable per row from xor of the two
+    * hashes — dedup costs a codegen predicate, and every per-candidate
+    * operation (band extraction, first-match CASE, bit_count) is plain
+    * long arithmetic inside whole-stage codegen. */
   def nearDupPairs(hashes: Dataset[ImageHash], maxHamming: Int = 7): DataFrame = {
     require(maxHamming <= 7,
       "8 one-byte bands are only a complete candidate generator up to Hamming 7")
-    val h = hashes.toDF.select(col("asset_id"), col("bands"))
-    val bands = h.select(col("asset_id"),
-      posexplode(col("bands")).as(Seq("band", "byte")))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
-          col("a.asset_id") < col("b.asset_id"))
-      .select(col("a.asset_id").as("asset_a"), col("b.asset_id").as("asset_b"))
-      .distinct()
-    cand
-      .join(h.select(col("asset_id").as("asset_a"), col("bands").as("ba")), "asset_a")
-      .join(h.select(col("asset_id").as("asset_b"), col("bands").as("bb")), "asset_b")
-      .withColumn("hamming",
-        expr("aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
+    val h = hashes.toDF.select(col("asset_id"), col("hash"))
+    val bandRows = h.select(col("asset_id"), col("hash"),
+      posexplode(expr(
+        "transform(sequence(0, 7), i -> cast(shiftrightunsigned(hash, i * 8) & 255 as int))"))
+        .as(Seq("band", "byte")))
+    val a = bandRows.select(col("asset_id").as("asset_a"),
+      col("hash").as("ha"), col("band"), col("byte"))
+    val b = bandRows.select(col("asset_id").as("asset_b"),
+      col("hash").as("hb"), col("band"), col("byte"))
+    val firstBand = expr("""CASE
+      WHEN (xr & 255) = 0 THEN 0
+      WHEN (shiftrightunsigned(xr, 8) & 255) = 0 THEN 1
+      WHEN (shiftrightunsigned(xr, 16) & 255) = 0 THEN 2
+      WHEN (shiftrightunsigned(xr, 24) & 255) = 0 THEN 3
+      WHEN (shiftrightunsigned(xr, 32) & 255) = 0 THEN 4
+      WHEN (shiftrightunsigned(xr, 40) & 255) = 0 THEN 5
+      WHEN (shiftrightunsigned(xr, 48) & 255) = 0 THEN 6
+      ELSE 7 END""")
+    a.join(b, Seq("band", "byte")).where(col("asset_a") < col("asset_b"))
+      .withColumn("xr", expr("ha ^ hb"))
+      .where(col("band") === firstBand)
+      .select(col("asset_a"), col("asset_b"),
+        expr("cast(bit_count(xr) as int)").as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .select(col("asset_a"), col("asset_b"), col("hamming").cast("int").as("hamming"))
   }
 }

@@ -25,7 +25,7 @@ class ImagePhashSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   /** Hash straight from the pixel formula — no codec in the loop. */
-  private def formulaHash(docId: Long, enc: Int): Array[Int] = {
+  private def formulaHash(docId: Long, enc: Int): Long = {
     val bs = new Array[Long](64)
     var total = 0L
     for (y <- 0 until ImagePhash.Side; x <- 0 until ImagePhash.Side) {
@@ -33,9 +33,9 @@ class ImagePhashSpec extends AnyFunSuite {
       bs((y / ImagePhash.Block) * ImagePhash.Grid + (x / ImagePhash.Block)) += g
       total += g
     }
-    val bands = new Array[Int](8)
-    for (b <- 0 until 64 if bs(b) * 64 > total) bands(b / 8) |= 1 << (b % 8)
-    bands
+    var hash = 0L
+    for (b <- 0 until 64 if bs(b) * 64 > total) hash |= 1L << b
+    hash
   }
 
   private def docsDF(ids: Seq[Long]) = {
@@ -46,7 +46,7 @@ class ImagePhashSpec extends AnyFunSuite {
   test("codec round-trip hash == closed-form hash for PNG, BMP, and perturbed") {
     import spark.implicits._
     val hashed = ImagePhash.avgHash(ImagePhash.synthAssets(docsDF(0L to 23L)))
-      .collect().map(h => (h.doc_id, h.enc) -> h.bands.toSeq).toMap
+      .collect().map(h => (h.doc_id, h.enc) -> h.hash).toMap
     // every expected asset hashed (no decode drops on clean fixtures)
     val expectedKeys = (0L to 23L).flatMap { id =>
       Seq(id -> 0) ++ (if (id % 2 == 0) Seq(id -> 1) else Nil) ++
@@ -54,13 +54,13 @@ class ImagePhashSpec extends AnyFunSuite {
     }.map { case (d, e) => (d, e) }
     assert(hashed.keySet == expectedKeys.toSet)
     for (((d, e), got) <- hashed)
-      assert(got == formulaHash(d, e).toSeq, s"hash mismatch doc=$d enc=$e")
+      assert(got == formulaHash(d, e), s"hash mismatch doc=$d enc=$e")
   }
 
   test("re-encode (BMP) is Hamming 0; one-pixel perturbation is a small near-dup") {
     val h0 = formulaHash(6L, 0); val h1 = formulaHash(6L, 1); val h2 = formulaHash(6L, 2)
-    assert(h0.toSeq == h1.toSeq) // same pixels, different container
-    val d02 = h0.zip(h2).map { case (a, b) => Integer.bitCount(a ^ b) }.sum
+    assert(h0 == h1) // same pixels, different container
+    val d02 = java.lang.Long.bitCount(h0 ^ h2)
     assert(d02 <= 7, s"perturbed variant drifted too far: $d02")
   }
 
@@ -93,7 +93,7 @@ class ImagePhashSpec extends AnyFunSuite {
     val hs = hashes.collect()
     val brute = (for {
       a <- hs; b <- hs if a.asset_id < b.asset_id
-      d = a.bands.zip(b.bands).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      d = java.lang.Long.bitCount(a.hash ^ b.hash)
       if d <= 7
     } yield (a.asset_id, b.asset_id, d)).toSet
     assert(banded == brute)
