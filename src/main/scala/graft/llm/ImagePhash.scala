@@ -177,45 +177,11 @@ object ImagePhash {
     }
   }
 
-  /** Hamming-band LSH near-dup pairs over hashed assets: explode the 8
-    * one-byte bands of the packed hash, equi-join on (band, byte) —
-    * complete for maxHamming <= 7 by pigeonhole — and verify the exact
-    * distance as bit_count(xor) on the carried longs. Output one row
-    * per unordered pair (asset_a < asset_b) with its distance.
-    *
-    * A pair collides in up to 8 bands; instead of dedup-by-shuffle
-    * (d6's lesson — a `distinct` over the candidate set is an exchange
-    * the size of the collision volume), each pair is emitted only from
-    * its FIRST matching band, decidable per row from xor of the two
-    * hashes — dedup costs a codegen predicate, and every per-candidate
-    * operation (band extraction, first-match CASE, bit_count) is plain
-    * long arithmetic inside whole-stage codegen. */
-  def nearDupPairs(hashes: Dataset[ImageHash], maxHamming: Int = 7): DataFrame = {
-    require(maxHamming <= 7,
-      "8 one-byte bands are only a complete candidate generator up to Hamming 7")
-    val h = hashes.toDF.select(col("asset_id"), col("hash"))
-    val bandRows = h.select(col("asset_id"), col("hash"),
-      posexplode(expr(
-        "transform(sequence(0, 7), i -> cast(shiftrightunsigned(hash, i * 8) & 255 as int))"))
-        .as(Seq("band", "byte")))
-    val a = bandRows.select(col("asset_id").as("asset_a"),
-      col("hash").as("ha"), col("band"), col("byte"))
-    val b = bandRows.select(col("asset_id").as("asset_b"),
-      col("hash").as("hb"), col("band"), col("byte"))
-    val firstBand = expr("""CASE
-      WHEN (xr & 255) = 0 THEN 0
-      WHEN (shiftrightunsigned(xr, 8) & 255) = 0 THEN 1
-      WHEN (shiftrightunsigned(xr, 16) & 255) = 0 THEN 2
-      WHEN (shiftrightunsigned(xr, 24) & 255) = 0 THEN 3
-      WHEN (shiftrightunsigned(xr, 32) & 255) = 0 THEN 4
-      WHEN (shiftrightunsigned(xr, 40) & 255) = 0 THEN 5
-      WHEN (shiftrightunsigned(xr, 48) & 255) = 0 THEN 6
-      ELSE 7 END""")
-    a.join(b, Seq("band", "byte")).where(col("asset_a") < col("asset_b"))
-      .withColumn("xr", expr("ha ^ hb"))
-      .where(col("band") === firstBand)
-      .select(col("asset_a"), col("asset_b"),
-        expr("cast(bit_count(xr) as int)").as("hamming"))
-      .where(col("hamming") <= maxHamming)
-  }
+  /** Hamming-band LSH near-dup pairs over hashed assets — the shared
+    * [[HammingLsh]] candidate generator (band equi-join, complete for
+    * maxHamming <= 7 by pigeonhole, first-matching-band dedup in
+    * codegen): one row per unordered pair (asset_a < asset_b) with its
+    * exact bit_count(xor) distance. */
+  def nearDupPairs(hashes: Dataset[ImageHash], maxHamming: Int = 7): DataFrame =
+    HammingLsh.nearDupPairs(hashes.toDF, maxHamming)
 }

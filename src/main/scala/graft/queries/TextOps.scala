@@ -1890,6 +1890,179 @@ object TextOps {
         SELECT asset_a, asset_b, CAST(hamming AS INT) AS hamming
         FROM ham WHERE hamming <= 7 ORDER BY asset_a, asset_b""")),
 
+    // Perceptual (sample-level) audio near-dup — m4's posture
+    // transposed to audio (graft.llm.AudioFingerprint): deterministic
+    // ±amp(doc, block) waveforms are framed as REAL RIFF/WAVE bytes
+    // executor-side, the hash side chunk-walks the container back to
+    // 16-bit PCM and computes an integer-exact 64-bit energy-envelope
+    // hash (block |sample| sum × 64 vs clip total — the
+    // Haitsma-Kalker robust-hash family's simplest member), and
+    // pairing is the SAME HammingLsh band join m4 uses. The oracle
+    // recomputes the identical hash from the closed-form amplitude
+    // formula (the block sum telescopes to BlockLen·amp — PCM is
+    // lossless, so the codec round-trip must match bit-for-bit). Dup
+    // classes planted: an extra-LIST-chunk re-frame (enc 1 — byte
+    // digests differ, Hamming 0) and a one-block amplitude bump
+    // (enc 2 — small positive distance). At 100 TB: hashing is
+    // partition-local over payload bytes that never shuffle; the pair
+    // join moves only (band, byte) keys + 8-byte hashes.
+    Q("m5_audio_fingerprint",
+      (s, d) => {
+        val hashes = graft.llm.AudioFingerprint.envelopeHash(
+          graft.llm.AudioFingerprint.synthAssets(Tables.documentsSpread(s, d)))
+        graft.llm.AudioFingerprint.nearDupPairs(hashes, maxHamming = 7)
+          .orderBy("asset_a", "asset_b")
+      },
+      Some("""WITH assets AS (
+          SELECT doc_id, 0 AS enc FROM documents
+          UNION ALL SELECT doc_id, 1 FROM documents WHERE doc_id % 2 = 0
+          UNION ALL SELECT doc_id, 2 FROM documents WHERE doc_id % 3 = 0),
+        blk AS (
+          SELECT doc_id, enc, m,
+            1 + (((doc_id * 2654435761) % 251) * (m + 1)
+                 + (1 + doc_id % 29) * ((m * m) % 97) + doc_id % 127) % 251
+              + CASE WHEN enc = 2 AND m = doc_id % 64 THEN 64 ELSE 0 END AS amp
+          FROM assets, range(0, 64) r(m)),
+        tot AS (SELECT doc_id, enc, SUM(amp) AS ts FROM blk GROUP BY 1, 2),
+        bits AS (
+          SELECT blk.doc_id, blk.enc, m,
+            CASE WHEN 64 * amp > ts THEN 1 ELSE 0 END AS bit
+          FROM blk JOIN tot USING (doc_id, enc)),
+        h AS (
+          SELECT doc_id * 4 + enc AS asset_id, m // 8 AS band,
+            CAST(SUM(bit << (m % 8)) AS INT) AS byte
+          FROM bits GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b
+          FROM h a JOIN h b ON a.band = b.band AND a.byte = b.byte
+            AND a.asset_id < b.asset_id),
+        ham AS (
+          SELECT asset_a, asset_b,
+            SUM(bit_count(xor(ha.byte, hb.byte))) AS hamming
+          FROM cand
+          JOIN h ha ON ha.asset_id = asset_a
+          JOIN h hb ON hb.asset_id = asset_b AND hb.band = ha.band
+          GROUP BY 1, 2)
+        SELECT asset_a, asset_b, CAST(hamming AS INT) AS hamming
+        FROM ham WHERE hamming <= 7 ORDER BY asset_a, asset_b""")),
+
+    // The m-family's COMPOSITION stage — the media keep-list a
+    // multimodal corpus prep actually ships (d12's keeper policy
+    // transposed to media): both modality fingerprint passes (m4 image
+    // aHash, m5 audio envelope) feed one connected-components pass over
+    // the union of their Hamming-≤7 pair graphs (audio uids offset to
+    // 2^40 so the id spaces can't collide and no cross-modality edge
+    // can exist), keeper = min-uid per component (media has no quality
+    // score; min-id is the production default), singletons ride the
+    // d12 left-join + coalesce instead of a union pass. Output: one
+    // row per surviving asset with its cluster size — the keep-list a
+    // rewrite joins against. The oracle replays both closed-form hash
+    // families and the recursive reachability closure flat; like
+    // d7/d12, the RECURSIVE CTE is the oracle's scale limit (documented
+    // DNF class at 10×), not the engine's — Spark's side is the
+    // log-round hash-min CC.
+    Q("m6_media_keeplist",
+      (s, d) => {
+        val docs = Tables.documentsSpread(s, d)
+        val off = 1099511627776L // 2^40 — the audio uid space
+        val ih = graft.llm.ImagePhash.avgHash(
+          graft.llm.ImagePhash.synthAssets(docs)).toDF
+        val ah = graft.llm.AudioFingerprint.envelopeHash(
+          graft.llm.AudioFingerprint.synthAssets(docs)).toDF
+        val ip = graft.llm.HammingLsh.nearDupPairs(ih, maxHamming = 7)
+          .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b"))
+        val ap = graft.llm.HammingLsh.nearDupPairs(ah, maxHamming = 7)
+          .select((col("asset_a") + off).as("doc_a"),
+            (col("asset_b") + off).as("doc_b"))
+        val comp = Components.connectedComponents(ip.union(ap))
+          .withColumnRenamed("node", "uid")
+        val assets = ih.select(col("asset_id").as("uid"))
+          .union(ah.select((col("asset_id") + off).as("uid")))
+        assets.join(comp, Seq("uid"), "left")
+          .withColumn("component", coalesce(col("component"), col("uid")))
+          .groupBy("component")
+          .agg(count(lit(1)).cast("int").as("cluster_size"))
+          .withColumn("modality",
+            when(col("component") >= off, lit("audio")).otherwise(lit("image")))
+          .withColumn("aid", col("component") % off)
+          .select(col("component"),
+            col("modality"),
+            expr("aid div 4").as("doc_id"),
+            (col("aid") % 4).cast("int").as("enc"),
+            col("cluster_size"))
+          .orderBy("component")
+      },
+      Some("""WITH RECURSIVE assets AS (
+          SELECT doc_id, 0 AS enc FROM documents
+          UNION ALL SELECT doc_id, 1 FROM documents WHERE doc_id % 2 = 0
+          UNION ALL SELECT doc_id, 2 FROM documents WHERE doc_id % 3 = 0),
+        px AS (
+          SELECT doc_id, enc, x, y,
+            ((x * ((doc_id * 2654435761) % 256) + y * ((doc_id * 40503) % 256)
+              + x * y * (1 + doc_id % 13) + doc_id % 251) % 256
+              + CASE WHEN enc = 2 AND x = doc_id % 32 AND y = (doc_id // 32) % 32
+                     THEN 64 ELSE 0 END) % 256 AS g
+          FROM assets, range(0, 32) rx(x), range(0, 32) ry(y)),
+        blki AS (
+          SELECT doc_id, enc, (y // 4) * 8 + (x // 4) AS b, SUM(g) AS bs
+          FROM px GROUP BY 1, 2, 3),
+        toti AS (SELECT doc_id, enc, SUM(bs) AS ts FROM blki GROUP BY 1, 2),
+        bitsi AS (
+          SELECT blki.doc_id, blki.enc, b,
+            CASE WHEN 64 * bs > ts THEN 1 ELSE 0 END AS bit
+          FROM blki JOIN toti USING (doc_id, enc)),
+        hi AS (
+          SELECT doc_id * 4 + enc AS uid, b // 8 AS band,
+            CAST(SUM(bit << (b % 8)) AS INT) AS byte
+          FROM bitsi GROUP BY 1, 2),
+        blka AS (
+          SELECT doc_id, enc, m,
+            1 + (((doc_id * 2654435761) % 251) * (m + 1)
+                 + (1 + doc_id % 29) * ((m * m) % 97) + doc_id % 127) % 251
+              + CASE WHEN enc = 2 AND m = doc_id % 64 THEN 64 ELSE 0 END AS amp
+          FROM assets, range(0, 64) r(m)),
+        tota AS (SELECT doc_id, enc, SUM(amp) AS ts FROM blka GROUP BY 1, 2),
+        bitsa AS (
+          SELECT blka.doc_id, blka.enc, m,
+            CASE WHEN 64 * amp > ts THEN 1 ELSE 0 END AS bit
+          FROM blka JOIN tota USING (doc_id, enc)),
+        ha AS (
+          SELECT doc_id * 4 + enc + 1099511627776 AS uid, m // 8 AS band,
+            CAST(SUM(bit << (m % 8)) AS INT) AS byte
+          FROM bitsa GROUP BY 1, 2),
+        hb AS (SELECT * FROM hi UNION ALL SELECT * FROM ha),
+        cand AS (
+          SELECT DISTINCT a.uid AS ua, b.uid AS ub
+          FROM hb a JOIN hb b ON a.band = b.band AND a.byte = b.byte
+            AND a.uid < b.uid
+            AND (a.uid < 1099511627776) = (b.uid < 1099511627776)),
+        hamp AS (
+          SELECT ua, ub, SUM(bit_count(xor(x.byte, y.byte))) AS hamming
+          FROM cand
+          JOIN hb x ON x.uid = ua
+          JOIN hb y ON y.uid = ub AND y.band = x.band
+          GROUP BY 1, 2),
+        pairs AS (SELECT ua, ub FROM hamp WHERE hamming <= 7),
+        edges AS (SELECT ua AS u, ub AS v FROM pairs
+                  UNION SELECT ub, ua FROM pairs),
+        reach(u, v) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+        compg AS (SELECT u, MIN(v) AS component FROM reach GROUP BY u),
+        alluid AS (
+          SELECT doc_id * 4 + enc AS uid FROM assets
+          UNION ALL SELECT doc_id * 4 + enc + 1099511627776 FROM assets),
+        withc AS (
+          SELECT uid, COALESCE(component, uid) AS component
+          FROM alluid LEFT JOIN compg ON uid = u)
+        SELECT component,
+          CASE WHEN component >= 1099511627776 THEN 'audio' ELSE 'image' END AS modality,
+          (component % 1099511627776) // 4 AS doc_id,
+          CAST((component % 1099511627776) % 4 AS INT) AS enc,
+          CAST(COUNT(*) AS INT) AS cluster_size
+        FROM withc GROUP BY component ORDER BY component""")),
+
     // PII scrubbing (graft.queries.Redact): detect + redact emails /
     // NANP phones / SSN-shaped ids, keeping per-type counts. The
     // synthetic corpus is PII-free, so deterministic spans are injected

@@ -963,7 +963,86 @@ object VectorOps {
         import s.implicits._
         sel.toSeq.toDF("nid", "rnk", "mmr_score").orderBy("rnk")
       },
-      Some(mmrSql(k = 10, pool = 25)))
+      Some(mmrSql(k = 10, pool = 25))),
+
+    // Binary-quantized two-stage ANN (the 1-bit BQ retrieval pattern —
+    // modern vector stores' memory floor, 32× smaller than float32):
+    // threshold every dimension at its CORPUS MEAN to one bit, pack the
+    // 64 bits into ONE long, generate candidates under Hamming distance
+    // (bit_count(xor) — one codegen'd instruction pair per candidate),
+    // then re-rank the top-20 with exact double cosine and keep 3.
+    // Integer-exactness chain: codes are floor(x·128) ints (exact —
+    // ×2^7 shifts the float exponent, the v7 posture); the per-dim
+    // threshold compare is icode[d]·N > Σ_corpus icode[d] (both sides
+    // exact bigints — the m4 trick, so no float mean and no rounding
+    // mode can drift the bits cross-engine); candidate ranking never
+    // touches a float. The per-dim sums are ONE 64-row aggregate
+    // broadcast back (the bounded-frame posture) — at 100 TB that is a
+    // map-side partial agg + a 520-byte broadcast, and the scan reads
+    // 8 bytes/vector instead of 256: the corpus never shuffles, only
+    // re-ranked survivors load the full-precision vector.
+    Q("v14_binary_quant",
+      (s, d) => {
+        val e = Tables.embeddingsSpread(s, d).select(col("vec_id"), col("embedding"),
+          expr("transform(embedding, x -> cast(floor(cast(x as double) * 128.0D) as bigint))")
+            .as("icode"))
+        val stats = e.select(posexplode(col("icode")).as(Seq("dim", "c")))
+          .groupBy("dim").agg(sum("c").as("t"), count(lit(1)).as("n"))
+          .agg(expr("transform(array_sort(collect_list(struct(dim, t))), p -> p.t)").as("T"),
+            max("n").as("N"))
+        val coded = e.crossJoin(broadcast(stats))
+          .withColumn("word", expr(
+            """aggregate(sequence(0, 63), cast(0 as bigint),
+                 (acc, b) -> acc + IF(element_at(icode, b + 1) * N > element_at(T, b + 1),
+                                      shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"""))
+          .select("vec_id", "embedding", "word")
+        val q = coded.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("word").as("qw"))
+        val cand = coded.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"), col("qe"),
+            col("embedding").as("ne"),
+            expr("cast(bit_count(word ^ qw) as int)").as("hamming"))
+        val w1 = Window.partitionBy("qid").orderBy(col("hamming").asc, col("nid"))
+        val top = cand.withColumn("r", row_number().over(w1)).where(col("r") <= 20)
+          .withColumn("cos_sim", cosine(col("qe"), col("ne")))
+        val w2 = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+        top.withColumn("rnk", row_number().over(w2).cast("int"))
+          .where(col("rnk") <= 3)
+          .select("qid", "nid", "rnk", "hamming", "cos_sim")
+          .orderBy("qid", "rnk")
+      },
+      Some(s"""WITH e AS (
+          SELECT vec_id, embedding,
+            list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 128.0) AS BIGINT)) AS icode
+          FROM embeddings),
+        dims AS (
+          SELECT d, SUM(icode[d]) AS t, COUNT(*) AS n
+          FROM e, range(1, 65) r(d) GROUP BY d),
+        st AS (SELECT array_agg(t ORDER BY d) AS tarr, MAX(n) AS nvec FROM dims),
+        b AS (
+          SELECT vec_id, embedding,
+            list_transform(range(1, 65),
+              d -> CASE WHEN icode[d] * nvec > tarr[d] THEN 1 ELSE 0 END) AS bits
+          FROM e, st),
+        q AS (SELECT vec_id AS qid, embedding AS qe, bits AS qb
+              FROM b WHERE vec_id < 20),
+        cand AS (
+          SELECT qid, b.vec_id AS nid, qe, b.embedding AS ne,
+            CAST(list_sum(list_transform(range(1, 65),
+              i -> CASE WHEN bits[i] <> qb[i] THEN 1 ELSE 0 END)) AS INT) AS hamming
+          FROM b JOIN q ON b.vec_id <> q.qid),
+        top AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY hamming ASC, nid) AS r FROM cand)
+          WHERE r <= 20),
+        rr AS (
+          SELECT qid, nid, hamming, ${duckCos("qe", "ne")} AS cos_sim FROM top)
+        SELECT qid, nid, CAST(rnk AS INT) AS rnk, hamming, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+                      ORDER BY cos_sim DESC, nid) AS rnk FROM rr)
+        WHERE rnk <= 3 ORDER BY qid, rnk"""))
   )
 
   /** v13's oracle: the greedy MMR selection unrolled to flat SQL — the
