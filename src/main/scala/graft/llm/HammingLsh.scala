@@ -28,22 +28,22 @@ import org.apache.spark.sql.functions._
   */
 object HammingLsh {
 
-  /** Near-dup pairs over `hashes` (columns `asset_id: long`,
-    * `hash: long`): one row per unordered pair (asset_a < asset_b)
-    * within `maxHamming`, with its exact distance. */
-  def nearDupPairs(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
-    require(maxHamming <= 7,
-      "8 one-byte bands are only a complete candidate generator up to Hamming 7")
-    val h = hashes.select(col("asset_id"), col("hash"))
-    val bandRows = h.select(col("asset_id"), col("hash"),
-      posexplode(expr(
-        "transform(sequence(0, 7), i -> cast(shiftrightunsigned(hash, i * 8) & 255 as int))"))
-        .as(Seq("band", "byte")))
-    val a = bandRows.select(col("asset_id").as("asset_a"),
-      col("hash").as("ha"), col("band"), col("byte"))
-    val b = bandRows.select(col("asset_id").as("asset_b"),
-      col("hash").as("hb"), col("band"), col("byte"))
-    val firstBand = expr("""CASE
+  /** The 8 one-byte bands of `hash`, as an array expression (band i =
+    * bits 8i..8i+7) — posexplode to (band, byte) rows. */
+  val bandBytesExpr: String =
+    "transform(sequence(0, 7), i -> cast(shiftrightunsigned(hash, i * 8) & 255 as int))"
+
+  /** Band rows (asset_id, hash, band, byte) for `hashes` (columns
+    * `asset_id`, `hash`) — the persisted index layout and the join key
+    * shape. */
+  def bandRows(hashes: DataFrame): DataFrame =
+    hashes.select(col("asset_id"), col("hash"),
+      posexplode(expr(bandBytesExpr)).as(Seq("band", "byte")))
+
+  /** The FIRST band in which the two hashes of xor `xr` agree — the
+    * codegen predicate that emits each colliding pair from exactly one
+    * band (d6's lesson: dedup by predicate, not by shuffle). */
+  val firstSharedBand: org.apache.spark.sql.Column = expr("""CASE
       WHEN (xr & 255) = 0 THEN 0
       WHEN (shiftrightunsigned(xr, 8) & 255) = 0 THEN 1
       WHEN (shiftrightunsigned(xr, 16) & 255) = 0 THEN 2
@@ -52,9 +52,21 @@ object HammingLsh {
       WHEN (shiftrightunsigned(xr, 40) & 255) = 0 THEN 5
       WHEN (shiftrightunsigned(xr, 48) & 255) = 0 THEN 6
       ELSE 7 END""")
+
+  /** Near-dup pairs over `hashes` (columns `asset_id: long`,
+    * `hash: long`): one row per unordered pair (asset_a < asset_b)
+    * within `maxHamming`, with its exact distance. */
+  def nearDupPairs(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= 7,
+      "8 one-byte bands are only a complete candidate generator up to Hamming 7")
+    val bandRows0 = bandRows(hashes)
+    val a = bandRows0.select(col("asset_id").as("asset_a"),
+      col("hash").as("ha"), col("band"), col("byte"))
+    val b = bandRows0.select(col("asset_id").as("asset_b"),
+      col("hash").as("hb"), col("band"), col("byte"))
     a.join(b, Seq("band", "byte")).where(col("asset_a") < col("asset_b"))
       .withColumn("xr", expr("ha ^ hb"))
-      .where(col("band") === firstBand)
+      .where(col("band") === firstSharedBand)
       .select(col("asset_a"), col("asset_b"),
         expr("cast(bit_count(xr) as int)").as("hamming"))
       .where(col("hamming") <= maxHamming)

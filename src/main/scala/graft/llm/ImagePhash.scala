@@ -134,6 +134,19 @@ object ImagePhash {
     }
   }
 
+  /** [[synthAssets]] for explicit (doc_id, enc) rows — the streaming
+    * screen's fixture shape, where a doc's encodings land in DIFFERENT
+    * micro-batches (forcing re-encode pairs through the
+    * cross-generation path instead of the within-batch one). */
+  def synthAssetRows(rows: org.apache.spark.sql.DataFrame): Dataset[ImageAsset] = {
+    import rows.sparkSession.implicits._
+    rows.select(col("doc_id").cast("long"), col("enc").cast("int"))
+      .as[(Long, Int)].mapPartitions { it =>
+        ImageIO.setUseCache(false) // in-memory streams (see synthAssets)
+        it.map { case (id, e) => ImageAsset(id * 4 + e, id, e, encodeImage(id, e)) }
+      }
+  }
+
   /** Decode payload bytes and compute the integer-exact aHash. Returns
     * None for anything that is not a decodable Side×Side image — the
     * poison clamp. Reads the first raster band: TYPE_BYTE_GRAY decodes

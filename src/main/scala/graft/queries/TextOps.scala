@@ -2063,6 +2063,84 @@ object TextOps {
           CAST(COUNT(*) AS INT) AS cluster_size
         FROM withc GROUP BY component ORDER BY component""")),
 
+    // The perceptual screen as a SERVICE under stream ingest —
+    // DocStream.nearDupScreen's media twin (graft.llm.MediaIndex +
+    // graft.streaming.MediaStream): the fixture lands each ENCODING
+    // GENERATION as its own file (PNG originals, then the BMP
+    // re-encodes, then the perturbed variants), one micro-batch per
+    // file, so a doc's re-encode pair can only be found by screening
+    // the new batch against the PERSISTENT index — the cross-generation
+    // path, not m4's one-shot pairing. The union of emitted pairs
+    // across batches must equal the batch m4 pair set exactly, so the
+    // ORACLE IS m4's oracle verbatim — N incremental screen rounds ≡
+    // the one-shot batch pass (the p1b≡p1 contract for media). Pairs
+    // are at-least-once (hook commits before membership), so the gate
+    // reads them back distinct-by-pair.
+    Q("m7_stream_phash_screen",
+      (s, d) => {
+        val base = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_m7/${graft.Sessions.sessionTag(s)}/${new java.io.File(d).getName}")
+          .getAbsolutePath
+        val landing = s"$base/landing"
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id").cast("long").as("doc_id"))
+        val marker = new java.io.File(s"$base/_landed")
+        if (!marker.exists()) {
+          docs.withColumn("enc", lit(0)).coalesce(1)
+            .write.mode("overwrite").parquet(landing)
+          docs.where(col("doc_id") % 2 === 0).withColumn("enc", lit(1))
+            .coalesce(1).write.mode("append").parquet(landing)
+          docs.where(col("doc_id") % 3 === 0).withColumn("enc", lit(2))
+            .coalesce(1).write.mode("append").parquet(landing)
+          marker.getParentFile.mkdirs()
+          marker.createNewFile()
+        }
+        val q = graft.streaming.MediaStream.phashScreen(s, landing,
+          s.read.parquet(landing).schema,
+          s"$base/index", s"$base/pairs", s"$base/ckpt")
+        q.awaitTermination()
+        s.read.parquet(s"$base/pairs")
+          .select(col("asset_a"), col("asset_b"), col("hamming"))
+          .distinct()
+          .orderBy("asset_a", "asset_b")
+      },
+      Some("""WITH assets AS (
+          SELECT doc_id, 0 AS enc FROM documents
+          UNION ALL SELECT doc_id, 1 FROM documents WHERE doc_id % 2 = 0
+          UNION ALL SELECT doc_id, 2 FROM documents WHERE doc_id % 3 = 0),
+        px AS (
+          SELECT doc_id, enc, x, y,
+            ((x * ((doc_id * 2654435761) % 256) + y * ((doc_id * 40503) % 256)
+              + x * y * (1 + doc_id % 13) + doc_id % 251) % 256
+              + CASE WHEN enc = 2 AND x = doc_id % 32 AND y = (doc_id // 32) % 32
+                     THEN 64 ELSE 0 END) % 256 AS g
+          FROM assets, range(0, 32) rx(x), range(0, 32) ry(y)),
+        blk AS (
+          SELECT doc_id, enc, (y // 4) * 8 + (x // 4) AS b, SUM(g) AS bs
+          FROM px GROUP BY 1, 2, 3),
+        tot AS (SELECT doc_id, enc, SUM(bs) AS ts FROM blk GROUP BY 1, 2),
+        bits AS (
+          SELECT blk.doc_id, blk.enc, b,
+            CASE WHEN 64 * bs > ts THEN 1 ELSE 0 END AS bit
+          FROM blk JOIN tot USING (doc_id, enc)),
+        h AS (
+          SELECT doc_id * 4 + enc AS asset_id, b // 8 AS band,
+            CAST(SUM(bit << (b % 8)) AS INT) AS byte
+          FROM bits GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b
+          FROM h a JOIN h b ON a.band = b.band AND a.byte = b.byte
+            AND a.asset_id < b.asset_id),
+        ham AS (
+          SELECT asset_a, asset_b,
+            SUM(bit_count(xor(ha.byte, hb.byte))) AS hamming
+          FROM cand
+          JOIN h ha ON ha.asset_id = asset_a
+          JOIN h hb ON hb.asset_id = asset_b AND hb.band = ha.band
+          GROUP BY 1, 2)
+        SELECT asset_a, asset_b, CAST(hamming AS INT) AS hamming
+        FROM ham WHERE hamming <= 7 ORDER BY asset_a, asset_b""")),
+
     // PII scrubbing (graft.queries.Redact): detect + redact emails /
     // NANP phones / SSN-shaped ids, keeping per-type counts. The
     // synthetic corpus is PII-free, so deterministic spans are injected
