@@ -62,7 +62,7 @@ object VectorIndex {
       .sorted.lastOption.map(_.stripPrefix(CommitPrefix))
   }
 
-  private def live(spark: SparkSession, dir: String): String =
+  private[llm] def live(spark: SparkSession, dir: String): String =
     currentVersion(spark, dir).map(v => s"$dir/$v")
       .getOrElse(sys.error(s"no committed index at $dir — run build() first"))
 
@@ -164,7 +164,7 @@ object VectorIndex {
 
   /** Live rows of the version: newer than every committed tombstone for
     * their vec_id. The tombstone side is removal-sized → broadcast. */
-  private def liveVectors(spark: SparkSession, verDir: String): DataFrame = {
+  private[llm] def liveVectors(spark: SparkSession, verDir: String): DataFrame = {
     val v = readVectors(spark, verDir)
     val committed = graft.store.GenLedger.committedMarkers(
       spark, verDir, TcommitPrefix)

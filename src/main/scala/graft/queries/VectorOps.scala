@@ -1042,6 +1042,69 @@ object VectorOps {
         SELECT qid, nid, CAST(rnk AS INT) AS rnk, hamming, cos_sim FROM (
           SELECT *, row_number() OVER (PARTITION BY qid
                       ORDER BY cos_sim DESC, nid) AS rnk FROM rr)
+        WHERE rnk <= 3 ORDER BY qid, rnk""")),
+
+    // The SAME binary-quantized search served from a PERSISTED sidecar
+    // over the stored VectorIndex (graft.llm.BqSidecar — v14's serve
+    // twin, the v5b/v12b pattern): refresh materializes one packed
+    // 64-bit sign word per live vector plus the corpus thresholds under
+    // the index dir; serve answers from the words alone (8 bytes/vector
+    // scanned instead of 256), reads full vectors only for the rerank
+    // survivors, and semi-joins CURRENT live membership so takedowns
+    // never wait on a rebuild. Reuses v5b's session-memoized index
+    // (same corpus: half built, half appended), so the oracle is v14's
+    // flat SQL verbatim — a drift anywhere in the stored words, the
+    // threshold statistics, the live filter, or the rerank breaks the
+    // hash.
+    Q("v14b_bq_index_serve",
+      (s, d) => {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_vecidx/$tag/${graft.Sessions.sessionTag(s)}").getAbsolutePath
+        val marker = s"graft_vecidx_marker_$tag"
+        if (!s.catalog.tableExists(marker)) {
+          val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+          graft.llm.VectorIndex.buildWith(s, dir,
+            emb.where(col("vec_id") % 2 === 0), pinnedCentroids(s, d))
+          graft.llm.VectorIndex.add(s, dir, emb.where(col("vec_id") % 2 =!= 0))
+          s.emptyDataFrame.createOrReplaceTempView(marker)
+        }
+        graft.llm.BqSidecar.refresh(s, dir)
+        val q = Tables.embeddings(s, d).where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        graft.llm.BqSidecar.serve(s, dir, q, k = 3, depth = 20)
+          .orderBy("qid", "rnk")
+      },
+      Some(s"""WITH e AS (
+          SELECT vec_id, embedding,
+            list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 128.0) AS BIGINT)) AS icode
+          FROM embeddings),
+        dims AS (
+          SELECT d, SUM(icode[d]) AS t, COUNT(*) AS n
+          FROM e, range(1, 65) r(d) GROUP BY d),
+        st AS (SELECT array_agg(t ORDER BY d) AS tarr, MAX(n) AS nvec FROM dims),
+        b AS (
+          SELECT vec_id, embedding,
+            list_transform(range(1, 65),
+              d -> CASE WHEN icode[d] * nvec > tarr[d] THEN 1 ELSE 0 END) AS bits
+          FROM e, st),
+        q AS (SELECT vec_id AS qid, embedding AS qe, bits AS qb
+              FROM b WHERE vec_id < 20),
+        cand AS (
+          SELECT qid, b.vec_id AS nid, qe, b.embedding AS ne,
+            CAST(list_sum(list_transform(range(1, 65),
+              i -> CASE WHEN bits[i] <> qb[i] THEN 1 ELSE 0 END)) AS INT) AS hamming
+          FROM b JOIN q ON b.vec_id <> q.qid),
+        top AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY hamming ASC, nid) AS r FROM cand)
+          WHERE r <= 20),
+        rr AS (
+          SELECT qid, nid, hamming, ${duckCos("qe", "ne")} AS cos_sim FROM top)
+        SELECT qid, nid, CAST(rnk AS INT) AS rnk, hamming, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+                      ORDER BY cos_sim DESC, nid) AS rnk FROM rr)
         WHERE rnk <= 3 ORDER BY qid, rnk"""))
   )
 
