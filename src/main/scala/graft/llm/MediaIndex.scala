@@ -87,6 +87,23 @@ object MediaIndex {
       }
     }
 
+  private def guardCompaction(spark: SparkSession, dir: String): Unit =
+    graft.store.GenLedger.guardCompaction(spark, dir,
+      Seq("hashes", "bands", "tombs"))
+
+  /** The doctor family's actuator (the DedupIndex contract): recover or
+    * report the interrupted-swap states the GenLedger swaps can leave —
+    * dryRun lists without touching; an applied run leaves the store in
+    * the state [[guardCompaction]] accepts. */
+  def repair(spark: SparkSession, dir: String,
+      dryRun: Boolean = true): DataFrame =
+    graft.store.WriterLock.forIndex(spark, dir).withLock {
+      import spark.implicits._
+      graft.store.GenLedger
+        .repairAsides(spark, dir, Seq("hashes", "bands", "tombs"), dryRun)
+        .toDF("item", "damage", "action", "applied")
+    }
+
   /** Screen `newHashes` (columns `asset_id`, `hash`) against the index
     * and append the genuinely-new memberships. Emits every near-dup
     * pair involving a new asset — within-batch AND cross-generation —
@@ -97,6 +114,7 @@ object MediaIndex {
       maxHamming: Int = 7,
       onPairs: DataFrame => Unit = _ => ()): DataFrame =
       graft.store.WriterLock.forIndex(spark, dir).withLock {
+    guardCompaction(spark, dir)
     val liveNow = live(spark, dir)
     val gen = nextGen(spark, dir)
 
@@ -209,6 +227,7 @@ object MediaIndex {
     * stale postings by construction), tombs dropped. */
   def compact(spark: SparkSession, dir: String, numFiles: Int = 8): Unit =
       graft.store.WriterLock.forIndex(spark, dir).withLock {
+    guardCompaction(spark, dir)
     live(spark, dir) match {
       case None => ()
       case Some(l) =>

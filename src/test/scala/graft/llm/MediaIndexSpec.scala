@@ -103,6 +103,29 @@ class MediaIndexSpec extends AnyFunSuite {
     assert(p == Set((6L * 4, 6L * 4 + 1, 0)))
   }
 
+  test("interrupted swap: guard refuses, repair(dryRun) touches nothing, repair fixes") {
+    val dir = freshDir()
+    MediaIndex.checkAndAdd(spark, dir, hashesFor(Seq(1L -> 0, 2L -> 0)))
+    // simulate a crash mid-swap: hashes renamed aside, never renamed back
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/hashes"),
+      new org.apache.hadoop.fs.Path(s"$dir/hashes.old"))
+    intercept[RuntimeException] {
+      MediaIndex.checkAndAdd(spark, dir, hashesFor(Seq(6L -> 0)))
+    }
+    val dry = MediaIndex.repair(spark, dir, dryRun = true).collect()
+    assert(dry.exists(r => r.getString(1) == "interrupted_swap_no_live"
+      && !r.getBoolean(3)))
+    // dryRun touched nothing: still refused
+    intercept[RuntimeException] {
+      MediaIndex.checkAndAdd(spark, dir, hashesFor(Seq(6L -> 0)))
+    }
+    MediaIndex.repair(spark, dir, dryRun = false)
+    val p = pairSet(MediaIndex.checkAndAdd(spark, dir, hashesFor(Seq(2L -> 1))))
+    assert(p == Set((2L * 4, 2L * 4 + 1, 0))) // store fully recovered
+  }
+
   test("remove then compact physically reclaims the dead rows") {
     val dir = freshDir()
     MediaIndex.checkAndAdd(spark, dir, hashesFor(Seq(1L -> 0, 2L -> 0)))
