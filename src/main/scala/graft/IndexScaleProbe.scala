@@ -131,6 +131,19 @@ object IndexScaleProbe {
     timed("knngraph add (200 vecs)") {
       graft.llm.KnnGraphIndex.add(spark, knnDir, knnBatch, 3)
     }
+    // beam serve at 1× and 10× the query batch: per-hop frontier work is
+    // O(frontier × degree) in both pushdown regimes (IN-list under
+    // FrontierIsinMax, broadcast semi-join above), so serve time should
+    // grow far slower than the batch — the flat-serve check
+    def beamServe(nq: Int): Long = {
+      val q = baseEmb.limit(nq)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      graft.llm.KnnGraphIndex.beamSearch(spark, knnDir, q,
+        k = 3, beam = 4, hops = 2).count()
+    }
+    beamServe(20) // warm
+    timed("knngraph beam serve (20 q)")(beamServe(20))
+    timed("knngraph beam serve (200 q)")(beamServe(200))
     // graph removal pays affected-list re-ranks (victim in-degree ×
     // bucket occupancy), never a base rescan — the honest expectation
     // is the same occupancy-proportional growth as add

@@ -257,3 +257,61 @@ case class SimHash16(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SimHash16 =
     copy(child = newChild)
 }
+
+/** `simhash64(tokens)` — the 64-bit SimHash: per token, v = first 16
+  * hex chars of md5 (first 8 digest bytes, big-endian) as a raw 64-bit
+  * pattern; bit i votes +1 if set else −1; result has bit i set iff
+  * votes_i > 0. The 64-bit width is what makes the [[graft.llm
+  * .HammingLsh]] 8×one-byte band join a complete ≤7 candidate
+  * generator with byte-granular (256-value) band buckets — the scale
+  * fix for the 16-bit scheme's 16-value buckets (d6's measured
+  * quadratic grower). Oracle twin: DuckDB parses the same 16 hex chars
+  * via `('0x' || substr(md5(tok),1,16))::UBIGINT`. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override val nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val md = Md5Local.digest.get()
+    val votes = new Array[Int](64)
+    val tmp = new Array[Byte](16) // reused digest buffer — no per-token alloc
+    var i = 0
+    while (i < n) {
+      val bytes = arr.getUTF8String(i).getBytes
+      if (Md5Short.enabled && bytes.length <= 55)
+        Md5Short.digestInto(Array.emptyByteArray, bytes, tmp)
+      else {
+        md.reset()
+        md.update(bytes)
+        md.digest(tmp, 0, 16)
+      }
+      // first 16 hex chars = first 8 digest bytes, big-endian
+      var v = 0L
+      var k = 0
+      while (k < 8) { v = (v << 8) | (tmp(k) & 0xFFL); k += 1 }
+      var b = 0
+      while (b < 64) {
+        if (((v >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

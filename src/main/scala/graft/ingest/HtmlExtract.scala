@@ -1,0 +1,183 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction — the raw-web ingest front door (VERDICT r12
+  * "what's missing" #1): the step a real 100 TB pipeline runs between a
+  * crawl and the clean `documents` table every dedup/text operator
+  * assumes.
+  * Mirrors the reference's XML-decode posture (a pure function from a
+  * hostile payload to rows — `xml_observation.rs:5-87`'s
+  * decode-then-null-drop discipline, here decode-then-clamp): nothing
+  * here throws on malformed input; torn markup degrades to fewer/empty
+  * blocks, never to an error or to script payload leaking into text.
+  *
+  * Pipeline (every stage a codegen'd column expression — the whole
+  * extraction is a pure per-row map over the scan: no shuffle, no UDF,
+  * no driver round-trip; at 100 TB it rides the read stage):
+  *  1. drop `<script>`/`<style>` elements (lazy dot-all regex; an
+  *     UNTERMINATED opener swallows the rest of the page — the safe
+  *     direction, code never leaks into training text);
+  *  2. `<title>` captured before block processing;
+  *  3. split into blocks on `</div>` (the synth corpus's only block
+  *     delimiter — a production profile would add p/section/article);
+  *  4. per block: visible text = tags → ' ', whitespace collapsed;
+  *     link text = contents of `<a>` elements;
+  *  5. boilerplate rule, integer-exact on purpose (the oracle must
+  *     agree bit-for-bit, so no float density): keep a block iff
+  *     3·len(linkText) < len(visibleText) — the classic link-density
+  *     < ⅓ heuristic (nav/footer chrome is mostly links; prose isn't).
+  *
+  * The whitespace class is the explicit `[ \t\n\f\r]` everywhere, not
+  * `\s` — Java's `\s` includes \x0B, RE2's does not, and the oracle
+  * runs on RE2.
+  */
+object HtmlExtract {
+
+  /** Lazy dot-all element eaters. Java regex (Spark side); the oracle
+    * uses the same patterns under RE2 — both support `(?s)` + lazy. */
+  private val ScriptRe = "(?s)<script[^>]*>.*?</script>"
+  private val StyleRe = "(?s)<style[^>]*>.*?</style>"
+  // an unterminated opener: eat to end-of-page (clamp direction: code
+  // must never survive into text)
+  private val TornScriptRe = "(?s)<script[^>]*>.*$"
+  private val TornStyleRe = "(?s)<style[^>]*>.*$"
+
+  private val Ws = "[ \\t\\n\\f\\r]+"
+
+  /** [[Ws]] for patterns embedded in `expr(...)` SQL text: the SQL
+    * parser unescapes string literals BEFORE the regex engine sees
+    * them, and it maps the sequences it doesn't know (like `\f`) to the
+    * bare letter — a literal `f` in the character class (caught by
+    * HtmlExtractSpec: every 'f' in prose collapsed to a space). Double
+    * the backslashes so the class survives both layers. */
+  private val WsSql = "[ \\\\t\\\\n\\\\f\\\\r]+"
+
+  /** `html` with script/style elements (closed, then torn) removed. */
+  def clean(html: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(html, ScriptRe, ""),
+          StyleRe, ""),
+        TornScriptRe, ""),
+      TornStyleRe, "")
+
+  /** Page title ('' when absent — regexp_extract's miss value). */
+  def title(html: Column): Column =
+    regexp_extract(html, "<title>([^<]*)</title>", 1)
+
+  /** Visible text of one block: tags → ' ', whitespace collapsed,
+    * trimmed. */
+  def visText(block: Column): Column =
+    trim(regexp_replace(regexp_replace(block, "<[^>]*>", " "), Ws, " "))
+
+  /** Total characters inside `<a>` elements of one block (raw lengths —
+    * the link-density numerator). */
+  def linkLen(block: Column): Column =
+    aggregate(
+      transform(regexp_extract_all(block, lit("<a [^>]*>([^<]*)</a>"), lit(1)),
+        x => length(x)),
+      lit(0), (acc, x) => acc + x)
+
+  /** Extract `(doc_id, title, n_blocks, n_kept, n_chars, text_md5,
+    * main_text)` from a `(doc_id, html)` frame. Totally ordered by
+    * doc_id so the frame is gate-ready. */
+  def extract(pages: DataFrame): DataFrame = {
+    val cleaned = clean(col("html"))
+    pages
+      .withColumn("t", title(col("html")))
+      .withColumn("blks", split(cleaned, "</div>"))
+      .withColumn("kept", expr(
+        // filter can't call the scala helpers, so the per-block exprs
+        // are restated in SQL — same patterns, same integer rule
+        s"""filter(transform(blks,
+              b -> struct(
+                trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' '), '$WsSql', ' ')) AS vis,
+                aggregate(transform(regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1),
+                  x -> length(x)), 0, (acc, x) -> acc + x) AS ll)),
+            s -> s.ll * 3 < length(s.vis))"""))
+      .select(col("doc_id"),
+        col("t").as("title"),
+        size(col("blks")).cast("int").as("n_blocks"),
+        size(col("kept")).cast("int").as("n_kept"),
+        expr("trim(regexp_replace(array_join(transform(kept, s -> s.vis), ' '), " +
+          s"'$WsSql', ' '))").as("main_text"))
+      .select(col("doc_id"), col("title"), col("n_blocks"), col("n_kept"),
+        length(col("main_text")).cast("int").as("n_chars"),
+        md5(col("main_text")).as("text_md5"),
+        col("main_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic synth pages over the documents table (the m4/m5
+    * fixture posture: a closed-form payload both engines can rebuild):
+    * title + style + script chrome, a nav block (pure links), the doc's
+    * text as the content block, a link-heavy footer. Docs with
+    * `doc_id % 7 == 0` get an UNTERMINATED script opener after the
+    * content — the torn-markup clamp class, planted in the gate corpus
+    * itself so the oracle pins the clamp too. */
+  def synthPages(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>p{margin:0}</style><script>var id="),
+        col("doc_id"), lit(";</script></head><body>"),
+        lit("<div><a href=\"/\">Home</a> <a href=\"/arc\">Archive</a> " +
+          "<a href=\"/c\">Contact</a></div>"),
+        lit("<div><p>"), col("text"), lit("</p></div>"),
+        when(col("doc_id") % 7 === 0,
+          lit("<script>torn();")).otherwise(lit("")),
+        lit("<div>Copyright "), col("doc_id"),
+        lit(" <a href=\"/p\">Privacy</a> <a href=\"/t\">Terms</a></div>" +
+          "</body></html>")).as("html"))
+
+  /** The DuckDB replay of [[synthPages]] + [[extract]] over `documents`
+    * — same patterns (RE2), same integer link-density rule, same
+    * whitespace class. */
+  val oracleSql: String =
+    s"""WITH pages AS (
+        SELECT doc_id,
+          '<html><head><title>Doc ' || doc_id ||
+          '</title><style>p{margin:0}</style><script>var id=' || doc_id ||
+          ';</script></head><body>' ||
+          '<div><a href="/">Home</a> <a href="/arc">Archive</a> <a href="/c">Contact</a></div>' ||
+          '<div><p>' || text || '</p></div>' ||
+          CASE WHEN doc_id % 7 = 0 THEN '<script>torn();' ELSE '' END ||
+          '<div>Copyright ' || doc_id ||
+          ' <a href="/p">Privacy</a> <a href="/t">Terms</a></div></body></html>' AS html
+        FROM documents),
+      cleaned AS (
+        SELECT doc_id,
+          regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+            '(?s)<script[^>]*>.*?</script>', '', 'g'),
+            '(?s)<style[^>]*>.*?</style>', '', 'g'),
+            '(?s)<script[^>]*>.*$$', '', 'g'),
+            '(?s)<style[^>]*>.*$$', '', 'g') AS body
+        FROM pages),
+      blk AS (
+        SELECT doc_id, title, string_split(body, '</div>') AS blks
+        FROM cleaned),
+      scored AS (
+        SELECT doc_id, title, len(blks) AS n_blocks,
+          list_filter(list_transform(blks, b -> struct_pack(
+            vis := trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'),
+                     '[ \\t\\n\\f\\r]+', ' ', 'g')),
+            ll := coalesce(list_sum(list_transform(
+                    regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1),
+                    x -> len(x))), 0))),
+            s -> s.ll * 3 < len(s.vis)) AS kept
+        FROM blk),
+      out AS (
+        SELECT doc_id, title, n_blocks, len(kept) AS n_kept,
+          trim(regexp_replace(array_to_string(list_transform(kept, s -> s.vis), ' '),
+            '[ \\t\\n\\f\\r]+', ' ', 'g')) AS main_text
+        FROM scored)
+      SELECT doc_id, title, CAST(n_blocks AS INT) AS n_blocks,
+        CAST(n_kept AS INT) AS n_kept,
+        CAST(len(main_text) AS INT) AS n_chars,
+        md5(main_text) AS text_md5, main_text
+      FROM out ORDER BY doc_id"""
+}

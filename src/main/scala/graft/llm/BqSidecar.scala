@@ -14,6 +14,19 @@ import org.apache.spark.sql.functions._
   * scanned instead of 256 — reading full-precision vectors only for the
   * rerank survivors.
   *
+  * Atomicity contract: stats and words are one logical artifact — the
+  * words are only meaningful against the thresholds they were packed
+  * with — so both live inside ONE versioned directory
+  * (`bq/vNNNNNNNN/{stats,words}`) flipped by a single `_commit_` marker
+  * (the [[VectorIndex]] version pattern). A reader resolves the highest
+  * committed version and reads both tables from it; a crash anywhere in
+  * refresh leaves either the previous committed version fully intact
+  * (new dir has no marker → invisible) or the new one fully committed —
+  * never new thresholds against old words. Interrupted-refresh debris
+  * (uncommitted dirs, dangling markers) is reported/reclaimed by
+  * [[repair]] via [[graft.store.GenLedger.repairVersions]], the family
+  * discipline.
+  *
   * Freshness contract (spec-pinned): the sidecar is a SNAPSHOT of the
   * live membership at refresh time. A vector ADDED after refresh is not
   * served until the next refresh (the materialized-view lag, priced
@@ -37,15 +50,26 @@ import org.apache.spark.sql.functions._
   */
 object BqSidecar {
 
-  private def wordsPath(dir: String) = s"$dir/bq/words"
-  private def statsPath(dir: String) = s"$dir/bq/stats"
+  private val CommitPrefix = "_commit_"
+  private val KeepVersions = 2
+
+  private def bqRoot(dir: String) = s"$dir/bq"
 
   private def fsOf(spark: SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def exists(spark: SparkSession, p: String): Boolean =
-    fsOf(spark, p).exists(new org.apache.hadoop.fs.Path(p))
+  /** Highest version with a commit marker — serve's single read point.
+    * (A marker is created only after both tables are fully written, so
+    * resolution never lands on a torn artifact.) */
+  private def currentVersion(spark: SparkSession, dir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(bqRoot(dir))
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith(CommitPrefix))
+      .sorted.lastOption.map(_.stripPrefix(CommitPrefix))
+  }
 
   private val icodeExpr =
     "transform(embedding, x -> cast(floor(cast(x as double) * 128.0D) as bigint))"
@@ -64,9 +88,8 @@ object BqSidecar {
 
   /** (Re)materialize the sidecar from the index's CURRENT live rows:
     * per-dim integer sums + count (the thresholds), one packed word per
-    * vector. Serialized on the index's WriterLock; the swap is the
-    * crash-safe GenLedger primitive, so a reader never sees a torn
-    * sidecar. */
+    * vector, written together as the next version and flipped by one
+    * commit marker. Serialized on the index's WriterLock. */
   def refresh(spark: SparkSession, dir: String): Unit =
       graft.store.WriterLock.forIndex(spark, dir).withLock {
     val verDir = VectorIndex.live(spark, dir)
@@ -80,25 +103,55 @@ object BqSidecar {
     val words = vecs.crossJoin(broadcast(stats))
       .withColumn("word", expr(packExpr))
       .select("vec_id", "word")
-    def put(p: String, content: DataFrame, n: Int): Unit =
-      if (!exists(spark, p)) content.repartition(n).write.parquet(p)
-      else { graft.store.GenLedger.swapIn(spark, p, content, n); () }
-    put(statsPath(dir), stats, 1)
-    put(wordsPath(dir), words, 4)
+    val fs = fsOf(spark, dir)
+    val root = bqRoot(dir)
+    val next = f"v${currentVersion(spark, dir).map(_.drop(1).toInt).getOrElse(0) + 1}%08d"
+    stats.repartition(1).write.parquet(s"$root/$next/stats")
+    words.repartition(4).write.parquet(s"$root/$next/words")
+    // the commit point: both tables become visible together exactly here
+    fs.create(new org.apache.hadoop.fs.Path(root, CommitPrefix + next), true).close()
+    // reap versions beyond the retention window (marker first, so a
+    // crash mid-reap leaves an uncommitted dir — repair()'s case — and
+    // never a dangling highest marker)
+    fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith(CommitPrefix))
+      .sorted.dropRight(KeepVersions)
+      .foreach { m =>
+        val v = m.stripPrefix(CommitPrefix)
+        fs.delete(new org.apache.hadoop.fs.Path(root, m), false)
+        fs.delete(new org.apache.hadoop.fs.Path(root, v), true)
+      }
+    // pre-versioned flat layout (r12): superseded, reclaim
+    fs.delete(new org.apache.hadoop.fs.Path(root, "stats"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "words"), true)
   }
+
+  /** Guarded repair of interrupted-refresh debris (dangling markers,
+    * uncommitted version dirs) — [[graft.store.GenLedger.repairVersions]]
+    * under the index WriterLock; `dryRun = true` (the default posture)
+    * lists without touching. */
+  def repair(spark: SparkSession, dir: String,
+      dryRun: Boolean = true): Seq[(String, String, String, Boolean)] =
+    graft.store.WriterLock.forIndex(spark, dir).withLock {
+      graft.store.GenLedger
+        .repairVersions(spark, bqRoot(dir), CommitPrefix, dryRun)
+    }
 
   /** Top-`k` cosine neighbors per query (`qid`, `qe`) served from the
     * sidecar: Hamming top-`depth` candidates from the stored words
     * (filtered to CURRENT live membership), exact-cosine rerank reading
     * only the survivors' full vectors. Ties break by id, the family
-    * rule. */
+    * rule. Stats and words read from ONE committed version — never a
+    * torn pairing. */
   def serve(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int = 3, depth: Int = 20): DataFrame = {
-    require(exists(spark, wordsPath(dir)), s"no sidecar at $dir — run refresh() first")
+    val bqVer = currentVersion(spark, dir)
+      .map(v => s"${bqRoot(dir)}/$v")
+      .getOrElse(sys.error(s"no committed sidecar at $dir — run refresh() first"))
     val verDir = VectorIndex.live(spark, dir)
-    val words = spark.read.parquet(wordsPath(dir))
+    val words = spark.read.parquet(s"$bqVer/words")
       .join(VectorIndex.liveIds(spark, dir), Seq("vec_id"), "left_semi")
-    val stats = spark.read.parquet(statsPath(dir))
+    val stats = spark.read.parquet(s"$bqVer/stats")
     val q = queries.select(col("qid"), col("qe"))
       .withColumn("embedding", col("qe")).withColumn("icode", expr(icodeExpr))
       .crossJoin(broadcast(stats))

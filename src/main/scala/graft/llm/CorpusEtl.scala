@@ -214,8 +214,8 @@ object CorpusEtl {
     * full refresh→remove→compact composition against the oracle; the
     * exact-twin KEEPER HANDOVER class (impossible to reach here) is
     * pinned bit-for-bit by CorpusRefreshSpec's crafted fixture. */
-  private val TakedownMod = 7L
-  private val TakedownRem = 3L
+  private[graft] val TakedownMod = 7L
+  private[graft] val TakedownRem = 3L
 
   /** The c1 correctness gate: [[prepare]] at default config, with the
     * redacted text surfaced as its md5 (byte-exact cross-engine, and the

@@ -59,7 +59,14 @@ object HammingLsh {
   def nearDupPairs(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
     require(maxHamming <= 7,
       "8 one-byte bands are only a complete candidate generator up to Hamming 7")
-    val bandRows0 = bandRows(hashes)
+    // Both sides of the band self-join read `hashes`, and Spark
+    // re-evaluates the frame per side — for digest inputs that cost a
+    // codec round-trip (m4's ImageIO decode, m5's PCM walk) or a full
+    // corpus hash (d6's SimHash64), that doubles the query's dominant
+    // term. The frame is 16 bytes/asset, so materializing it once is
+    // membership-sized while the savings are one full digest pass per
+    // call (measured on m6 at the 10× replica; SCALING.md r13).
+    val bandRows0 = bandRows(hashes.localCheckpoint(true))
     val a = bandRows0.select(col("asset_id").as("asset_a"),
       col("hash").as("ha"), col("band"), col("byte"))
     val b = bandRows0.select(col("asset_id").as("asset_b"),

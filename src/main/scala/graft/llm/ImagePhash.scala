@@ -98,7 +98,7 @@ object ImagePhash {
     ((base + bump) % 256).toInt
   }
 
-  private def encodeImage(docId: Long, enc: Int): Array[Byte] = {
+  private[llm] def encodeImage(docId: Long, enc: Int): Array[Byte] = {
     val img = new BufferedImage(Side, Side, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
     var y = 0

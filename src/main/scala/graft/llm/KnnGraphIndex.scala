@@ -57,6 +57,12 @@ import graft.queries.VectorOps
   */
 object KnnGraphIndex {
 
+  /** Frontier-size ceiling for [[beamSearch]]'s IN-list pushdown; above
+    * it the hop switches to a broadcast semi-join (see the hop-loop
+    * comment). ~10k literals is where the Or-chain's eval cost and the
+    * collect round-trip stop paying for the scan-side pruning. */
+  private[llm] val FrontierIsinMax = 10000
+
   private def vecPath(dir: String) = s"$dir/vectors"
   private def graphPath(dir: String) = s"$dir/graph"
   private def tombsPath(dir: String) = s"$dir/tombs"
@@ -526,10 +532,25 @@ object KnnGraphIndex {
       .orderBy(col("cos_sim").desc, col("nid"))
     var beamDf = visited // hop 0: the entry point alone
     for (_ <- 1 to hops) {
-      val frontierIds = beamDf.select("nid").distinct()
-        .collect().map(_.getLong(0)).toSeq
+      // Frontier pushdown, two regimes by |frontier| (bounded by
+      // queries×beam): under the threshold, collect the ids and push an
+      // IN-list into the adjacency scan — a literal predicate the
+      // reader prunes files/row-groups with (the vec_id-bucketed
+      // lookup). Past it, a driver round-trip plus an O(frontier)
+      // Or-chain expression become the bottleneck at large serve
+      // batches, so ship the frontier frame as a broadcast semi-join
+      // instead — same rows reached, no driver materialization, and the
+      // hash probe replaces the linear predicate. limit(max+1) decides
+      // the regime with the SAME single action that fetches the ids
+      // when small (no separate count pass).
+      val frontierDf = beamDf.select(col("nid").as("vec_id")).distinct()
+      val probe = frontierDf.limit(FrontierIsinMax + 1).collect()
+      val adjFrontier =
+        if (probe.length <= FrontierIsinMax)
+          adj.where(col("vec_id").isin(probe.map(_.getLong(0)).toSeq: _*))
+        else adj.join(broadcast(frontierDf), Seq("vec_id"), "left_semi")
       val expanded = beamDf.select(col("qid"), col("nid").as("vec_id"))
-        .join(adj.where(col("vec_id").isin(frontierIds: _*)), Seq("vec_id"))
+        .join(adjFrontier, Seq("vec_id"))
         .select(col("qid"), col("nid"))
         .join(visited.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
         .distinct()

@@ -201,8 +201,17 @@ object MediaIndex {
     val l = live(spark, dir)
     val nRows = h.map(_.count()).getOrElse(0L)
     val nLive = l.map(_.count()).getOrElse(0L)
-    val dupLive = h.map(_.groupBy("asset_id").count()
-      .where(col("count") > 1).count()).getOrElse(0L)
+    // The family contract (DedupIndex.doctor) counts LIVE duplicates: a
+    // remove→re-add legitimately leaves a dead old-gen row beside the
+    // live re-add, so raw >1-row counting would flag a healthy store
+    // forever (until compact). A genuine anti-join violation is >1 row
+    // AT the asset's max generation — the tie live()'s fold collapses
+    // silently. One pass: per-(asset, gen) counts, then the count
+    // riding the max gen via the struct-max trick.
+    val dupLive = h.map(_.groupBy("asset_id", "gen").count()
+      .groupBy("asset_id")
+      .agg(max(struct(col("gen"), col("count"))).as("m"))
+      .where(col("m.count") > 1).count()).getOrElse(0L)
     val orphanBands = (b, h) match {
       case (Some(bb), Some(hh)) =>
         bb.join(hh.select("asset_id"), Seq("asset_id"), "left_anti").count()

@@ -53,6 +53,60 @@ object ScaleOps {
       li.groupBy("rf", "bucket").agg(count(lit(1)).as("bc")))
   }
 
+  /** Measured one-window ↔ hierarchical crossover (rows in the scanned
+    * percentile frame). BENCH_SF1 r12: at the 10× replica (~6M lineitem
+    * rows) the one-window in-partition sort costs 6.59 s vs the
+    * boundary-bucket hierarchy's 1.5 s; at sf0.1 (~600k rows) both land
+    * ~1 s with the one-window slightly ahead (one pass, no second
+    * boundary read). The break-even sits between — recorded with the
+    * sweep in SCALING.md r13. */
+  private[queries] val HierCrossoverRows = 2000000L
+
+  /** The q41 one-window exact nearest-rank form over the same
+    * `(rf, v, c)` frame [[hierPercentiles]] takes: ONE hash exchange on
+    * the group key + ONE in-partition sort serves every rank. The cheap
+    * plan when groups fit a sort comfortably; the hierarchy's two-pass
+    * boundary read only pays off past [[HierCrossoverRows]]. */
+  private[queries] def oneWindowPercentiles(in: DataFrame): DataFrame = {
+    val ranked = in
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("rf").orderBy("v")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("rf")))
+    ranked.groupBy(col("rf").as("l_returnflag"))
+      .agg(max("n").cast("long").as("n_rows"),
+        max(when(col("rn") === expr("cast(ceil(0.25 * n) as bigint)"), col("v"))).as("p25"),
+        max(when(col("rn") === expr("cast(ceil(0.5 * n) as bigint)"), col("v"))).as("p50"),
+        max(when(col("rn") === expr("cast(ceil(0.75 * n) as bigint)"), col("v"))).as("p75"),
+        max(when(col("rn") === col("n"), col("v"))).as("p100"))
+      .orderBy("l_returnflag")
+  }
+
+  /** ONE exact-percentile entry point (VERDICT r12 #8): dispatches the
+    * `(rf, v, c)` frame to [[oneWindowPercentiles]] or
+    * [[hierPercentiles]] on the optimizer's row estimate vs the
+    * measured [[HierCrossoverRows]]. Both plans implement the identical
+    * nearest-rank contract (values PRESENT in the data — bit-equal
+    * outputs), so the dispatch is a pure cost decision, like AQE's
+    * join-strategy pick but driven by the sort-vs-two-pass crossover
+    * Catalyst doesn't model. The estimate is plan statistics
+    * (`optimizedPlan.stats` — file-size-derived for scans, no job);
+    * `rowsHint` overrides it when the caller knows better (a metastore
+    * row count, or a test pinning the path). */
+  private[queries] def exactPercentiles(in: DataFrame,
+      rowsHint: Option[Long] = None): DataFrame = {
+    val est = rowsHint.getOrElse {
+      val st = in.queryExecution.optimizedPlan.stats
+      st.rowCount.map(_.toLong).getOrElse {
+        // projected width of (rf, v, c) ≈ 40 B/row; the estimate only
+        // has to land on the right side of a 3.3× cost cliff, so
+        // file-size arithmetic is plenty
+        (st.sizeInBytes / 40).toLong
+      }
+    }
+    if (est >= HierCrossoverRows) hierPercentiles(in)
+    else oneWindowPercentiles(in)
+  }
+
   /** q49's machinery with the count frame supplied by the CALLER — the
     * q50 form, where `bframe` is not computed from the scan but MERGED
     * from stored finer-grain states (counts are an exact monoid, so the
@@ -328,6 +382,31 @@ object ScaleOps {
     // agree bit-for-bit (q41's determinism argument).
     Q("q49_percentile_hier",
       (s, d) => hierPercentiles(
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag").as("rf"),
+            col("l_extendedprice").as("v"),
+            cents(col("l_extendedprice")).as("c"))),
+      Some("""WITH ranked AS (
+          SELECT l_returnflag, l_extendedprice,
+            ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+            COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM lineitem)
+        SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_rows,
+          MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN l_extendedprice END) AS p25,
+          MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_extendedprice END) AS p50,
+          MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN l_extendedprice END) AS p75,
+          MAX(CASE WHEN rn = n THEN l_extendedprice END) AS p100
+        FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // The DISPATCHED percentile entry point, gated: same frame and
+    // contract as q49, routed through exactPercentiles — at this SF the
+    // stats estimate sits below the crossover so the one-window plan
+    // runs, and the oracle (the flat nearest-rank SQL both plans
+    // implement) pins that the dispatch is semantically invisible.
+    // ScaleOpsSpec pins the cost side: the picked plan flips exactly at
+    // HierCrossoverRows under a rowsHint sweep.
+    Q("q52_percentile_auto",
+      (s, d) => exactPercentiles(
         Tables.lineitem(s, d)
           .select(col("l_returnflag").as("rf"),
             col("l_extendedprice").as("v"),

@@ -170,21 +170,34 @@ object TextOps {
 
   private val duckSigs = duckSigsFrom("documents")
 
-  /** 16-bit SimHash via the hand-tuned [[graft.functions.SimHash16]]
-    * kernel (same md5 semantics as the oracle SQL). */
+  /** 64-bit SimHash via the hand-tuned [[graft.functions.SimHash64]]
+    * kernel (same md5 semantics as the oracle SQL). 64 bits — not the
+    * r1-r12 16-bit form — because the band join's bucket count is what
+    * bounds Σbucket² pair work: 4-bit nibbles give 16 bucket values per
+    * band (each holds ~N/64 of the corpus → quadratic growth, the
+    * measured worst 10× grower), while 8 one-byte bands give 256 and
+    * share [[graft.llm.HammingLsh]]'s pigeonhole-complete ≤7 join with
+    * m4/m5. */
   private def simhashCol: Column = {
     import org.apache.spark.sql.graft.ColumnBridge
-    ColumnBridge.column(graft.functions.SimHash16(
+    ColumnBridge.column(graft.functions.SimHash64(
       ColumnBridge.expression(split(lower(col("text")), " "))))
   }
 
+  /** DuckDB twin of [[simhashCol]]: per-token v = first 16 md5 hex
+    * chars as UBIGINT; 64 bit-votes; result re-biased from the HUGEINT
+    * bit-sum to the signed BIGINT two's-complement pattern Spark's
+    * LongType carries. */
   private val duckSimhash =
-    s"""SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), i ->
-          CASE WHEN list_sum(list_transform(hs, v ->
-                 CASE WHEN (v >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-               THEN (1 << i) ELSE 0 END)) AS INT) AS simhash
-        FROM (SELECT doc_id, $duckHvals AS hs
-              FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents))"""
+    s"""SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+               THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS simhash
+        FROM (SELECT doc_id, list_sum(list_transform(range(0, 64), i ->
+                CASE WHEN list_sum(list_transform(hs, v ->
+                       CASE WHEN ((v >> i) & 1::UBIGINT) = 1::UBIGINT THEN 1 ELSE -1 END)) > 0
+                     THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)) AS h
+              FROM (SELECT doc_id, list_transform(t,
+                      tok -> ('0x' || substr(md5(tok), 1, 16))::UBIGINT) AS hs
+                    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)))"""
 
   private def dupFrac(tot: Column, dis: Column): Column =
     when(tot === 0, lit(0.0))
@@ -935,7 +948,7 @@ object TextOps {
         FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
         ORDER BY doc_a, doc_b""")),
 
-    // SimHash: 16-bit signature from per-token hashes (frequency-weighted
+    // SimHash: 64-bit signature from per-token hashes (frequency-weighted
     // bit votes).
     Q("d5_simhash",
       (s, d) => Tables.documentsSpread(s, d)
@@ -943,38 +956,24 @@ object TextOps {
         .orderBy("doc_id"),
       Some(duckSimhash + " ORDER BY doc_id")),
 
-    // SimHash near-dup pairs by Hamming distance ≤ 3, via pigeonhole
-    // banding: ≤3 differing bits can touch at most 3 of the 4 nibbles, so
-    // every qualifying pair shares ≥1 (band, nibble) — an equi-join on the
-    // nibble bucket finds ALL of them (identical answer to the cross
-    // join), but the shuffle key is the bucket: 100 TB-safe, no
-    // BroadcastNestedLoopJoin (plan-asserted in PlanShapeSpec).
+    // SimHash near-dup pairs by Hamming distance ≤ 3, on the shared
+    // HammingLsh 8×one-byte band join (m4/m5's machinery): ≤3 differing
+    // bits touch at most 3 of the 8 bytes, so every qualifying pair
+    // shares ≥1 identical (band, byte) — the equi-join is a COMPLETE
+    // candidate generator (identical answer to the cross join) with
+    // 256-value band buckets, the scale fix for the r1-r12 16-bit/
+    // nibble scheme whose 16-value buckets each held ~N/64 of the
+    // corpus (Σbucket² → quadratic; the suite's worst 10× grower at
+    // 7.9×). Pair dedup stays a codegen first-shared-band predicate,
+    // never a distinct exchange; plan-asserted cartesian-free in
+    // PlanShapeSpec.
     Q("d6_simhash_pairs",
       (s, d) => {
         val sh = Tables.documentsSpread(s, d)
-          .select(col("doc_id"), simhashCol.as("simhash")).cache()
-        val bands = sh.select(col("doc_id"), col("simhash"),
-          posexplode(expr("transform(sequence(0, 3), i -> shiftright(simhash, i * 4) & 15)"))
-            .as(Seq("band", "nib")))
-        val a = bands.select(col("doc_id").as("doc_a"),
-          col("simhash").as("sim_a"), col("band"), col("nib"))
-        val b = bands.select(col("doc_id").as("doc_b"),
-          col("simhash").as("sim_b"), col("band"), col("nib"))
-        // A pair collides in up to 4 bands; instead of dedup-by-shuffle
-        // (distinct over the whole candidate set), emit it only from its
-        // FIRST matching band — decidable per-row from sim_a ^ sim_b, so
-        // dedup costs a codegen predicate instead of an exchange.
-        val firstBand = expr("""CASE
-          WHEN (xr & 15) = 0 THEN 0
-          WHEN (shiftright(xr, 4) & 15) = 0 THEN 1
-          WHEN (shiftright(xr, 8) & 15) = 0 THEN 2
-          ELSE 3 END""")
-        a.join(b, Seq("band", "nib")).where(col("doc_a") < col("doc_b"))
-          .withColumn("xr", expr("sim_a ^ sim_b"))
-          .where(col("band") === firstBand)
-          .select(col("doc_a"), col("doc_b"),
-            expr("cast(bit_count(xr) as int)").as("hamming"))
-          .where(col("hamming") <= 3)
+          .select(col("doc_id").as("asset_id"), simhashCol.as("hash"))
+        graft.llm.HammingLsh.nearDupPairs(sh, maxHamming = 3)
+          .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b"),
+            col("hamming"))
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH sh AS ($duckSimhash)
@@ -1965,10 +1964,18 @@ object TextOps {
       (s, d) => {
         val docs = Tables.documentsSpread(s, d)
         val off = 1099511627776L // 2^40 — the audio uid space
+        // Digest frames are consumed THREE times each (both sides of the
+        // band self-join + the asset roster), and each recompute re-runs
+        // the codec round-trip (PNG/BMP encode → ImageIO decode; RIFF
+        // frame → PCM walk) — the query's dominant cost. Materialize
+        // once: the digests are 16 bytes/asset, so the checkpoint is
+        // corpus-membership-sized while the savings are 2× the full
+        // synth+decode pass per modality (measured 25.9 → ~8 s at the
+        // 10× replica; SCALING.md r13).
         val ih = graft.llm.ImagePhash.avgHash(
-          graft.llm.ImagePhash.synthAssets(docs)).toDF
+          graft.llm.ImagePhash.synthAssets(docs)).toDF.localCheckpoint(true)
         val ah = graft.llm.AudioFingerprint.envelopeHash(
-          graft.llm.AudioFingerprint.synthAssets(docs)).toDF
+          graft.llm.AudioFingerprint.synthAssets(docs)).toDF.localCheckpoint(true)
         val ip = graft.llm.HammingLsh.nearDupPairs(ih, maxHamming = 7)
           .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b"))
         val ap = graft.llm.HammingLsh.nearDupPairs(ah, maxHamming = 7)
@@ -2125,6 +2132,60 @@ object TextOps {
           FROM blk JOIN tot USING (doc_id, enc)),
         h AS (
           SELECT doc_id * 4 + enc AS asset_id, b // 8 AS band,
+            CAST(SUM(bit << (b % 8)) AS INT) AS byte
+          FROM bits GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b
+          FROM h a JOIN h b ON a.band = b.band AND a.byte = b.byte
+            AND a.asset_id < b.asset_id),
+        ham AS (
+          SELECT asset_a, asset_b,
+            SUM(bit_count(xor(ha.byte, hb.byte))) AS hamming
+          FROM cand
+          JOIN h ha ON ha.asset_id = asset_a
+          JOIN h hb ON hb.asset_id = asset_b AND hb.band = ha.band
+          GROUP BY 1, 2)
+        SELECT asset_a, asset_b, CAST(hamming AS INT) AS hamming
+        FROM ham WHERE hamming <= 7 ORDER BY asset_a, asset_b""")),
+
+    // m8 — video-frame perceptual dedup (graft.llm.VideoPhash): m2's
+    // frame sampling composed with m4's aHash, end-to-end on real
+    // bytes. Videos are length-prefixed containers of real PNG frames
+    // (even docs also get a BMP-framed RE-ENCODE — byte-distinct
+    // everywhere, pixel-identical); the hash side WALKS the container
+    // back, samples every 2nd frame, decodes with ImageIO, and pairs
+    // via the shared HammingLsh band join. A re-encoded video's
+    // sampled frames pair at Hamming 0 — the dup class m3's byte
+    // digests structurally miss. Oracle: the m4 pixel-formula replay
+    // keyed by fid = doc_id·131 + k·7 + 1 over sampled k ∈ {0, 2}.
+    // At 100 TB: container walk + decode + hash are partition-local
+    // (payload bytes never shuffle); the pair join moves (band, byte)
+    // keys + one long per side, cartesian-free (PlanShapeSpec).
+    Q("m8_video_frame_phash",
+      (s, d) => graft.llm.VideoPhash
+        .nearDupFramePairs(Tables.documentsSpread(s, d), maxHamming = 7)
+        .orderBy("asset_a", "asset_b"),
+      Some("""WITH vids AS (
+          SELECT doc_id, 0 AS enc FROM documents
+          UNION ALL SELECT doc_id, 1 FROM documents WHERE doc_id % 2 = 0),
+        fr AS (
+          SELECT doc_id, enc, k, doc_id * 131 + k * 7 + 1 AS fid
+          FROM vids, (SELECT unnest([0, 2]) AS k)),
+        px AS (
+          SELECT doc_id, enc, k, x, y,
+            (x * ((fid * 2654435761) % 256) + y * ((fid * 40503) % 256)
+              + x * y * (1 + fid % 13) + fid % 251) % 256 AS g
+          FROM fr, range(0, 32) rx(x), range(0, 32) ry(y)),
+        blk AS (
+          SELECT doc_id, enc, k, (y // 4) * 8 + (x // 4) AS b, SUM(g) AS bs
+          FROM px GROUP BY 1, 2, 3, 4),
+        tot AS (SELECT doc_id, enc, k, SUM(bs) AS ts FROM blk GROUP BY 1, 2, 3),
+        bits AS (
+          SELECT blk.doc_id, blk.enc, blk.k, b,
+            CASE WHEN 64 * bs > ts THEN 1 ELSE 0 END AS bit
+          FROM blk JOIN tot USING (doc_id, enc, k)),
+        h AS (
+          SELECT doc_id * 16 + enc * 8 + k AS asset_id, b // 8 AS band,
             CAST(SUM(bit << (b % 8)) AS INT) AS byte
           FROM bits GROUP BY 1, 2),
         cand AS (

@@ -42,6 +42,24 @@ class TextHashesSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("SimHash64 equals the bit-vote md5 SQL form") {
+    // Per-token value = first 16 md5 hex chars as a raw 64-bit pattern,
+    // assembled from two 8-hex halves (conv's string result overflows a
+    // direct 16-hex bigint cast when bit 63 is set).
+    val diff = docs.select(
+      ColumnBridge.column(SimHash64(
+        ColumnBridge.expression(split(lower(col("text")), " ")))).as("fast"),
+      expr("""cast(aggregate(array(transform(split(lower(text), ' '),
+          tok -> shiftleft(cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint), 32)
+                 | cast(conv(substring(md5(tok), 9, 8), 16, 10) as bigint))),
+        cast(0 as bigint), (z, hs) ->
+        aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) -> acc +
+          IF(aggregate(hs, 0, (a, v) -> a + IF((shiftrightunsigned(v, i) & 1) = 1, 1, -1)) > 0,
+             shiftleft(cast(1 as bigint), i), cast(0 as bigint)))) as bigint)""").as("slow"))
+      .where("fast <> slow").count()
+    assert(diff == 0)
+  }
+
   test("Md5Short fast path is enabled (constants reproduce MessageDigest)") {
     // Guards the RFC 1321 constant derivation: a regression there (e.g.
     // Double.toInt saturation) would silently fall back to MessageDigest

@@ -61,4 +61,50 @@ class BqSidecarSpec extends AnyFunSuite {
     BqSidecar.refresh(spark, dir)
     assert(servedIds(dir) == ((1L to 9L).toSet - 5L) + 100L)
   }
+
+  test("stats+words flip atomically: torn refresh is invisible; repair reclaims") {
+    val dir = new java.io.File(
+      java.nio.file.Files.createTempDirectory("bq_sidecar_atomic").toFile,
+      "idx").getAbsolutePath
+    VectorIndex.build(spark, dir, embDF(0L to 9L), k = 2)
+    BqSidecar.refresh(spark, dir)
+    val before = servedIds(dir)
+
+    // Simulate a crash mid-refresh: a NEWER version dir exists (with
+    // poisoned contents — wrong stats would skew every query word) but
+    // no commit marker. Serve must keep answering from the committed
+    // version, untouched.
+    val bq = new java.io.File(dir, "bq")
+    val committed = bq.listFiles.map(_.getName).filter(_.startsWith("_commit_"))
+      .max.stripPrefix("_commit_")
+    val torn = f"v${committed.drop(1).toInt + 1}%08d"
+    val src = new java.io.File(bq, committed).toPath
+    val dst = new java.io.File(bq, torn).toPath
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+    assert(servedIds(dir) == before)
+
+    // repair: dryRun lists the uncommitted dir without touching it;
+    // applied reclaims it
+    val listed = BqSidecar.repair(spark, dir, dryRun = true)
+    assert(listed.exists { case (v, damage, _, applied) =>
+      v == torn && damage == "uncommitted_dir" && !applied })
+    assert(new java.io.File(bq, torn).exists)
+    val applied = BqSidecar.repair(spark, dir, dryRun = false)
+    assert(applied.exists { case (v, _, _, ok) => v == torn && ok })
+    assert(!new java.io.File(bq, torn).exists)
+    assert(servedIds(dir) == before)
+
+    // Dangling marker (marker, no dir): resolution would land on it and
+    // break every read — repair deletes the marker, reads resolve back.
+    val danglingV = f"v${committed.drop(1).toInt + 2}%08d"
+    new java.io.File(bq, "_commit_" + danglingV).createNewFile()
+    val fixed = BqSidecar.repair(spark, dir, dryRun = false)
+    assert(fixed.exists { case (v, damage, _, ok) =>
+      v == danglingV && damage == "dangling_marker" && ok })
+    assert(servedIds(dir) == before)
+  }
 }

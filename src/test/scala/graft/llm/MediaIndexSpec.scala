@@ -79,6 +79,15 @@ class MediaIndexSpec extends AnyFunSuite {
     // pair against the live BMP
     val p2 = pairSet(MediaIndex.checkAndAdd(spark, dir, hashesFor(Seq(6L -> 0))))
     assert(p2 == Set((6L * 4, 6L * 4 + 1, 0)))
+
+    // The re-add leaves a dead old-gen row beside the live one — an
+    // ORDINARY state, not an anti-join violation: the doctor must not
+    // flag it as a duplicate live membership (the family contract
+    // counts live rows; the raw excess shows under dead_rows until
+    // compact).
+    val d = MediaIndex.doctor(spark, dir).head()
+    assert(d.getAs[Long]("dup_live_memberships") == 0L)
+    assert(d.getAs[Long]("dead_rows") > 0L)
   }
 
   test("doctor sees orphan bands; compact reclaims them and preserves the screen") {

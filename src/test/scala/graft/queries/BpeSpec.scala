@@ -83,4 +83,41 @@ class BpeSpec extends AnyFunSuite {
       .select("symbols").as[Seq[String]].collect().toSet
     assert(merged === Set(Seq("aa", "a"), Seq("aa", "aa")))
   }
+
+  test("batched trainer with k=1 degenerates to the sequential trainer") {
+    import spark.implicits._
+    val docs = Seq(
+      "hug hug hug hug hug hug hug hug hug hug",
+      "pug pug pug pug pug",
+      "pun pun pun pun pun pun pun pun pun pun pun pun",
+      "bun bun bun bun",
+      "hugs hugs hugs hugs hugs").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (seqLog, v1) = Tokenize.bpeTrainLog(docs, 4)
+    val (batLog, v2) = Tokenize.bpeTrainBatchedLog(docs, rounds = 4, k = 1)
+    // k=1: every round's single candidate is trivially compatible, so
+    // the policy IS the sequential argmax — logs must agree exactly
+    assert(batLog.map { case (r, _, a, b, n) => (r, a, b, n) } === seqLog)
+    v1.unpersist(); v2.unpersist()
+  }
+
+  test("batched trainer: 8 rounds reach 64+ merges, rounds symbol-disjoint") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (log, _) = Tokenize.bpeTrainBatchedLog(docs, rounds = 8, k = 64)
+    assert(log.map(_._1).distinct.size <= 8)
+    assert(log.size >= 64, s"only ${log.size} merges kept in 8 rounds")
+    // kept ⊆ candidates, and each kept pair was checked against every
+    // higher-ranked candidate — so kept pairs are pairwise
+    // symbol-disjoint within a round (the batch-validity invariant that
+    // keeps selection-time counts honest)
+    for ((r, group) <- log.groupBy(_._1)) {
+      // per-merge symbol SET (a self-pair like (g,g) is one symbol);
+      // disjointness is across DIFFERENT kept merges
+      val symSets = group.map(m => Set(m._3, m._4))
+      for (pair <- symSets.combinations(2))
+        assert(pair.head.intersect(pair.last).isEmpty,
+          s"round $r kept merges sharing a symbol: $group")
+    }
+  }
 }

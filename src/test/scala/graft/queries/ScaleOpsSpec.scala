@@ -153,6 +153,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(windows.exists(_.partitionSpec.size == 2))
   }
 
+  test("q52: dispatch flips exactly at the crossover; both paths bit-equal") {
+    import org.apache.spark.sql.functions._
+    val in = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("rf"),
+        col("l_extendedprice").as("v"),
+        Relational.cents(col("l_extendedprice")).as("c"))
+    def hasJoin(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.nonEmpty
+    // the hierarchy's signature is its boundary-bucket joins; the
+    // one-window plan has none — the rowsHint sweep pins the flip point
+    val below = ScaleOps.exactPercentiles(in, Some(ScaleOps.HierCrossoverRows - 1))
+    val atCut = ScaleOps.exactPercentiles(in, Some(ScaleOps.HierCrossoverRows))
+    assert(!hasJoin(below), "below the crossover must be the one-window plan")
+    assert(hasJoin(atCut), "at/above the crossover must be the hierarchical plan")
+    // the dispatch is semantically invisible: identical rows either way
+    assert(below.collect().toSeq == atCut.collect().toSeq)
+    // the default (stats-estimated) path at this SF is below the
+    // crossover and agrees too
+    assert(ScaleOps.exactPercentiles(in).collect().toSeq == below.collect().toSeq)
+  }
+
   test("x5: merged weekly estimate within bound, one stored sketch per day") {
     val gated = SparkEntry.queries("x5_sketch_rollup")(spark, sf).collect()
     assert(gated.nonEmpty)
