@@ -97,10 +97,14 @@ object ScaleOps {
     val est = rowsHint.getOrElse {
       val st = in.queryExecution.optimizedPlan.stats
       st.rowCount.map(_.toLong).getOrElse {
-        // projected width of (rf, v, c) ≈ 40 B/row; the estimate only
-        // has to land on the right side of a 3.3× cost cliff, so
-        // file-size arithmetic is plenty
-        (st.sizeInBytes / 40).toLong
+        // sizeInBytes for a parquet scan is COMPRESSED file bytes of
+        // the pruned columns — ~8 B/row for this 3-column numeric
+        // projection (measured: the /40 in-memory-width first guess
+        // put the 10× replica's 6M rows at ~1.2M "rows", under the
+        // crossover, and dispatched a 9.7 s one-window sort where the
+        // hierarchy runs 1.2 s). The estimate only has to land on the
+        // right side of a ~5× cost cliff.
+        (st.sizeInBytes / 8).toLong
       }
     }
     if (est >= HierCrossoverRows) hierPercentiles(in)

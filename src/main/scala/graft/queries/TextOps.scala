@@ -1981,7 +1981,16 @@ object TextOps {
         val ap = graft.llm.HammingLsh.nearDupPairs(ah, maxHamming = 7)
           .select((col("asset_a") + off).as("doc_a"),
             (col("asset_b") + off).as("doc_b"))
-        val comp = Components.connectedComponents(ip.union(ap))
+        // Star CC, not d7's hash-min: perceptual-band graphs CHAIN
+        // (near-threshold transitivity — a~b~c each within Hamming 7,
+        // a̸~c), so diameter grows with the corpus and hash-min pays a
+        // round per hop (M6Probe at the 10× replica: hash-min 18.0 s
+        // unbounded-diameter rounds vs star 10.6 s in 5 log-bound
+        // rounds over the same 287k pairs). d7's graph is
+        // Jaccard-verified and stays shallow — hash-min remains right
+        // THERE (SCALING.md r11 adjudication); topology picks the
+        // algorithm.
+        val comp = Components.connectedComponentsStar(ip.union(ap))
           .withColumnRenamed("node", "uid")
         val assets = ih.select(col("asset_id").as("uid"))
           .union(ah.select((col("asset_id") + off).as("uid")))
