@@ -119,35 +119,81 @@ object HtmlExtract {
     * content — the torn-markup clamp class, planted in the gate corpus
     * itself so the oracle pins the clamp too. */
   def synthPages(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      concat(
-        lit("<html><head><title>Doc "), col("doc_id"),
-        lit("</title><style>p{margin:0}</style><script>var id="),
-        col("doc_id"), lit(";</script></head><body>"),
-        lit("<div><a href=\"/\">Home</a> <a href=\"/arc\">Archive</a> " +
-          "<a href=\"/c\">Contact</a></div>"),
-        lit("<div><p>"), col("text"), lit("</p></div>"),
-        when(col("doc_id") % 7 === 0,
-          lit("<script>torn();")).otherwise(lit("")),
-        lit("<div>Copyright "), col("doc_id"),
-        lit(" <a href=\"/p\">Privacy</a> <a href=\"/t\">Terms</a></div>" +
-          "</body></html>")).as("html"))
+    docs.select(col("doc_id"), synthHtml(col("doc_id"), col("text")).as("html"))
+
+  /** [[synthPages]]'s html as a column function, so composed fixtures
+    * (the WARC crawl) can build page + envelope in ONE projection
+    * instead of self-joining the documents scan. */
+  def synthHtml(docId: Column, text: Column): Column =
+    concat(
+      lit("<html><head><title>Doc "), docId,
+      lit("</title><style>p{margin:0}</style><script>var id="),
+      docId, lit(";</script></head><body>"),
+      lit("<div><a href=\"/\">Home</a> <a href=\"/arc\">Archive</a> " +
+        "<a href=\"/c\">Contact</a></div>"),
+      lit("<div><p>"), text, lit("</p></div>"),
+      when(docId % 7 === 0,
+        lit("<script>torn();")).otherwise(lit("")),
+      lit("<div>Copyright "), docId,
+      lit(" <a href=\"/p\">Privacy</a> <a href=\"/t\">Terms</a></div>" +
+        "</body></html>"))
+
+  /** Add a `main_text` column extracted from `htmlCol` — [[extract]]'s
+    * block pipeline without the per-doc stats, reusable by frames keyed
+    * on something other than doc_id (the p3 composition keys on the
+    * crawl URI). Same patterns, same integer link-density rule. */
+  def withMainText(df: DataFrame, htmlCol: String): DataFrame =
+    df.withColumn("__blks", split(clean(col(htmlCol)), "</div>"))
+      .withColumn("main_text", expr(
+        s"""trim(regexp_replace(array_join(transform(
+              filter(transform(__blks,
+                b -> struct(
+                  trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' '), '$WsSql', ' ')) AS vis,
+                  aggregate(transform(regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1),
+                    x -> length(x)), 0, (acc, x) -> acc + x) AS ll)),
+              s -> s.ll * 3 < length(s.vis)),
+              s -> s.vis), ' '), '$WsSql', ' '))"""))
+      .drop("__blks")
+
+  /** DuckDB pages CTE body — [[synthPages]] replayed over
+    * `src(doc_id, text)`. Shared by the t21 oracle and the WARC/p3
+    * composition oracles. */
+  def duckPages(src: String): String =
+    s"""SELECT doc_id,
+        '<html><head><title>Doc ' || doc_id ||
+        '</title><style>p{margin:0}</style><script>var id=' || doc_id ||
+        ';</script></head><body>' ||
+        '<div><a href="/">Home</a> <a href="/arc">Archive</a> <a href="/c">Contact</a></div>' ||
+        '<div><p>' || text || '</p></div>' ||
+        CASE WHEN doc_id % 7 = 0 THEN '<script>torn();' ELSE '' END ||
+        '<div>Copyright ' || doc_id ||
+        ' <a href="/p">Privacy</a> <a href="/t">Terms</a></div></body></html>' AS html
+      FROM $src"""
+
+  /** DuckDB main-text expression over an `html`-typed SQL expression —
+    * [[withMainText]]'s oracle twin (RE2 patterns, integer rule). */
+  def duckMainText(htmlExpr: String): String =
+    s"""trim(regexp_replace(array_to_string(list_transform(
+          list_filter(list_transform(string_split(
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace($htmlExpr,
+              '(?s)<script[^>]*>.*?</script>', '', 'g'),
+              '(?s)<style[^>]*>.*?</style>', '', 'g'),
+              '(?s)<script[^>]*>.*$$', '', 'g'),
+              '(?s)<style[^>]*>.*$$', '', 'g'), '</div>'),
+            b -> struct_pack(
+              vis := trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'),
+                       '[ \\t\\n\\f\\r]+', ' ', 'g')),
+              ll := coalesce(list_sum(list_transform(
+                      regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1),
+                      x -> len(x))), 0))),
+            s -> s.ll * 3 < len(s.vis)),
+          s -> s.vis), ' '), '[ \\t\\n\\f\\r]+', ' ', 'g'))"""
 
   /** The DuckDB replay of [[synthPages]] + [[extract]] over `documents`
     * — same patterns (RE2), same integer link-density rule, same
     * whitespace class. */
   val oracleSql: String =
-    s"""WITH pages AS (
-        SELECT doc_id,
-          '<html><head><title>Doc ' || doc_id ||
-          '</title><style>p{margin:0}</style><script>var id=' || doc_id ||
-          ';</script></head><body>' ||
-          '<div><a href="/">Home</a> <a href="/arc">Archive</a> <a href="/c">Contact</a></div>' ||
-          '<div><p>' || text || '</p></div>' ||
-          CASE WHEN doc_id % 7 = 0 THEN '<script>torn();' ELSE '' END ||
-          '<div>Copyright ' || doc_id ||
-          ' <a href="/p">Privacy</a> <a href="/t">Terms</a></div></body></html>' AS html
-        FROM documents),
+    s"""WITH pages AS (${duckPages("documents")}),
       cleaned AS (
         SELECT doc_id,
           regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
