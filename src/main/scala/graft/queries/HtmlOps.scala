@@ -160,13 +160,15 @@ object HtmlOps {
     // partition's output is ≤ cap after the rank).
     Q("t24_domain_cap",
       (s, d) => {
+        // url columns AND quality derive from the same documents row —
+        // one scan, no self-join (a doc_id equi-join of the table with
+        // itself would pay a gratuitous shuffle per side at any scale)
         val urls = WebCrawl.withUrlNorm(
-          Tables.documents(s, d)
-            .select(col("doc_id"), WebCrawl.synthUrl(col("doc_id")).as("url")),
+          TextOps.qualityScores(Tables.documents(s, d))
+            .select(col("doc_id"), col("quality"),
+              WebCrawl.synthUrl(col("doc_id")).as("url")),
           "url").where(col("keep"))
-        val quality = TextOps.qualityScores(Tables.documents(s, d))
-          .select("doc_id", "quality")
-        urls.join(quality, "doc_id")
+        urls
           .withColumn("rn", row_number().over(
             Window.partitionBy("domain")
               .orderBy(col("quality").desc, col("doc_id"))).cast("int"))
