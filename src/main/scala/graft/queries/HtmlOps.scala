@@ -234,7 +234,29 @@ object HtmlOps {
         }
         dedupCapTail(s.read.parquet(s"$root/store"))
       },
-      Some(p3OracleSql))
+      Some(p3OracleSql)),
+
+    // t27 — robots.txt parsing (RFC 9309 group structure): directive
+    // lines with comment stripping, UA-group numbering via one line
+    // window, agent flags per group, and the group-selection verdict
+    // (agent-specific groups override `*`). The fixture files plant
+    // every edge the parser claims — junk lines, orphan rules before
+    // any group, empty Disallow, multi-UA groups, crawl-delay. Parse is
+    // per-robots-file column work over one row per HOST: at 100 TB this
+    // frame is the broadcast dimension, never the fact side.
+    Q("t27_robots_parse",
+      (s, _) => graft.ingest.Robots.parseGate(s),
+      Some(graft.ingest.Robots.parseOracleSql)),
+
+    // t28 — the per-URL crawl-permission decision over the t23 synth
+    // universe: effective rules broadcast-joined on host, prefix match
+    // in the join condition (a URL matching no rule survives as
+    // allowed), longest-path rule wins with Allow beating Disallow on
+    // ties, composed with the hygiene verdict as fetch_ok. The only
+    // shuffle is the per-URL pick window.
+    Q("t28_robots_filter",
+      (s, d) => graft.ingest.Robots.filterGate(s, Tables.documents(s, d)),
+      Some(graft.ingest.Robots.filterOracleSql))
   )
 
   /** One flat oracle for BOTH p3 forms (batch and stream-ingested) —

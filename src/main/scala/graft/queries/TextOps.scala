@@ -2211,6 +2211,20 @@ object TextOps {
         SELECT asset_a, asset_b, CAST(hamming AS INT) AS hamming
         FROM ham WHERE hamming <= 7 ORDER BY asset_a, asset_b""")),
 
+    // m9 — PNG metadata strip (graft.llm.PngMeta): the binary twin of
+    // r1/r2's text PII redaction — drop ancillary chunks (tEXt author,
+    // GPS, tIME; the PNG spec's lowercase-first-letter rule) from real
+    // encoder-produced containers while the pixels survive
+    // bit-identically. The oracle recomputes the injected layout's
+    // chunk counts + byte savings closed-form (the m5 posture) while
+    // Spark's numbers travelled through a real signature/length/CRC
+    // chunk walk; idempotence + decode-and-pixel-match ride as gate
+    // booleans. Everything is mapPartitions-local — payload bytes
+    // never shuffle at any scale.
+    Q("m9_png_meta_strip",
+      (s, d) => graft.llm.PngMeta.gate(Tables.documentsSpread(s, d)),
+      Some(graft.llm.PngMeta.oracleSql)),
+
     // PII scrubbing (graft.queries.Redact): detect + redact emails /
     // NANP phones / SSN-shaped ids, keeping per-type counts. The
     // synthetic corpus is PII-free, so deterministic spans are injected
