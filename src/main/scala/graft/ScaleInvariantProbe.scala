@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** 10×-replica invariants for the oracle's recursive-CTE DNF class
   * (VERDICT r12 #6): 12 of the 168 gates lose their DuckDB compare at
   * the 10× replica because the ORACLE's recursive CTE DNFs (c1*, p1*,
-  * p2, d7, d10, d12, d16, m6) — each is hash-pinned at sf0.01/sf0.1,
+  * p2, d7, d10, d12, d16, m6, p4) — each is hash-pinned at sf0.01/sf0.1,
   * but their 10× rows read "skipped". This probe pins a SECONDARY
   * invariant for every one of them at any replica scale: an
   * independent recompute with different machinery (hash-min CC vs the
@@ -172,6 +172,29 @@ object ScaleInvariantProbe {
     val badShards = shardSizes
       .where(col("count") =!= 16 && col("shard_id") =!= maxShard).count()
     check("p2_shards_full", badShards == 0, s"partial_nonfinal=$badShards")
+
+    // ---- p4: manifest components vs a hash-min CC recompute over the
+    // scrubbed-hash pair graph (different algorithm, same contract),
+    // plus the closed-form savings identity — the manifest's byte
+    // counters travelled through real container walks; the recompute
+    // restates them from id arithmetic (what the DNF'd oracle would
+    // have checked)
+    val p4 = SparkEntry.queries("p4_media_prep")(spark, d).localCheckpoint(true)
+    val prepH = graft.llm.MediaPrep.prep(docs).toDF
+      .select(col("asset_id"), col("hash")).localCheckpoint(true)
+    val pPairs = graft.llm.HammingLsh.nearDupPairs(prepH, maxHamming = 7)
+      .select(col("asset_a").as("u"), col("asset_b").as("v"))
+    val pMin = graft.queries.Components.connectedComponents(pPairs)
+    val pDiff = pMin.join(p4.select(col("asset_id").as("node"),
+        col("component").as("c2")), Seq("node"))
+      .where(col("component") =!= col("c2")).count()
+    check("p4_cc_vs_hashmin", pDiff == 0, s"disagreements=$pDiff")
+    val badSav = p4.where(col("meta_removed") =!=
+      when(col("enc") === 1, lit(0L)).otherwise(
+        lit(24L) + length(col("asset_id").cast("string")) +
+          when(col("asset_id") % 2 === 0, 29L).otherwise(0L) +
+          when(col("asset_id") % 3 === 0, 19L).otherwise(0L))).count()
+    check("p4_savings_closed_form", badSav == 0, s"violations=$badSav")
 
     println(s"[inv] ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()

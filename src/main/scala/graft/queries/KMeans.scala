@@ -100,4 +100,90 @@ object KMeans {
     (centroids, embeddings.select(col(idCol),
       assignCell(centroids, col(vecCol)).as("cell")))
   }
+
+  // ------------------------------------------------------------------
+  // Fixed-point Lloyd's — the ORACLE-GATED trainer (v15_kmeans_train).
+  //
+  // [[fit]] above is the production float trainer; its means are
+  // double `avg`s whose value depends on reduction order, so no
+  // cross-engine gate can pin it bit-for-bit. This variant runs the
+  // SAME loop in exact int64 arithmetic: components quantized to
+  // micro-units (round(x·1e6), the m4/v14 integer-compare posture),
+  // squared-L2 assignment in longs, and the mean as
+  // floor(sum/count) computed with the ONE formula both engines
+  // evaluate IEEE-identically (`floor(CAST(s AS DOUBLE)/n)` — sums
+  // stay far below 2^53, and 1/n is orders of magnitude above the
+  // quotient's ulp, so the floor can never straddle a rounding
+  // boundary). Ties in the argmin go to the lower cell id on both
+  // engines (array_position takes the FIRST minimum; the oracle
+  // orders by (d2, cell)). The result is a trained codebook the
+  // DuckDB oracle replays round for round, hash-exact.
+  //
+  // Scale shape per round (identical to [[fit]]): assignment is pure
+  // map-side against a k×dim literal; the update is one shuffle of
+  // combiner state keyed (cell, pos); only k×dim longs ever reach the
+  // driver. Init pins the k lowest-id vectors — deterministic, and at
+  // 100 TB a k-row pushed-down scan.
+  // ------------------------------------------------------------------
+
+  /** Micro-unit quantization of a float-array column. */
+  private[queries] def quantCol(vecCol: Column): Column =
+    transform(vecCol, x => round(x.cast("double") * 1e6).cast("long"))
+
+  /** Exact int64 squared L2 between a long-array literal and a
+    * quantized vector column. */
+  private def l2sqQ(c: Column, qv: Column): Column =
+    aggregate(zip_with(c, qv, (x, y) => { val d = x - y; d * d }),
+      lit(0L), (acc, v) => acc + v)
+
+  private def centroidLitQ(cs: Array[Array[Long]]): Column =
+    array(cs.map(c => array(c.map(lit(_)): _*)): _*)
+
+  /** 0-based nearest-cell id over quantized centroids; ties → lower id. */
+  private[queries] def assignCellQ(cs: Array[Array[Long]], qv: Column): Column = {
+    val d = transform(centroidLitQ(cs), c => l2sqQ(c, qv))
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  /** Train `iters` exact-arithmetic Lloyd rounds; init = the quantized
+    * vectors of the k smallest ids. Returns the trained codebook in
+    * exploded gate form: (cell, pos 1-based, cval, n_members) ordered
+    * by (cell, pos) — n_members from the final assignment, 0 for a
+    * cell that emptied (it keeps its last centroid, mirrored by the
+    * oracle's left-join coalesce). */
+  def fitQGate(embeddings: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && iters >= 0, "k and iters must be positive")
+    val q = embeddings.select(col(idCol).as("vid"), quantCol(col(vecCol)).as("qv"))
+    var centroids: Array[Array[Long]] = q.where(col("vid") < k)
+      .orderBy("vid").collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(centroids.length == k, s"init needs ids 0..${k - 1} present")
+    for (_ <- 1 to iters) {
+      val sums = q
+        .select(assignCellQ(centroids, col("qv")).as("cell"),
+          posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0)).map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(r =>
+          math.floor(r.getLong(2).toDouble / r.getLong(3).toDouble).toLong)
+      }
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        byCell.get(i).map(_.toArray).getOrElse(old)
+      }
+    }
+    val counts = q.select(assignCellQ(centroids, col("qv")).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).cast("int").as("n_members"))
+    val code = centroids.zipWithIndex.flatMap { case (c, cell) =>
+      c.zipWithIndex.map { case (v, p) => (cell, p + 1, v) }
+    }.toSeq
+    val codeDf = embeddings.sparkSession.createDataFrame(code)
+      .toDF("cell", "pos", "cval")
+    codeDf.join(counts, Seq("cell"), "left")
+      .select(col("cell").cast("int"), col("pos").cast("int"), col("cval"),
+        coalesce(col("n_members"), lit(0)).cast("int").as("n_members"))
+      .orderBy("cell", "pos")
+  }
 }

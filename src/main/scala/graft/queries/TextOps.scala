@@ -1191,6 +1191,80 @@ object TextOps {
         FROM g GROUP BY gram_md5 HAVING COUNT(DISTINCT doc_id) >= 2
         ORDER BY gram_md5""")),
 
+    // Shingle-set CONTAINMENT (Broder's asymmetric resemblance twin):
+    // |A∩B| / min(|A|,|B|). Symmetric Jaccard (d2) under-scores the
+    // partial-copy case — a short document quoted inside a long one has
+    // J = |A|/|B| (small when the lengths differ) but containment 1.0 —
+    // and production dedup keeps missing exactly those pairs if it
+    // gates on J alone. Candidates come from the SAME MinHash band join
+    // as d2 (shared sigFrame/firstSharedBand machinery; recall for a
+    // contained pair is 1-(1-J)^8, documented LSH-bounded like d2 —
+    // both engines compute the identical md5 minhashes, so the
+    // candidate set is deterministic even where recall < 1), verified
+    // with the exact merge-scan intersection, thresholded on
+    // containment instead of Jaccard. The quoted-pair class is planted
+    // in-query (the m-series derived-fixture posture): every 25th
+    // document ≥30 tokens contributes its 40%-prefix excerpt as a
+    // +1e6-id row — its shingles are a strict subset of the source's,
+    // so containment is exactly 1.0 while J sits near 0.4.
+    // Scale shape: identical to d2 — banded equi-join candidates,
+    // Σbucket² never corpus².
+    Q("d19_containment",
+      (s, d) => {
+        val sp = Tables.documentsSpread(s, d)
+        val base = sp.select(col("doc_id"), col("text"))
+        val exc = sp
+          .where(col("doc_id") % 25 === 0)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+          .where(size(col("t")) >= 30)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            expr("concat_ws(' ', slice(t, 1, greatest((size(t) * 2) div 5, 1)))")
+              .as("text"))
+        val docs = sigFrame(base.unionByName(exc)).cache()
+        val bands = docs.select(col("doc_id"), col("sigs"),
+          posexplode(col("sigs")).as(Seq("band", "mh")))
+        val cand = bands.select(col("doc_id").as("doc_a"), col("sigs").as("sig_a"),
+            col("band"), col("mh"))
+          .join(bands.select(col("doc_id").as("doc_b"), col("sigs").as("sig_b"),
+            col("band"), col("mh")), Seq("band", "mh"))
+          .where(col("doc_a") < col("doc_b"))
+          .where(col("band") === firstSharedBand)
+          .select("doc_a", "doc_b")
+        verifyPairs(cand, docs, 0.0)
+          .withColumn("containment", col("n_common").cast("double") /
+            least(col("na"), col("nb")).cast("double"))
+          .where(col("containment") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("n_common"),
+            col("na"), col("nb"), col("containment"), col("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH exc AS (
+          SELECT doc_id + 1000000 AS doc_id,
+            array_to_string(t[1 : greatest(len(t) * 2 // 5, 1)], ' ') AS text
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+                FROM documents WHERE doc_id % 25 = 0)
+          WHERE len(t) >= 30),
+        docs AS (SELECT doc_id, text FROM documents
+                 UNION ALL SELECT doc_id, text FROM exc),
+        sig AS (${duckSigsFrom("docs")}),
+        bands AS (SELECT doc_id, k AS band, sigs[k + 1] AS mh FROM sig, range(0, 8) t(k)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+        sh AS (SELECT doc_id, $duckShingles AS s
+               FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM docs))
+        SELECT doc_a, doc_b, n_common, na, nb, containment, jaccard FROM (
+          SELECT doc_a, doc_b,
+            CAST(len(list_intersect(a.s, b.s)) AS INT) AS n_common,
+            CAST(len(a.s) AS INT) AS na, CAST(len(b.s) AS INT) AS nb,
+            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              CAST(least(len(a.s), len(b.s)) AS DOUBLE) AS containment,
+            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+          FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+                    JOIN sh b ON cand.doc_b = b.doc_id)
+        WHERE containment >= 0.5 ORDER BY doc_a, doc_b""")),
+
     // Language-ID: n-gram/stopword marker heuristic → argmax with a
     // deterministic tiebreak.
     Q("t1_langid",
@@ -2079,6 +2153,92 @@ object TextOps {
           CAST(COUNT(*) AS INT) AS cluster_size
         FROM withc GROUP BY component ORDER BY component""")),
 
+    // The media pipeline END TO END (p1 for documents, p3 for crawled
+    // text — this is the binary-column third): scrub metadata out of
+    // real container bytes (format-dispatched by SIGNATURE — PNG chunk
+    // walk, JPEG marker walk, pass-through for containers with no
+    // metadata concept), perceptually hash the SCRUBBED bytes (the
+    // production order: PII leaves before anything derived is
+    // persisted), Hamming-band pair join, star CC, min-uid keeper —
+    // emitting the per-asset manifest a media corpus prep actually
+    // ships: keep/duplicate verdict + component + bytes saved. The
+    // strip preserves pixels bit-exactly, so the pair graph over
+    // scrubbed bytes must equal m4's over originals — the oracle
+    // replays the hash closed-form from the pixel formula, the
+    // savings from the m9 chunk arithmetic (keyed by ASSET id), and
+    // the components via the recursive closure (the documented
+    // DNF-at-10× oracle class; Spark's side is log-round star CC).
+    Q("p4_media_prep",
+      (s, d) => {
+        val prep = graft.llm.MediaPrep.prep(Tables.documentsSpread(s, d))
+          .toDF.localCheckpoint(true)
+        val pairs = graft.llm.HammingLsh.nearDupPairs(
+            prep.select(col("asset_id"), col("hash")), maxHamming = 7)
+          .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b"))
+        val comp = Components.connectedComponentsStar(pairs)
+          .withColumnRenamed("node", "uid")
+        prep.join(comp, prep("asset_id") === comp("uid"), "left")
+          .withColumn("component", coalesce(col("component"), col("asset_id")))
+          .select(col("asset_id"), col("doc_id"), col("enc").cast("int").as("enc"),
+            col("component"),
+            (col("asset_id") === col("component")).as("keep"),
+            col("meta_removed"))
+          .orderBy("asset_id")
+      },
+      Some("""WITH RECURSIVE assets AS (
+          SELECT doc_id, 0 AS enc FROM documents
+          UNION ALL SELECT doc_id, 1 FROM documents WHERE doc_id % 2 = 0
+          UNION ALL SELECT doc_id, 2 FROM documents WHERE doc_id % 3 = 0),
+        px AS (
+          SELECT doc_id, enc, x, y,
+            ((x * ((doc_id * 2654435761) % 256) + y * ((doc_id * 40503) % 256)
+              + x * y * (1 + doc_id % 13) + doc_id % 251) % 256
+              + CASE WHEN enc = 2 AND x = doc_id % 32 AND y = (doc_id // 32) % 32
+                     THEN 64 ELSE 0 END) % 256 AS g
+          FROM assets, range(0, 32) rx(x), range(0, 32) ry(y)),
+        blk AS (
+          SELECT doc_id, enc, (y // 4) * 8 + (x // 4) AS b, SUM(g) AS bs
+          FROM px GROUP BY 1, 2, 3),
+        tot AS (SELECT doc_id, enc, SUM(bs) AS ts FROM blk GROUP BY 1, 2),
+        bits AS (
+          SELECT blk.doc_id, blk.enc, b,
+            CASE WHEN 64 * bs > ts THEN 1 ELSE 0 END AS bit
+          FROM blk JOIN tot USING (doc_id, enc)),
+        h AS (
+          SELECT doc_id * 4 + enc AS uid, b // 8 AS band,
+            CAST(SUM(bit << (b % 8)) AS INT) AS byte
+          FROM bits GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT a.uid AS ua, b.uid AS ub
+          FROM h a JOIN h b ON a.band = b.band AND a.byte = b.byte
+            AND a.uid < b.uid),
+        ham AS (
+          SELECT ua, ub, SUM(bit_count(xor(x.byte, y.byte))) AS hamming
+          FROM cand
+          JOIN h x ON x.uid = ua
+          JOIN h y ON y.uid = ub AND y.band = x.band
+          GROUP BY 1, 2),
+        pairs AS (SELECT ua, ub FROM ham WHERE hamming <= 7),
+        edges AS (SELECT ua AS u, ub AS v FROM pairs
+                  UNION SELECT ub, ua FROM pairs),
+        reach(u, v) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+        compg AS (SELECT u, MIN(v) AS component FROM reach GROUP BY u),
+        alluid AS (SELECT doc_id * 4 + enc AS uid, doc_id, enc FROM assets),
+        withc AS (
+          SELECT uid, doc_id, enc, COALESCE(component, uid) AS component
+          FROM alluid LEFT JOIN compg ON uid = u)
+        SELECT uid AS asset_id, doc_id, CAST(enc AS INT) AS enc, component,
+          (uid = component) AS keep,
+          CAST(CASE WHEN enc = 1 THEN 0 ELSE
+              (12 + 7 + 5 + len(CAST(uid AS VARCHAR)))
+              + CASE WHEN uid % 2 = 0 THEN 12 + 4 + 13 ELSE 0 END
+              + CASE WHEN uid % 3 = 0 THEN 12 + 7 ELSE 0 END
+            END AS BIGINT) AS meta_removed
+        FROM withc ORDER BY asset_id""")),
+
     // The perceptual screen as a SERVICE under stream ingest —
     // DocStream.nearDupScreen's media twin (graft.llm.MediaIndex +
     // graft.streaming.MediaStream): the fixture lands each ENCODING
@@ -2224,6 +2384,20 @@ object TextOps {
     Q("m9_png_meta_strip",
       (s, d) => graft.llm.PngMeta.gate(Tables.documentsSpread(s, d)),
       Some(graft.llm.PngMeta.oracleSql)),
+
+    // m10 — JPEG metadata strip (graft.llm.JpegMeta): m9 for the other
+    // container a crawled image corpus arrives in. Drop COM + APP1-15
+    // marker segments (Exif/XMP/IPTC — where camera, GPS, and
+    // timestamp PII lives) via a real FFD8/marker/length walk over
+    // real JDK-encoded JPEGs, keeping APP0 + every codec segment and
+    // copying the entropy-coded scan verbatim (no re-encode — the gate
+    // verifies the scan bytes survived byte-identically). Oracle is
+    // the m9 closed-form posture; idempotence + scan-intact +
+    // still-decodes ride as gate booleans. mapPartitions-local —
+    // payload bytes never shuffle at any scale.
+    Q("m10_jpeg_meta_strip",
+      (s, d) => graft.llm.JpegMeta.gate(Tables.documentsSpread(s, d)),
+      Some(graft.llm.JpegMeta.oracleSql)),
 
     // PII scrubbing (graft.queries.Redact): detect + redact emails /
     // NANP phones / SSN-shaped ids, keeping per-type counts. The

@@ -1113,7 +1113,66 @@ object VectorOps {
         SELECT qid, nid, CAST(rnk AS INT) AS rnk, hamming, cos_sim FROM (
           SELECT *, row_number() OVER (PARTITION BY qid
                       ORDER BY cos_sim DESC, nid) AS rnk FROM rr)
-        WHERE rnk <= 3 ORDER BY qid, rnk"""))
+        WHERE rnk <= 3 ORDER BY qid, rnk""")),
+
+    // TRAINED coarse quantizer — the Lloyd loop itself as an oracle
+    // gate. v5/v10/v12 pin their centroids so their search gates stay
+    // deterministic, and graft.queries.KMeans.fit is the float
+    // production trainer (whose double means no cross-engine hash can
+    // pin — reduction order moves the low bits). This gate closes the
+    // gap between the two: KMeans.fitQGate runs the SAME
+    // assign/update loop in exact int64 micro-units (round(x·1e6), the
+    // m4/v14 integer posture; floor(sum/n) evaluated with the one
+    // IEEE-identical formula both engines share), so the TRAINED
+    // codebook hash-matches a DuckDB replay of the identical three
+    // rounds. Scale shape per round: assignment is map-side against a
+    // k×dim literal (no join), the update is one combiner-state
+    // shuffle keyed (cell, pos), and only k×dim longs reach the
+    // driver — the KMeans.fit scaladoc contract, now verified
+    // end-to-end instead of asserted.
+    Q("v15_kmeans_train",
+      (s, d) => KMeans.fitQGate(Tables.embeddingsSpread(s, d), k = 8, iters = 3),
+      Some {
+        def round(r: Int, prev: String): String =
+          s"""d$r AS (
+            SELECT qe.vid, c.cell, SUM((qe.qx - c.cx) * (qe.qx - c.cx)) AS d2
+            FROM qe JOIN $prev c USING (pos) GROUP BY qe.vid, c.cell),
+          a$r AS (
+            SELECT vid, cell FROM (
+              SELECT vid, cell,
+                row_number() OVER (PARTITION BY vid ORDER BY d2, cell) AS rn
+              FROM d$r) WHERE rn = 1),
+          m$r AS (
+            SELECT a$r.cell, qe.pos,
+              CAST(floor(CAST(SUM(qe.qx) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cx
+            FROM qe JOIN a$r USING (vid) GROUP BY a$r.cell, qe.pos),
+          c$r AS (
+            SELECT p.cell, p.pos, coalesce(m$r.cx, p.cx) AS cx
+            FROM $prev p LEFT JOIN m$r ON m$r.cell = p.cell AND m$r.pos = p.pos)"""
+        s"""WITH q AS (
+          SELECT vec_id AS vid,
+            list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+          FROM embeddings),
+        qe AS (SELECT vid, unnest(range(1, 65)) AS pos, unnest(qv) AS qx FROM q),
+        c0 AS (SELECT vid AS cell, pos, qx AS cx FROM qe WHERE vid < 8),
+        ${round(1, "c0")},
+        ${round(2, "c1")},
+        ${round(3, "c2")},
+        df AS (
+          SELECT qe.vid, c.cell, SUM((qe.qx - c.cx) * (qe.qx - c.cx)) AS d2
+          FROM qe JOIN c3 c USING (pos) GROUP BY qe.vid, c.cell),
+        af AS (
+          SELECT vid, cell FROM (
+            SELECT vid, cell,
+              row_number() OVER (PARTITION BY vid ORDER BY d2, cell) AS rn
+            FROM df) WHERE rn = 1),
+        cnt AS (SELECT cell, CAST(COUNT(*) AS INT) AS n_members FROM af GROUP BY cell)
+        SELECT CAST(c3.cell AS INT) AS cell, CAST(c3.pos AS INT) AS pos,
+          c3.cx AS cval, coalesce(cnt.n_members, 0) AS n_members
+        FROM c3 LEFT JOIN cnt USING (cell)
+        ORDER BY cell, pos"""
+      })
   )
 
   /** v13's oracle: the greedy MMR selection unrolled to flat SQL — the

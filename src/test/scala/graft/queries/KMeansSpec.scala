@@ -60,4 +60,69 @@ class KMeansSpec extends AnyFunSuite {
       centroids.zipWithIndex.minBy { case (c, _) =>
         c.map(x => (x - 20.1) * (x - 20.1)).sum }._2)
   }
+
+  // --- fixed-point trainer (v15's engine) ---------------------------
+
+  /** [[clustered]] re-keyed INTERLEAVED (id % 3 = true cluster) so the
+    * pinned lowest-id init seeds one vector per cluster — the pinned
+    * init is the gate's determinism choice (MacQueen's first-k), and
+    * like any non-spread init it needs the seeds to span the modes;
+    * the float production trainer's farthest-first init removes that
+    * sensitivity and is covered by the tests above. */
+  private def clusteredSeq = {
+    val pts = for {
+      c <- 0 until 3
+      i <- 0 until 40
+    } yield (i.toLong * 3 + c,
+      Array.tabulate(8)(j => (10.0 * c + ((i * 7 + j * 3) % 10) / 10.0 - 0.5).toFloat))
+    pts.toDF("vec_id", "embedding")
+  }
+
+  test("fitQGate recovers the separated clusters and counts members") {
+    val out = KMeans.fitQGate(clusteredSeq, k = 3, iters = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(out.length == 3 * 8)
+    // each cell holds one true cluster of 40
+    assert(out.map(_._4).distinct.toSeq == Seq(40))
+    // cell centroids sit near 10·c micro-units for some permutation of c
+    val centersByCell = out.groupBy(_._1).map { case (cell, rows) =>
+      cell -> rows.sortBy(_._2).map(_._3)
+    }
+    val means = centersByCell.values.map(_.head / 1e6).toSeq.sorted
+    for ((m, c) <- means.zip(Seq(0, 1, 2)))
+      assert(math.abs(m - 10.0 * c) < 1.0, s"center $m vs ${10 * c}")
+  }
+
+  test("fitQGate is exact: a second run reproduces identical longs") {
+    val a = KMeans.fitQGate(clusteredSeq, k = 3, iters = 3).collect().toSeq
+    val b = KMeans.fitQGate(clusteredSeq, k = 3, iters = 3).collect().toSeq
+    assert(a == b)
+  }
+
+  test("fitQGate argmin ties break to the lower cell id") {
+    // two identical init vectors: every point is equidistant from both
+    // cells, so at iters=0 (pure assignment against the init) cell 0
+    // must absorb everything and cell 1 counts zero members
+    val dup = Seq(
+      (0L, Array.fill(4)(1.0f)),
+      (1L, Array.fill(4)(1.0f)),
+      (2L, Array.fill(4)(1.2f))).toDF("vec_id", "embedding")
+    val out = KMeans.fitQGate(dup, k = 2, iters = 0)
+      .collect().map(r => (r.getInt(0), r.getInt(3)))
+    assert(out.filter(_._1 == 0).forall(_._2 == 3))
+    assert(out.filter(_._1 == 1).forall(_._2 == 0))
+  }
+
+  test("fitQGate quantization matches round-half-away-from-zero") {
+    val one = Seq((0L, Array(0.0000015f, -0.0000015f, 0.5f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = KMeans.fitQGate(one, k = 1, iters = 0)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    // float 1.5e-6 widens to ~1.49999...e-6 or 1.5000...e-6 in double —
+    // pin against the same formula the trainer uses
+    val expected = Seq(0.0000015f, -0.0000015f, 0.5f, -0.5f).map(f =>
+      java.math.BigDecimal.valueOf(f.toDouble * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+    assert(out == expected)
+  }
 }

@@ -27,6 +27,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "d10_dup_graph_metrics", "d11_source_overlap", "d15_cdc_dup",
     "t15_ngram_novelty", "v9_knn_graph",
     "c9_dedup_rewrite", "c10_leakage_safe_split", "m8_video_frame_phash",
+    "d19_containment",
     // correlated subqueries must decorrelate to windows/joins —
     // per-outer-row re-execution would surface as a nested-loop join
     "q36_lateral_topk", "q38_scalar_subquery")
