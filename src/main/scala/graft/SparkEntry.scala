@@ -10,7 +10,7 @@ object SparkEntry {
   /** All correctness-gated queries, in registration order. */
   def allQs: Seq[Q] =
     Relational.all ++ TextOps.all ++ Tokenize.all ++ HtmlOps.all ++ CleanOps.all ++
-      Classify.all ++
+      Classify.all ++ ParaOps.all ++
       graft.llm.CorpusEtl.all ++ graft.llm.PipelineE2e.all ++
       VectorOps.all ++ Hybrid.all ++
       ScaleOps.all ++ WeatherGate.all

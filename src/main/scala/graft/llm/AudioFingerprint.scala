@@ -103,7 +103,7 @@ object AudioFingerprint {
     * offsets per the public spec). enc 1 carries the SAME samples but
     * inserts a doc-keyed LIST/INFO chunk between fmt and data — a
     * byte-distinct container any chunk-walking reader must skip. */
-  private def encodeWav(docId: Long, enc: Int): Array[Byte] = {
+  private[llm] def encodeWav(docId: Long, enc: Int): Array[Byte] = {
     val dataBytes = NSamples * 2
     val listPayload: Array[Byte] =
       if (enc == 1) ("INFO" + f"gft${docId % 100}%03d").getBytes("US-ASCII")

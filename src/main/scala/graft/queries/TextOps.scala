@@ -2399,6 +2399,20 @@ object TextOps {
       (s, d) => graft.llm.JpegMeta.gate(Tables.documentsSpread(s, d)),
       Some(graft.llm.JpegMeta.oracleSql)),
 
+    // m11 — WAV metadata strip (graft.llm.WavMeta): the audio member
+    // of the binary-redaction trio. Drop the RIFF LIST/INFO chunk
+    // (IART artist / ICRD date / ICMT comment — where audio PII lives)
+    // via a real top-level chunk walk over real hand-framed PCM WAVs,
+    // copying fmt /data verbatim and rewriting the RIFF size — so the
+    // strip restores the pre-injection container BYTE-EXACTLY
+    // (restores_original), the strongest content-preservation
+    // invariant in the family. Oracle is the m9 closed-form posture
+    // (tag sizes + RIFF pad-to-even restated as SQL arithmetic).
+    // mapPartitions-local — payload bytes never shuffle at any scale.
+    Q("m11_wav_meta_strip",
+      (s, d) => graft.llm.WavMeta.gate(Tables.documentsSpread(s, d)),
+      Some(graft.llm.WavMeta.oracleSql)),
+
     // PII scrubbing (graft.queries.Redact): detect + redact emails /
     // NANP phones / SSN-shaped ids, keeping per-type counts. The
     // synthetic corpus is PII-free, so deterministic spans are injected

@@ -766,6 +766,85 @@ object Tokenize {
         newtot AS (SELECT SUM(n) AS t FROM newc)
         SELECT piece, n,
           CAST(length(format('{:b}', CAST(t // n AS BIGINT))) AS BIGINT) AS qcost
-        FROM newc, newtot ORDER BY piece"""))
+        FROM newc, newtot ORDER BY piece""")),
+
+    // p5 — tokenized training shards end to end: the composition a
+    // shard writer actually ships. Documents are BPE-encoded with the
+    // trained merges (t17's vocabulary-frame join — the corpus-sized
+    // stream is map-side against vocab-sized encode state), each
+    // source's piece stream is laid end to end (c6's HIERARCHICAL
+    // cumsum: in-bucket window bounded at 10k rows, bucket bases a
+    // per-bucket prefix — no single-partition window at any corpus
+    // size), and every fixed-length 256-piece training sequence is
+    // emitted with its piece count, contributing-doc count, and a
+    // content md5 over the pieces in stream order — the row a shard
+    // manifest signs. One (source, seq) shuffle of (gpos, piece) pairs
+    // is the only corpus-sized exchange after the encode join.
+    Q("p5_token_shards",
+      (s, d) => {
+        val L = 256
+        val docs = Tables.documentsSpread(s, d)
+        val log = bpeMergesArtifact(s, d, 4)
+        var enc = wordCounts(docs).select(col("tok"),
+          expr("filter(split(tok, ''), x -> x <> '')").as("symbols"))
+        for ((_, a, b, _) <- log) enc = applyMerge(enc, a, b)
+        val stream = docs
+          .select(col("doc_id"), col("source"), posexplode(tokens).as(Seq("pos", "tok")))
+          .where(col("tok") =!= "")
+        val perDoc = stream.join(enc.select("tok", "symbols"), Seq("tok"))
+          .groupBy("doc_id", "source")
+          .agg(expr("""flatten(transform(
+              array_sort(collect_list(struct(pos, symbols))),
+              x -> x.symbols))""").as("pieces"))
+          .withColumn("n_pieces", size(col("pieces")).cast("long"))
+          .withColumn("bucket", expr("doc_id div 10000"))
+        import org.apache.spark.sql.expressions.Window
+        val wIn = Window.partitionBy("source", "bucket").orderBy("doc_id")
+        val within = perDoc.withColumn("cum_in", sum(col("n_pieces")).over(wIn))
+        val wBk = Window.partitionBy("source").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val base = within.groupBy("source", "bucket")
+          .agg(sum(col("n_pieces")).as("tot"))
+          .withColumn("bucket_base", coalesce(sum(col("tot")).over(wBk), lit(0L)))
+          .select("source", "bucket", "bucket_base")
+        within.join(base, Seq("source", "bucket"))
+          .withColumn("start_off", col("bucket_base") + col("cum_in") - col("n_pieces"))
+          .select(col("source"), col("doc_id"), col("start_off"),
+            posexplode(col("pieces")).as(Seq("i", "piece")))
+          .withColumn("gpos", col("start_off") + col("i"))
+          .groupBy(col("source"), expr(s"gpos div $L").as("seq_id"))
+          .agg(count(lit(1)).cast("int").as("n_pieces"),
+            countDistinct(col("doc_id")).cast("int").as("n_docs"),
+            md5(concat_ws("\u0001",
+              expr("transform(array_sort(collect_list(struct(gpos, piece))), x -> x.piece)")))
+              .as("seq_md5"))
+          .orderBy("source", "seq_id")
+      },
+      Some {
+        s"""WITH $bpeW4Cte,
+          stream AS (
+            SELECT doc_id, source, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS pos
+            FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents)),
+          perdoc AS (
+            SELECT doc_id, source, flatten(list(syms ORDER BY pos)) AS pieces
+            FROM stream JOIN w4 USING (tok)
+            GROUP BY doc_id, source),
+          off AS (
+            SELECT doc_id, source, pieces,
+              CAST(SUM(len(pieces)) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                - len(pieces) AS start_off
+            FROM perdoc),
+          pp AS (
+            SELECT source, doc_id,
+              start_off + unnest(range(0, len(pieces))) AS gpos,
+              unnest(pieces) AS piece
+            FROM off)
+          SELECT source, gpos // 256 AS seq_id,
+            CAST(COUNT(*) AS INT) AS n_pieces,
+            CAST(COUNT(DISTINCT doc_id) AS INT) AS n_docs,
+            md5(string_agg(piece, chr(1) ORDER BY gpos)) AS seq_md5
+          FROM pp GROUP BY source, seq_id ORDER BY source, seq_id"""
+      })
   )
 }

@@ -27,7 +27,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "d10_dup_graph_metrics", "d11_source_overlap", "d15_cdc_dup",
     "t15_ngram_novelty", "v9_knn_graph",
     "c9_dedup_rewrite", "c10_leakage_safe_split", "m8_video_frame_phash",
-    "d19_containment",
+    "d19_containment", "d20_paragraph_dedup", "p5_token_shards",
+    "t27_paragraph_langid", "d21_dup_weights",
     // correlated subqueries must decorrelate to windows/joins —
     // per-outer-row re-execution would surface as a nested-loop join
     "q36_lateral_topk", "q38_scalar_subquery")
