@@ -787,9 +787,14 @@ object CorpusEtl {
           .withColumn("split",
             when(col("bucket") < 230, "train")
               .when(col("bucket") < 243, "val").otherwise("test"))
+        // eager: the semi-join's build (eval bands) and probe (train
+        // bands) sides are independent AQE stages, each re-evaluating
+        // the MinHash pipeline when this frame is lazy (JobProbe r13:
+        // three ~8 s-taskMs sigFrame passes per c10 run); 8 rows/doc
         val bands = TextOps.sigFrame(docs)
           .select(col("doc_id"), posexplode(col("sigs")).as(Seq("band", "h")))
           .join(split.select("doc_id", "split"), Seq("doc_id"))
+          .localCheckpoint(true)
         val evalBands = bands.where(col("split") =!= "train")
           .select("band", "h")
         val contaminated = bands.where(col("split") === "train")

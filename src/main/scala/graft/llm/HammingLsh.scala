@@ -57,8 +57,6 @@ object HammingLsh {
     * `hash: long`): one row per unordered pair (asset_a < asset_b)
     * within `maxHamming`, with its exact distance. */
   def nearDupPairs(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
-    require(maxHamming <= 7,
-      "8 one-byte bands are only a complete candidate generator up to Hamming 7")
     // Both sides of the band self-join read `hashes`, and Spark
     // re-evaluates the frame per side — for digest inputs that cost a
     // codec round-trip (m4's ImageIO decode, m5's PCM walk) or a full
@@ -66,7 +64,17 @@ object HammingLsh {
     // term. The frame is 16 bytes/asset, so materializing it once is
     // membership-sized while the savings are one full digest pass per
     // call (measured on m6 at the 10× replica; SCALING.md r13).
-    val bandRows0 = bandRows(hashes.localCheckpoint(true))
+    nearDupPairsOn(hashes.localCheckpoint(true), maxHamming)
+  }
+
+  /** [[nearDupPairs]] minus the defensive materialization — for callers
+    * whose `hashes` frame is ALREADY an eager checkpoint (p4 pairs over
+    * its prep manifest): re-evaluating an ExistingRDD projection per
+    * join side is free, so the extra copy job is pure overhead there. */
+  def nearDupPairsOn(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= 7,
+      "8 one-byte bands are only a complete candidate generator up to Hamming 7")
+    val bandRows0 = bandRows(hashes)
     val a = bandRows0.select(col("asset_id").as("asset_a"),
       col("hash").as("ha"), col("band"), col("byte"))
     val b = bandRows0.select(col("asset_id").as("asset_b"),

@@ -52,12 +52,32 @@ object PipelineE2e {
   private val L = 512
   private val TopK = 20
 
+  /** p1's per-(session, data-dir) scratch root — shared by the gate and
+    * the plan-inspection twin so both resolve the same built state. */
+  private def p1Root(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_pipeline_e2e/$tag/${graft.Sessions.sessionTag(s)}").getAbsolutePath
+  }
+
+  /** The serve chain with the final materialization suppressed — the
+    * plan-inspection twin (the pageRankLazyPlan posture): the gate's
+    * returned frame ends in Sort(ExistingRDD) since the r13 pre-sort
+    * checkpoint, so PipelineE2eSpec's window/join shape assertions read
+    * this form. Builds the gate's state first (memoized marker). */
+  private[llm] def p1ServeLazyPlan(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    p1q.fn(s, d) // ensure state + indexes exist (session-memoized)
+    val root = p1Root(s, d)
+    servePacked(s, d, s"$root/state", s"$root/textidx", s"$root/vecidx",
+      materializeFinal = false)
+  }
+
   private val p1q: Q =
     Q("p1_pipeline_e2e",
       (s, d) => {
+        val root = p1Root(s, d)
         val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-        val root = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_pipeline_e2e/$tag/${graft.Sessions.sessionTag(s)}").getAbsolutePath
         val state = s"$root/state"
         val tIdx = s"$root/textidx"
         val vIdx = s"$root/vecidx"
@@ -116,7 +136,8 @@ object PipelineE2e {
   /** The measured serve path shared by p1 (batch-built indexes) and
     * p1b (stream-synced indexes): decontaminate → plan → pack. */
   private def servePacked(s: org.apache.spark.sql.SparkSession, d: String,
-      state: String, tIdx: String, vIdx: String): DataFrame = {
+      state: String, tIdx: String, vIdx: String,
+      materializeFinal: Boolean = true): DataFrame = {
         val prep = CorpusRefresh.prepared(s, state)
         val lexHits = TextIndex.search(s, tIdx, Terms, TopK)
           .select("doc_id")
@@ -175,6 +196,13 @@ object PipelineE2e {
             col("start_off"),
             expr(s"start_off div $L").as("first_seq"),
             expr(s"(start_off + n_tokens - 1) div $L").as("last_seq"))
+          // eager before the total ORDER BY (r13): the range
+          // partitioner's sampling pass re-executes its child — here
+          // the in-bucket pack window + offsets join — and p2 consumes
+          // this frame again for its sequence count; one
+          // instance-sized materialization serves all three readers.
+          // (`materializeFinal = false` is the plan-inspection twin.)
+          .transform(df => if (materializeFinal) df.localCheckpoint(true) else df)
           .orderBy("pos")
   }
 

@@ -50,9 +50,18 @@ object Components {
     * @return (node, component) — component = min node id reachable */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val Seq(ca, cb) = pairs.columns.toSeq.take(2)
-    // symmetric edge list + self-loops picked up via the node seed below
-    val edges = pairs.select(col(ca).as("u"), col(cb).as("v"))
-      .unionByName(pairs.select(col(cb).as("u"), col(ca).as("v")))
+    // Materialize the PAIR INPUT eagerly before anything fans out: the
+    // symmetric union below scans it twice inside one job, and callers
+    // feed corpus-priced pipelines (LSH + verify) whose double
+    // evaluation dominated the d7/d12/c1 profiles (JobProbe r13). The
+    // checkpoint is edge-list-sized.
+    val p0 = pairs.select(col(ca).as("u"), col(cb).as("v"))
+      .localCheckpoint(true)
+    // symmetric edge list + self-loops picked up via the node seed below;
+    // cached (cheap rebuild from the checkpoint) so round joins see
+    // materialized stats and broadcast when small
+    val edges = p0
+      .unionByName(p0.select(col("v").as("u"), col("u").as("v")))
       .cache()
     // localCheckpoint per round: iterative plans otherwise nest one level
     // per iteration until analysis itself blows up — lineage truncation is
@@ -161,6 +170,20 @@ object Components {
   def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 40): DataFrame =
     connectedComponentsStarStats(pairs, maxIters)._1
 
+  /** [[connectedComponentsStar]] returning CHILD labels only — rows
+    * (node, component) for nodes that point at a component minimum in
+    * the fixpoint star forest; roots and edge-less nodes are ABSENT
+    * (they label themselves). For callers that left-join the labels
+    * onto a full roster and `coalesce(component, id)` anyway (m6, p4),
+    * the roster scan, its checkpoint job and the final label join here
+    * are pure duplication — this variant skips all three. The groupBy
+    * min keeps the output well-defined even if maxIters truncated
+    * mid-consolidation (duplicate parents collapse to the minimum, the
+    * same guarantee the roster form gives). */
+  def connectedComponentsStarChildren(pairs: DataFrame,
+      maxIters: Int = 40): DataFrame =
+    connectedComponentsStarImpl(pairs, maxIters, roster = false)._1
+
   /** [[connectedComponentsStar]] plus the ROUND COUNT it converged in —
     * the algorithm's actual scale contract (O(log² n), single digits in
     * practice) made observable, so specs can pin it on adversarial
@@ -169,17 +192,31 @@ object Components {
     * in ≤ ~2·log₂(diameter) rounds; the d13b gate runs the same
     * topology against the recursive-closure oracle). */
   def connectedComponentsStarStats(pairs: DataFrame,
-      maxIters: Int = 40): (DataFrame, Int) = {
+      maxIters: Int = 40): (DataFrame, Int) =
+    connectedComponentsStarImpl(pairs, maxIters, roster = true)
+
+  private def connectedComponentsStarImpl(pairs: DataFrame,
+      maxIters: Int, roster: Boolean): (DataFrame, Int) = {
     val Seq(ca, cb) = pairs.columns.toSeq.take(2)
+    // One eager materialization of the raw pair input: the node roster
+    // consumes it twice and the canonical edge set once — three
+    // evaluations of the caller's pair pipeline (m6's band joins, d13b's
+    // global-window ranking) before this checkpoint existed (JobProbe
+    // r13). Edge-list-sized.
+    val p0 = pairs.select(col(ca).as("pu"), col(cb).as("pv"))
+      .localCheckpoint(true)
     // nodes derive from the RAW pairs: a node appearing only in
     // self-pairs has no surviving edge but must still label itself
-    // (same contract as connectedComponents)
-    val nodes = pairs.select(col(ca).as("node"))
-      .unionByName(pairs.select(col(cb).as("node")))
-      .distinct()
-      .localCheckpoint(true)
-    var edges = pairs
-      .select(greatest(col(ca), col(cb)).as("u"), least(col(ca), col(cb)).as("v"))
+    // (same contract as connectedComponents). Skipped in the
+    // children-only form — its callers carry their own roster.
+    val nodes =
+      if (!roster) null
+      else p0.select(col("pu").as("node"))
+        .unionByName(p0.select(col("pv").as("node")))
+        .distinct()
+        .localCheckpoint(true)
+    var edges = p0
+      .select(greatest(col("pu"), col("pv")).as("u"), least(col("pu"), col("pv")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
@@ -256,12 +293,17 @@ object Components {
     // fixpoint is a star forest: child → component-min parent; roots and
     // isolated nodes label themselves. groupBy-min also makes the output
     // well-defined if the cap was hit mid-consolidation.
-    val labels = nodes
-      .join(edges.select(col("u").as("node"), col("v").as("label")),
-        Seq("node"), "left")
-      .groupBy("node")
-      .agg(coalesce(min(col("label")), first(col("node"))).as("component"))
-      .select(col("node"), col("component"))
+    val labels =
+      if (!roster)
+        edges.select(col("u").as("node"), col("v").as("c0"))
+          .groupBy("node").agg(min(col("c0")).as("component"))
+          .select(col("node"), col("component"))
+      else nodes
+        .join(edges.select(col("u").as("node"), col("v").as("label")),
+          Seq("node"), "left")
+        .groupBy("node")
+        .agg(coalesce(min(col("label")), first(col("node"))).as("component"))
+        .select(col("node"), col("component"))
     (labels, iter)
   }
 }

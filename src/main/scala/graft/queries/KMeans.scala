@@ -46,8 +46,19 @@ object KMeans {
     array(cs.map(c => array(c.map(lit(_)): _*)): _*)
 
   /** 0-based nearest-centroid cell id for `vec` — usable standalone to
-    * assign query vectors at search time. */
+    * assign query vectors at search time. Computed by the fused codegen
+    * kernel (the HOF tree it replaces — [[assignCellHof]] — is
+    * CodegenFallback and was the dominant per-row term of every cell
+    * assignment; KMeansSpec pins the two differentially). */
   def assignCell(cs: Array[Array[Double]], vec: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.NearestCellL2(
+      cs.map(_.toSeq).toSeq, ColumnBridge.expression(vec)))
+  }
+
+  /** The composable HOF form of [[assignCell]] — kept as the
+    * differential reference for the kernel (never in a hot path). */
+  private[queries] def assignCellHof(cs: Array[Array[Double]], vec: Column): Column = {
     val d = transform(centroidLit(cs), c => l2sq(c, vec))
     (array_position(d, array_min(d)) - 1).cast("int")
   }
@@ -67,7 +78,9 @@ object KMeans {
     while (centroids.length < k) {
       val far = embeddings
         .select(col(idCol), col(vecCol),
-          array_min(transform(centroidLit(centroids), c => l2sq(c, col(vecCol))))
+          org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.functions.NearestDistL2(centroids.map(_.toSeq).toSeq,
+              org.apache.spark.sql.graft.ColumnBridge.expression(col(vecCol))))
             .as("dmin"))
         .orderBy(desc("dmin"), col(idCol))
         .limit(1).select(col(vecCol)).collect()
@@ -126,8 +139,16 @@ object KMeans {
   // 100 TB a k-row pushed-down scan.
   // ------------------------------------------------------------------
 
-  /** Micro-unit quantization of a float-array column. */
-  private[queries] def quantCol(vecCol: Column): Column =
+  /** Micro-unit quantization of a float-array column — fused codegen
+    * kernel; [[quantColHof]] is the differential reference. */
+  private[queries] def quantCol(vecCol: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.QuantizeMicro(
+      ColumnBridge.expression(vecCol)))
+  }
+
+  /** The composable HOF form of [[quantCol]] (KMeansSpec differential). */
+  private[queries] def quantColHof(vecCol: Column): Column =
     transform(vecCol, x => round(x.cast("double") * 1e6).cast("long"))
 
   /** Exact int64 squared L2 between a long-array literal and a
@@ -139,8 +160,17 @@ object KMeans {
   private def centroidLitQ(cs: Array[Array[Long]]): Column =
     array(cs.map(c => array(c.map(lit(_)): _*)): _*)
 
-  /** 0-based nearest-cell id over quantized centroids; ties → lower id. */
+  /** 0-based nearest-cell id over quantized centroids; ties → lower id.
+    * Fused codegen kernel; [[assignCellQHof]] is the differential twin. */
   private[queries] def assignCellQ(cs: Array[Array[Long]], qv: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.NearestCellL2Q(
+      cs.map(_.toSeq).toSeq, ColumnBridge.expression(qv)))
+  }
+
+  /** The composable HOF form of [[assignCellQ]] — the differential
+    * reference for the kernel (exact int64 fold, first-min tie-break). */
+  private[queries] def assignCellQHof(cs: Array[Array[Long]], qv: Column): Column = {
     val d = transform(centroidLitQ(cs), c => l2sqQ(c, qv))
     (array_position(d, array_min(d)) - 1).cast("int")
   }

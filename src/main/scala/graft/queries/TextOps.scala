@@ -133,7 +133,14 @@ object TextOps {
   }
 
   def jaccardPairsOf(input: DataFrame): DataFrame = {
-    val docs = sigFrame(input).cache()
+    // EAGER materialization, not .cache(): the band self-join's two
+    // exchange sides (and the verify join-backs) are independent AQE
+    // shuffle stages that materialize CONCURRENTLY, and a lazy cache is
+    // populated without locking — both stages found it cold and each
+    // re-ran the full shingle+MinHash pipeline (JobProbe r13 on d16: two
+    // parallel 35 s/47 s-taskMs jobs for one logical sigFrame pass).
+    // The checkpoint is corpus-membership-sized (id + hash array + sigs).
+    val docs = sigFrame(input).localCheckpoint(true)
     val bands = docs.select(col("doc_id"), col("sigs"),
       posexplode(col("sigs")).as(Seq("band", "mh")))
     val cand = bands.select(col("doc_id").as("doc_a"), col("sigs").as("sig_a"),
@@ -413,8 +420,12 @@ object TextOps {
       explode(ngramsExpr(2, distinct = false)).as("bigram"))
       .select(col("doc_id"), xxhash64(col("bigram")).as("bg_h"),
         xxhash64(expr("element_at(split(bigram, ' '), 1)")).as("w1_h"))
+    // eager, not .cache(): the prefix aggregate and the score join's
+    // build side are independent AQE stages — a cold lazy cache re-runs
+    // the corpus bigram explode + count per stage (see jaccardPairsOf);
+    // the model is bigram-vocabulary-sized
     val model = docBg.groupBy("bg_h", "w1_h").agg(count(lit(1)).as("c_bg"))
-      .cache()
+      .localCheckpoint(true)
     val prefix = model.groupBy("w1_h").agg(sum(col("c_bg")).cast("long").as("c_w1"))
     docBg.join(model.join(prefix, Seq("w1_h")).select("bg_h", "c_bg", "c_w1"),
       Seq("bg_h"))
@@ -439,7 +450,11 @@ object TextOps {
     * DupGraphFuzzSpec. */
   def dupGraphMetrics(pairsIn: DataFrame): DataFrame = {
     val Seq(ca, cb) = pairsIn.columns.toSeq.take(2)
-    val pairs = pairsIn.select(col(ca).as("doc_a"), col(cb).as("doc_b")).cache()
+    // eager, not .cache(): five consumers materialize as concurrent AQE
+    // stages — a cold lazy cache re-runs the pair pipeline per stage
+    // (see jaccardPairsOf); the edge list is membership-sized
+    val pairs = pairsIn.select(col(ca).as("doc_a"), col(cb).as("doc_b"))
+      .localCheckpoint(true)
     val deg = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).cast("int").as("degree"))
@@ -468,7 +483,12 @@ object TextOps {
     * hash-diverge on summation order. */
   def pageRank(pairsIn: DataFrame, iters: Int): DataFrame = {
     val Seq(ca, cb) = pairsIn.columns.toSeq.take(2)
-    val pairs = pairsIn.select(col(ca).as("src"), col(cb).as("dst")).cache()
+    // eager, not .cache(): deg's aggregate exchange and adj's join-probe
+    // exchange materialize concurrently under AQE, and each found the
+    // lazy cache cold — the whole LSH-verify pipeline ran twice per d16
+    // invocation (JobProbe r13: 35 s + 47 s taskMs twin jobs)
+    val pairs = pairsIn.select(col(ca).as("src"), col(cb).as("dst"))
+      .localCheckpoint(true)
     val ed = pairs.unionAll(
       pairs.select(col("dst").as("src"), col("src").as("dst")))
     val deg = ed.groupBy("src").agg(count(lit(1)).as("degree"))
@@ -480,7 +500,6 @@ object TextOps {
     // repeated invocations don't accumulate cached partitions.
     val out = rank.localCheckpoint(true)
     adj.unpersist()
-    pairs.unpersist()
     out
   }
 
@@ -1220,7 +1239,7 @@ object TextOps {
           .select((col("doc_id") + 1000000L).as("doc_id"),
             expr("concat_ws(' ', slice(t, 1, greatest((size(t) * 2) div 5, 1)))")
               .as("text"))
-        val docs = sigFrame(base.unionByName(exc)).cache()
+        val docs = sigFrame(base.unionByName(exc)).localCheckpoint(true)
         val bands = docs.select(col("doc_id"), col("sigs"),
           posexplode(col("sigs")).as(Seq("band", "mh")))
         val cand = bands.select(col("doc_id").as("doc_a"), col("sigs").as("sig_a"),
@@ -2038,23 +2057,40 @@ object TextOps {
       (s, d) => {
         val docs = Tables.documentsSpread(s, d)
         val off = 1099511627776L // 2^40 — the audio uid space
-        // Digest frames are consumed THREE times each (both sides of the
-        // band self-join + the asset roster), and each recompute re-runs
-        // the codec round-trip (PNG/BMP encode → ImageIO decode; RIFF
-        // frame → PCM walk) — the query's dominant cost. Materialize
-        // once: the digests are 16 bytes/asset, so the checkpoint is
-        // corpus-membership-sized while the savings are 2× the full
-        // synth+decode pass per modality (measured 25.9 → ~8 s at the
-        // 10× replica; SCALING.md r13).
-        val ih = graft.llm.ImagePhash.avgHash(
-          graft.llm.ImagePhash.synthAssets(docs)).toDF.localCheckpoint(true)
-        val ah = graft.llm.AudioFingerprint.envelopeHash(
-          graft.llm.AudioFingerprint.synthAssets(docs)).toDF.localCheckpoint(true)
-        val ip = graft.llm.HammingLsh.nearDupPairs(ih, maxHamming = 7)
-          .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b"))
-        val ap = graft.llm.HammingLsh.nearDupPairs(ah, maxHamming = 7)
-          .select((col("asset_a") + off).as("doc_a"),
-            (col("asset_b") + off).as("doc_b"))
+        // Digest frames are consumed by both sides of the band self-join
+        // AND the asset roster, and each recompute re-runs the codec
+        // round-trip (PNG/BMP encode → ImageIO decode; RIFF frame → PCM
+        // walk) — the query's dominant cost. Materialize ONCE as a
+        // single unioned checkpoint (r13 optimization round): one job
+        // runs both modality codec passes in parallel across the cores
+        // instead of two serialized checkpoints, the audio uid offset is
+        // applied before the union so the 16-byte/asset frame is already
+        // in the final id space, and one frame feeds pairing + roster.
+        val digests = graft.llm.ImagePhash.avgHash(
+            graft.llm.ImagePhash.synthAssets(docs)).toDF
+          .select(col("asset_id"), col("hash"))
+          .unionByName(graft.llm.AudioFingerprint.envelopeHash(
+              graft.llm.AudioFingerprint.synthAssets(docs)).toDF
+            .select((col("asset_id") + off).as("asset_id"), col("hash")))
+          .localCheckpoint(true)
+        // ONE band self-join for both modalities (was one per modality):
+        // `asset_id >= off` is the modality key, joined alongside
+        // (band, byte), so no cross-modality candidate can pair and the
+        // pair set is exactly the union of the two per-modality joins —
+        // one exchange instead of two. Same first-shared-band codegen
+        // dedup and Hamming ≤ 7 filter as HammingLsh.nearDupPairs.
+        val br = graft.llm.HammingLsh.bandRows(digests)
+          .withColumn("m", (col("asset_id") >= off).cast("int"))
+        val pairs = br.select(col("asset_id").as("doc_a"),
+            col("hash").as("ha"), col("m"), col("band"), col("byte"))
+          .join(br.select(col("asset_id").as("doc_b"),
+            col("hash").as("hb"), col("m"), col("band"), col("byte")),
+            Seq("m", "band", "byte"))
+          .where(col("doc_a") < col("doc_b"))
+          .withColumn("xr", expr("ha ^ hb"))
+          .where(col("band") === graft.llm.HammingLsh.firstSharedBand)
+          .where(expr("bit_count(xr)") <= 7)
+          .select("doc_a", "doc_b")
         // Star CC, not d7's hash-min: perceptual-band graphs CHAIN
         // (near-threshold transitivity — a~b~c each within Hamming 7,
         // a̸~c), so diameter grows with the corpus and hash-min pays a
@@ -2064,10 +2100,12 @@ object TextOps {
         // Jaccard-verified and stays shallow — hash-min remains right
         // THERE (SCALING.md r11 adjudication); topology picks the
         // algorithm.
-        val comp = Components.connectedComponentsStar(ip.union(ap))
+        // children-only labels: the digest roster below coalesces roots
+        // and singletons to themselves, so the CC-internal node roster
+        // (an extra checkpoint job + label join) is pure duplication
+        val comp = Components.connectedComponentsStarChildren(pairs)
           .withColumnRenamed("node", "uid")
-        val assets = ih.select(col("asset_id").as("uid"))
-          .union(ah.select((col("asset_id") + off).as("uid")))
+        val assets = digests.select(col("asset_id").as("uid"))
         assets.join(comp, Seq("uid"), "left")
           .withColumn("component", coalesce(col("component"), col("uid")))
           .groupBy("component")
@@ -2172,10 +2210,11 @@ object TextOps {
       (s, d) => {
         val prep = graft.llm.MediaPrep.prep(Tables.documentsSpread(s, d))
           .toDF.localCheckpoint(true)
-        val pairs = graft.llm.HammingLsh.nearDupPairs(
+        val pairs = graft.llm.HammingLsh.nearDupPairsOn(
             prep.select(col("asset_id"), col("hash")), maxHamming = 7)
           .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b"))
-        val comp = Components.connectedComponentsStar(pairs)
+        // children-only labels (roster coalesce below — see m6)
+        val comp = Components.connectedComponentsStarChildren(pairs)
           .withColumnRenamed("node", "uid")
         prep.join(comp, prep("asset_id") === comp("uid"), "left")
           .withColumn("component", coalesce(col("component"), col("asset_id")))

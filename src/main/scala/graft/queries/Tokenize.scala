@@ -791,6 +791,12 @@ object Tokenize {
         val stream = docs
           .select(col("doc_id"), col("source"), posexplode(tokens).as(Seq("pos", "tok")))
           .where(col("tok") =!= "")
+        // eager: the in-bucket window and the bucket-base aggregate are
+        // independent consumers whose column-pruned copies of this
+        // subtree canonicalize differently, so exchange reuse does NOT
+        // fire — the token explode + encode join + collect_list agg ran
+        // twice (JobProbe r13: twin 1.4/1.5 s jobs writing the same
+        // 30.8 MB). One checkpoint, pieces-stream-sized.
         val perDoc = stream.join(enc.select("tok", "symbols"), Seq("tok"))
           .groupBy("doc_id", "source")
           .agg(expr("""flatten(transform(
@@ -798,6 +804,7 @@ object Tokenize {
               x -> x.symbols))""").as("pieces"))
           .withColumn("n_pieces", size(col("pieces")).cast("long"))
           .withColumn("bucket", expr("doc_id div 10000"))
+          .localCheckpoint(true)
         import org.apache.spark.sql.expressions.Window
         val wIn = Window.partitionBy("source", "bucket").orderBy("doc_id")
         val within = perDoc.withColumn("cum_in", sum(col("n_pieces")).over(wIn))
@@ -818,6 +825,12 @@ object Tokenize {
             md5(concat_ws("\u0001",
               expr("transform(array_sort(collect_list(struct(gpos, piece))), x -> x.piece)")))
               .as("seq_md5"))
+          // eager before the total ORDER BY: the range partitioner's
+          // sampling pass re-executes its child, and here the child is
+          // the per-sequence collect+md5 aggregate (JobProbe r13: a
+          // 1.8 s sampling twin of the 1.2 s output job). The sequence
+          // manifest is rows-of-digests — tiny.
+          .localCheckpoint(true)
           .orderBy("source", "seq_id")
       },
       Some {

@@ -46,8 +46,11 @@ class PipelineE2eSpec extends AnyFunSuite {
     // the pack stage's cumulative offsets ride ONE unpartitioned window
     // whose input is the ≤256-row bucket aggregate — every other window
     // (in-bucket numbering, search ranking, plan greedy) must carry a
-    // partition spec, or an epoch-wide single-partition sort snuck in
-    val windows = serve.queryExecution.optimizedPlan.collect {
+    // partition spec, or an epoch-wide single-partition sort snuck in.
+    // Inspect the LAZY twin: the gate's frame ends in Sort(ExistingRDD)
+    // since the r13 pre-sort checkpoint (the pageRankLazyPlan posture).
+    val windows = PipelineE2e.p1ServeLazyPlan(spark, sf)
+      .queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
     assert(windows.nonEmpty)

@@ -165,6 +165,24 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("star children-only variant ≡ roster form after self-label coalesce") {
+    // mixed topology: chain + clique + a self-pair-only node + a root
+    // with no children of its own
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 20L))
+    val df = edges.toDF("a", "b")
+    val roster = Components.connectedComponentsStar(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val children = Components.connectedComponentsStarChildren(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // children rows agree with the roster labels...
+    for ((n, c) <- children) assert(roster(n) == c, s"node $n")
+    // ...and every node ABSENT from children is its own component in
+    // the roster form (roots + self-pair-only nodes label themselves)
+    for ((n, c) <- roster if !children.contains(n))
+      assert(n == c, s"absent node $n labeled $c")
+  }
+
   test("disjoint cliques keep separate canonical ids") {
     val cliqueA = for (i <- 0 to 3; j <- (i + 1) to 3) yield (i.toLong, j.toLong)
     val cliqueB = for (i <- 10 to 13; j <- (i + 1) to 13) yield (i.toLong, j.toLong)
