@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked program's stdout verbatim instead of through sbt's
+// logger: the logger prefixes every line with "[info] ", which breaks any
+// consumer that json-parses the bench/verify marker lines (the driver's
+// BENCH_r*.json has recorded parsed:null in every round — the prefix and
+// the logger's line handling are the prime suspects the repo can fix).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

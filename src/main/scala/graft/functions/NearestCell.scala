@@ -27,9 +27,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   *    IEEE-identical to the sequential fold it replaces.
   *  - Ties break to the LOWER cell id (strict `<` keeps the first
   *    minimum — `array_position` semantics).
-  *  - Returns null for a null input or when any codebook row's length
-  *    differs from the input's (the HOF form yields a null distance
-  *    there, poisoning the argmin the same way).
+  *  - Returns null for a null input, when any codebook row's length
+  *    differs from the input's, or when the input contains a null
+  *    element (the HOF form yields a null distance in each case,
+  *    poisoning the argmin the same way — and the quantized inputs'
+  *    dataType is containsNull=true, so the type system admits it).
   */
 abstract class NearestCellBase extends UnaryExpression {
   override def dataType: DataType = IntegerType
@@ -37,7 +39,6 @@ abstract class NearestCellBase extends UnaryExpression {
   override val nullIntolerant: Boolean = true
 
   protected def elemType: DataType
-  protected def arity: Int
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(t, _) if t == elemType => TypeCheckResult.TypeCheckSuccess
@@ -50,7 +51,6 @@ case class NearestCellL2Q(codebook: Seq[Seq[Long]], child: Expression)
     extends NearestCellBase {
   override def prettyName: String = "nearest_cell_l2q"
   override protected def elemType: DataType = LongType
-  override protected def arity: Int = codebook.length
 
   @transient private lazy val cb: Array[Array[Long]] =
     codebook.map(_.toArray).toArray
@@ -60,6 +60,8 @@ case class NearestCellL2Q(codebook: Seq[Seq[Long]], child: Expression)
     val n = a.numElements()
     var c = 0
     while (c < cb.length) { if (cb(c).length != n) return null; c += 1 }
+    c = 0
+    while (c < n) { if (a.isNullAt(c)) return null; c += 1 }
     var best = -1
     var bestD = Long.MaxValue
     c = 0
@@ -88,6 +90,9 @@ case class NearestCellL2Q(codebook: Seq[Seq[Long]], child: Expression)
          |for (int $c = 0; $c < ${cb.length}; $c++) {
          |  if ($cbRef[$c].length != $n) { $bad = true; break; }
          |}
+         |for (int $c = 0; $c < $n && !$bad; $c++) {
+         |  if ($a.isNullAt($c)) { $bad = true; }
+         |}
          |if ($bad) {
          |  ${ev.isNull} = true;
          |} else {
@@ -114,7 +119,6 @@ case class NearestCellL2(codebook: Seq[Seq[Double]], child: Expression)
     extends NearestCellBase {
   override def prettyName: String = "nearest_cell_l2"
   override protected def elemType: DataType = FloatType
-  override protected def arity: Int = codebook.length
 
   @transient private lazy val cb: Array[Array[Double]] =
     codebook.map(_.toArray).toArray
@@ -124,6 +128,8 @@ case class NearestCellL2(codebook: Seq[Seq[Double]], child: Expression)
     val n = a.numElements()
     var c = 0
     while (c < cb.length) { if (cb(c).length != n) return null; c += 1 }
+    c = 0
+    while (c < n) { if (a.isNullAt(c)) return null; c += 1 }
     var best = -1
     var bestD = Double.NaN
     c = 0
@@ -156,6 +162,9 @@ case class NearestCellL2(codebook: Seq[Seq[Double]], child: Expression)
          |boolean $bad = ${cb.length} == 0;
          |for (int $c = 0; $c < ${cb.length}; $c++) {
          |  if ($cbRef[$c].length != $n) { $bad = true; break; }
+         |}
+         |for (int $c = 0; $c < $n && !$bad; $c++) {
+         |  if ($a.isNullAt($c)) { $bad = true; }
          |}
          |if ($bad) {
          |  ${ev.isNull} = true;
@@ -208,6 +217,8 @@ case class NearestDistL2(codebook: Seq[Seq[Double]], child: Expression)
     val n = a.numElements()
     var c = 0
     while (c < cb.length) { if (cb(c).length != n) return null; c += 1 }
+    c = 0
+    while (c < n) { if (a.isNullAt(c)) return null; c += 1 }
     var best = -1
     var bestD = Double.NaN
     c = 0
@@ -238,6 +249,9 @@ case class NearestDistL2(codebook: Seq[Seq[Double]], child: Expression)
          |boolean $bad = ${cb.length} == 0;
          |for (int $c = 0; $c < ${cb.length}; $c++) {
          |  if ($cbRef[$c].length != $n) { $bad = true; break; }
+         |}
+         |for (int $c = 0; $c < $n && !$bad; $c++) {
+         |  if ($a.isNullAt($c)) { $bad = true; }
          |}
          |if ($bad) {
          |  ${ev.isNull} = true;

@@ -18,6 +18,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * `java.math.BigDecimal.valueOf`), then the double→long cast's
   * truncation. Null elements stay null; a null array stays null.
   * KMeansSpec pins this against the literal BigDecimal formula.
+  *
+  * Non-finite elements: Spark's Round passes NaN/±Inf through and the
+  * kernel then applies the JVM double→long conversion (0 /
+  * ±Long.MaxValue). The ANSI HOF form instead throws CAST_OVERFLOW
+  * there — a deliberate divergence: on the Lloyd hot path over
+  * arbitrary embeddings a poisoned element must not crash the job
+  * (ADVICE r13). `BigDecimal.valueOf` would throw
+  * NumberFormatException on non-finite input, hence the guard.
   */
 case class QuantizeMicro(child: Expression) extends UnaryExpression {
   override def prettyName: String = "quantize_micro"
@@ -51,9 +59,14 @@ object QuantizeMicro {
     while (i < n) {
       if (!a.isNullAt(i)) {
         val d = a.getFloat(i).toDouble * 1e6
-        out(i) = java.math.BigDecimal.valueOf(d)
-          .setScale(0, java.math.RoundingMode.HALF_UP)
-          .doubleValue().toLong
+        // Spark's Round guards NaN/Inf before BigDecimal.valueOf (which
+        // throws NumberFormatException on them); the double→long cast
+        // then yields 0 / ±Long.MaxValue — mirror that exactly.
+        out(i) =
+          if (d.isNaN || d.isInfinite) d.toLong
+          else java.math.BigDecimal.valueOf(d)
+            .setScale(0, java.math.RoundingMode.HALF_UP)
+            .doubleValue().toLong
       }
       i += 1
     }

@@ -179,4 +179,37 @@ class KMeansSpec extends AnyFunSuite {
       .select(KMeans.assignCell(cs3, col("embedding")).as("k")).collect()
     assert(r.head.isNullAt(0))
   }
+
+  test("quantCol NaN/Inf elements degrade gracefully (Round-guard cast)") {
+    // The HOF reference throws under ANSI (cast(NaN as long) is
+    // CAST_OVERFLOW in Spark 4); the kernel instead follows Spark
+    // Round's NaN/Inf pass-through plus the JVM double→long conversion
+    // (0 / ±Long.MaxValue) — graceful degradation on the Lloyd hot
+    // path over arbitrary embeddings, never an executor crash.
+    val weird = Seq((0L, Array(Float.NaN, Float.PositiveInfinity,
+      Float.NegativeInfinity, 1.5f))).toDF("vec_id", "embedding")
+    val kq = weird.select(KMeans.quantCol(col("embedding")).as("k"))
+      .head.getSeq[Long](0)
+    assert(kq == Seq(0L, Long.MaxValue, Long.MinValue, 1500000L))
+  }
+
+  test("assignment kernels null on a null vector element (HOF parity)") {
+    // quantized inputs are containsNull=true, so the type system admits
+    // this; the HOF form's null distance poisons the argmin to null.
+    val csQ = Array(Array(0L, 0L, 0L))
+    val csD = Array(Array(0.0, 0.0, 0.0))
+    val one = spark.range(1)
+    val rq = one
+      .select(expr("array(1L, cast(null as long), 3L)").as("qv"))
+      .select(KMeans.assignCellQ(csQ, col("qv")).as("k"),
+        KMeans.assignCellQHof(csQ, col("qv")).as("h")).collect()
+    assert(rq.head.isNullAt(0) && rq.head.isNullAt(1))
+    val rf = one
+      .select(expr(
+        "array(cast(1 as float), cast(null as float), cast(3 as float))")
+        .as("fv"))
+      .select(KMeans.assignCell(csD, col("fv")).as("k"),
+        KMeans.assignCellHof(csD, col("fv")).as("h")).collect()
+    assert(rf.head.isNullAt(0) && rf.head.isNullAt(1))
+  }
 }
