@@ -651,4 +651,29 @@ object CorpusRefresh {
             col("cluster_size"), col("n_emails"), col("n_phones"), col("n_ssns"),
             col("redacted"))
     }
+
+  /** [[prepared]] restricted to the METADATA columns (doc_id, lang,
+    * n_tokens, n_copies, cluster_size) — the same keeper ROW SET with
+    * the scrub assembly skipped entirely. Catalyst cannot eliminate the
+    * scrub left join on its own (no join-elimination rule for a
+    * non-provably-unique right side), so a metadata-only consumer of
+    * [[prepared]] still pays the scrub parquet scan — redacted text
+    * included — plus its max-gen window and the join exchange, only to
+    * drop every scrub column in its projection. The p1/p1b/p2 serve
+    * path (survivor ids/langs/token counts) is exactly that consumer
+    * (guide §2.3: project before the work, not after). */
+  def preparedMeta(spark: SparkSession, dir: String,
+      cfg: CorpusEtlConfig = CorpusEtlConfig()): DataFrame =
+    exactResolve(spark, dir) match {
+      case None =>
+        spark.range(0).select(col("id").as("doc_id"),
+          lit("").as("lang"), lit(0).as("n_tokens"), lit(0).as("n_copies"),
+          lit(1).as("cluster_size"))
+      case Some(ex) =>
+        val keepers = ex.select(col("keeper_id").as("doc_id"), col("lang"),
+          col("n_tokens"), col("n_copies"))
+        canonicalOf(spark, dir, keepers, cfg)
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_copies"),
+            col("cluster_size"))
+    }
 }

@@ -138,7 +138,13 @@ object PipelineE2e {
   private def servePacked(s: org.apache.spark.sql.SparkSession, d: String,
       state: String, tIdx: String, vIdx: String,
       materializeFinal: Boolean = true): DataFrame = {
-        val prep = CorpusRefresh.prepared(s, state)
+        // metadata-only prepared: the serve path consumes survivor
+        // (id, lang, n_tokens) — preparedMeta skips the scrub parquet
+        // scan (redacted text bytes), its max-gen window and the left
+        // join that [[CorpusRefresh.prepared]] would assemble just to be
+        // projected away (Catalyst has no left-join elimination; same
+        // keeper row set either way, pinned by the p1/p1b/p2 oracles).
+        val prep = CorpusRefresh.preparedMeta(s, state)
         val lexHits = TextIndex.search(s, tIdx, Terms, TopK)
           .select("doc_id")
         val semHits = VectorIndex.search(s, vIdx,

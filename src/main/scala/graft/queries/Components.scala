@@ -19,87 +19,71 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** Runs `body` with AQE disabled and `spark.sql.shuffle.partitions`
-    * pinned to `partitions` (both restored after). For the star fixpoint
-    * loop only: every in-loop frame is O(|edges|), so the shuffle width
-    * the input checkpoint materialized at (AQE-coalesced to target size
-    * before the loop starts) is the right width for every round — there
-    * is nothing left for runtime re-planning to learn, and measured on
-    * the d13 chain graph AQE's per-stage re-plan jobs put a ~0.8 s floor
-    * under each round while plain static plans at the checkpoint's width
-    * run the same round in ~0.4 s. Skew in the corpus-sized PAIR
-    * GENERATION feeding the loop still gets AQE: inputs are materialized
-    * by the eager checkpoint before this wrapper runs. Session-scoped
-    * set/restore — the engine's query entry points run one statement at
-    * a time per session. */
-  private def withLoopConf[T](spark: org.apache.spark.sql.SparkSession,
-      partitions: Int)(body: => T): T = {
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val partKey = "spark.sql.shuffle.partitions"
-    val aqeWas = spark.conf.get(aqeKey, "true")
-    val partWas = spark.conf.get(partKey, "32")
-    spark.conf.set(aqeKey, "false")
-    spark.conf.set(partKey, math.max(partitions, 1).toString)
-    try body finally {
-      spark.conf.set(aqeKey, aqeWas)
-      spark.conf.set(partKey, partWas)
-    }
-  }
-
   /** @param pairs two-column DataFrame of undirected edges (a, b)
     * @return (node, component) — component = min node id reachable */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
     val Seq(ca, cb) = pairs.columns.toSeq.take(2)
     // Materialize the PAIR INPUT eagerly before anything fans out: the
-    // symmetric union below scans it twice inside one job, and callers
-    // feed corpus-priced pipelines (LSH + verify) whose double
-    // evaluation dominated the d7/d12/c1 profiles (JobProbe r13). The
-    // checkpoint is edge-list-sized.
+    // symmetric edge list consumes it twice, and callers feed
+    // corpus-priced pipelines (LSH + verify) whose double evaluation
+    // dominated the d7/d12/c1 profiles (JobProbe r13). The checkpoint
+    // is edge-list-sized.
     val p0 = pairs.select(col(ca).as("u"), col(cb).as("v"))
       .localCheckpoint(true)
-    // symmetric edge list + self-loops picked up via the node seed below;
-    // cached (cheap rebuild from the checkpoint) so round joins see
-    // materialized stats and broadcast when small
-    val edges = p0
-      .unionByName(p0.select(col("v").as("u"), col("u").as("v")))
-      .cache()
-    // localCheckpoint per round: iterative plans otherwise nest one level
-    // per iteration until analysis itself blows up — lineage truncation is
-    // mandatory for any loop-until-fixpoint DataFrame algorithm.
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    val outType = p0.select(greatest(col("u"), col("v")).as("n"))
+      .schema("n").dataType
+    // The label-propagation LOOP runs on RDD[(Long, Long)] (the same
+    // move as the star loop below, r14): per round the DF version paid
+    // Catalyst planning + two actions; here the symmetric edge list is
+    // hash-partitioned ONCE, labels come out of each round partitioned
+    // the same way, so the per-round join is NARROW (zero shuffle) and
+    // the whole round is one reduceByKey shuffle + one count action.
+    // Semantics identical: min label among self ∪ neighbors, converged
+    // when no label changed (the own-label rides the same reduce).
+    val parts = math.max(1, p0.rdd.getNumPartitions)
+    val part = new org.apache.spark.HashPartitioner(parts)
+    // keyed by the LABEL SOURCE endpoint: edge (v -> u) delivers v's
+    // label to u; both directions present, so keys cover every node
+    val sym = p0.select(col("u").cast("long"), col("v").cast("long"))
+      .na.drop() // a null endpoint can never join a label anyway
+      .rdd.flatMap { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        Iterator((a, b), (b, a))
+      }
+      .partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.mapPartitions(
+        _.map { case (n, _) => (n, n) }, preservesPartitioning = true)
+      .reduceByKey(part, (a: Long, b: Long) => math.min(a, b)) // distinct nodes
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labels.localCheckpoint()
     var iter = 0
-    var converged = false
-    // AQE stays ON here (unlike the star loop): `edges` is cached with
-    // known stats, so the per-round join already broadcasts when small at
-    // plan time, and dense near-dup graphs converge in ≤3-4 rounds — the
-    // measured AQE job overhead never dominates. Disabling it regressed
-    // this path (checkpointed `labels` has unknown stats → both join
-    // sides fall back to 32-partition sort-merge exchanges).
+    var converged = labels.isEmpty()
     while (iter < maxIters && !converged) {
-      // Each node's new label: min of its own and every neighbor's label.
-      // The node's OWN previous label rides the same aggregate (tagged
-      // rows + conditional min — every node has exactly one own row), so
-      // convergence detection is a filter over the checkpointed result
-      // instead of a second shuffle join per round: one shuffle job per
-      // round total.
-      val neighborLabels = edges
-        .join(labels.withColumnRenamed("node", "v"), Seq("v"))
-        .select(col("u").as("node"), col("label"), lit(false).as("own"))
-      val next = labels.withColumn("own", lit(true))
-        .unionByName(neighborLabels)
-        .groupBy("node")
-        .agg(min("label").as("label"),
-          min(when(col("own"), col("label"))).as("old_label"))
-        .localCheckpoint(true)
-      val changed = next.where(col("label") =!= col("old_label"))
-        .limit(1).count()
-      labels = next.select("node", "label")
+      // Each node's new label: min of its own and every neighbor's.
+      // sym and labels share `part`, so the join is narrow; the value
+      // pair carries (candidate label, own label or MaxValue) and one
+      // reduce yields both the new label and the convergence signal.
+      val next = sym.join(labels, part)
+        .map { case (_, (u, lab)) => (u, (lab, Long.MaxValue)) }
+        .union(labels.mapPartitions(
+          _.map { case (n, l) => (n, (l, l)) }, preservesPartitioning = true))
+        .reduceByKey(part, (a: (Long, Long), b: (Long, Long)) =>
+          (math.min(a._1, b._1), math.min(a._2, b._2)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.localCheckpoint()
+      // full count (not take(1)): materializes every partition of the
+      // persist, so the next round never recomputes the chain
+      val changed = next.filter { case (_, (lab, old)) => lab != old }.count()
+      val prev = labels
+      labels = next.mapPartitions(
+        _.map { case (n, (lab, _)) => (n, lab) }, preservesPartitioning = true)
+      prev.unpersist(blocking = false)
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
+    sym.unpersist(blocking = false)
     if (!converged)
       // Silent truncation here would split components (wrong keeper
       // selection downstream) — surface it. Diameter > maxIters means the
@@ -108,7 +92,10 @@ object Components {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents hit maxIters=$maxIters before convergence; " +
           "labels may split long chains — raise maxIters")
-    labels.select(col("node"), col("label").as("component"))
+    spark.createDataFrame(labels)
+      .toDF("node", "component")
+      .select(col("node").cast(outType).as("node"),
+        col("component").cast(outType).as("component"))
   }
 
   /** Connected components via alternating large-star/small-star rounds
@@ -197,6 +184,7 @@ object Components {
 
   private def connectedComponentsStarImpl(pairs: DataFrame,
       maxIters: Int, roster: Boolean): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
     val Seq(ca, cb) = pairs.columns.toSeq.take(2)
     // One eager materialization of the raw pair input: the node roster
     // consumes it twice and the canonical edge set once — three
@@ -215,95 +203,123 @@ object Components {
         .unionByName(p0.select(col("pv").as("node")))
         .distinct()
         .localCheckpoint(true)
-    var edges = p0
+    // The fixpoint LOOP runs on RDD[(Long, Long)], not DataFrames —
+    // measured (JobProbe r13/r14): each DataFrame round paid a
+    // 0.2-0.45 s DRIVER gap (Catalyst analyze/optimize/physical-plan/
+    // codegen of the round plan, re-done per round because every round
+    // roots at a fresh checkpoint) on top of ~0.1-0.5 s of actual round
+    // work — planning cost ≈ compute cost, at every scale the same
+    // constant per round. The round body is min/join/distinct over two
+    // long columns; RDD shuffles of primitive pairs lose nothing to
+    // codegen here, shuffle files are reused across the round's two
+    // consumers of `afterLarge` (no within-round double compute — the
+    // DF version recomputed `sym` once per consumer), and the per-round
+    // driver cost drops to task scheduling alone. Semantics are
+    // IDENTICAL (same canonicalization, same round algebra, same
+    // fixpoint test, same labels — ComponentsSpec pins all of it,
+    // including round counts and union-find ground truth).
+    // `greatest/least` coerce the two columns; the loop works in long
+    // and the output casts back to that coerced type.
+    val canon = p0
       .select(greatest(col("pu"), col("pv")).as("u"), least(col("pu"), col("pv")).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
-
+    val outType = canon.schema("u").dataType
+    val parts = math.max(1, p0.rdd.getNumPartitions)
+    val part = new org.apache.spark.HashPartitioner(parts)
+    def materialized(r: org.apache.spark.rdd.RDD[(Long, Long)])
+        : org.apache.spark.rdd.RDD[(Long, Long)] = {
+      // lineage truncation + memoization, the RDD form of the DF
+      // version's eager localCheckpoint(true); the materializing action
+      // is the fixpoint check below (it shuffles, so it computes EVERY
+      // partition — an isEmpty/take(1) would leave partitions
+      // unmaterialized and the next round would recompute the chain).
+      r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.localCheckpoint()
+      r
+    }
+    var edges = materialized(
+      canon.select(col("u").cast("long"), col("v").cast("long"))
+        .rdd.map(r => (r.getLong(0), r.getLong(1)))
+        .distinct(parts))
     var iter = 0
-    var converged = edges.isEmpty
-    // The exact fixpoint test, one map-side-combined shuffle + isEmpty
-    // over the just-checkpointed round output. A PROPER star forest —
+    // The exact fixpoint test — one map-side-combined shuffle + count
+    // over the just-materialized round output. A PROPER star forest —
     // 2-level and single-parent — violates in exactly two ways: a node
     // carries both a child row and a parent row (a chain of length ≥ 2
     // survives), or a node carries ≥ 2 child rows (two parents, which
     // the next small-star would still rewire, as in {(3,1),(3,2)}).
     // `deg` counts n's parents (edge set is distinct, so plain sum).
-    def isStarForest(df: DataFrame): Boolean =
-      df.select(col("u").as("n"), lit(1).as("deg"), lit(0).as("p"))
-        .unionByName(df.select(col("v").as("n"), lit(0).as("deg"), lit(1).as("p")))
-        .groupBy("n").agg(sum(col("deg")).as("deg"), max(col("p")).as("p"))
-        .where((col("p") === 1 && col("deg") > 0) || col("deg") > 1)
-        .isEmpty
-    // Loop shuffle width = the width the input checkpoint materialized
-    // at: AQE already coalesced it to target partition size, every
-    // in-loop frame is O(|edges|), and a static width keeps each round
-    // at its 3-exchange minimum (see withLoopConf). At toy scale this is
-    // 1 partition; at cluster scale it is the data-sized width.
-    val loopPartitions = if (converged) 1 else edges.rdd.getNumPartitions
-    // One large-star + small-star round, pure lineage (no materialization).
-    def round(edges0: DataFrame): DataFrame = {
+    def isStarForest(e: org.apache.spark.rdd.RDD[(Long, Long)]): Boolean =
+      e.flatMap { case (u, v) => Iterator((u, (1L, 0)), (v, (0L, 1))) }
+        .reduceByKey(part, (a, b) => (a._1 + b._1, math.max(a._2, b._2)))
+        .filter { case (_, (deg, p)) => (p == 1 && deg > 0) || deg > 1 }
+        .count() == 0
+    // One large-star + small-star round — each star pass is ONE grouped
+    // shuffle (the aggregate-then-join-back DF shape costs two shuffles
+    // of `sym`/`afterLarge` per pass; grouping gives the min AND the
+    // neighbor list in the same pass, so a round is 2 shuffles + the
+    // round-end distinct instead of 5). Groups hold one Long per
+    // incident edge and Spark's group buffers spill, so a hub node is
+    // disk-bounded, not memory-bounded — the standard MapReduce
+    // formulation of these stars (Kiveris et al. §4 reduce functions).
+    def round(e: org.apache.spark.rdd.RDD[(Long, Long)])
+        : org.apache.spark.rdd.RDD[(Long, Long)] = {
       // large-star: symmetrize; m(x) = min(Γ(x) ∪ {x}); attach every
       // neighbor y > x to m(x). Every canonical edge is re-emitted from
       // the perspective of its smaller endpoint, so connectivity holds.
-      val sym = edges0.select(col("u"), col("v"))
-        .unionByName(edges0.select(col("v").as("u"), col("u").as("v")))
-      val largeMins = sym.groupBy("u")
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
-      // No dedup between the stars: the large-star output stays
-      // u-hash-partitioned out of its join, so the small-star groupBy
-      // and join below need NO further exchange — a distinct() here
-      // would repartition on (u,v) and force two extra exchanges per
-      // round. Duplicate (u,v) rows (several neighbors attaching v to
-      // the same min) are absorbed map-side by the min aggregate and
-      // swept by the round-end distinct; volume stays O(|edges|).
-      val afterLarge = sym.where(col("v") > col("u"))
-        .join(largeMins, Seq("u"))
-        .select(col("v").as("u"), col("m").as("v"))
+      val afterLarge = e
+        .flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+        .groupByKey(part)
+        .flatMap { case (u, vs) =>
+          var m = u
+          vs.foreach(v => if (v < m) m = v)
+          val mm = m
+          vs.iterator.filter(_ > u).map(v => (v, mm))
+        }
       // small-star: per node, re-point all parents (smaller neighbors)
       // at the minimum parent, keeping the node's own link to it.
-      val smallMins = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
-      afterLarge.join(smallMins, Seq("u"))
-        .where(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionByName(smallMins.select(col("u"), col("m").as("v")))
+      // Duplicate (v, m) emissions (several large-star groups attaching
+      // the same v to the same m) are swept by the round-end distinct,
+      // exactly like the DF join's duplicates were.
+      afterLarge
+        .groupByKey(part)
+        .flatMap { case (u, vs) =>
+          var m = Long.MaxValue
+          vs.foreach(v => if (v < m) m = v)
+          val mm = m
+          vs.iterator.filter(_ != mm).map(v => (v, mm)) ++ Iterator((u, mm))
+        }
     }
-    withLoopConf(pairs.sparkSession, loopPartitions) {
-      converged = converged || isStarForest(edges)
-      while (iter < maxIters && !converged) {
-        // ONE round per eager localCheckpoint. Fusing two rounds into a
-        // single lineage was measured 6-10× SLOWER (23-57 s vs ~4 s at
-        // sf0.1): the checkpoint is not only lineage truncation but
-        // MEMOIZATION — `sym` feeds both the groupBy and the join probe,
-        // so an unmaterialized round gets recomputed once per consumer,
-        // compounding across the fused pair. Spark shares no common
-        // subplans within a job beyond exchange reuse.
-        val next = round(edges)
-          .distinct()
-          .localCheckpoint(true)
-        converged = isStarForest(next)
-        edges = next
-        iter += 1
-      }
+    var converged = isStarForest(edges)
+    while (iter < maxIters && !converged) {
+      // ONE round per materialization (the DF adjudication stands:
+      // fusing rounds compounds recomputation; a round's output must be
+      // memoized before the next consumes it twice via `sym`).
+      val next = materialized(round(edges).distinct(parts))
+      converged = isStarForest(next)
+      edges.unpersist(blocking = false)
+      edges = next
+      iter += 1
     }
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponentsStar hit maxIters=$maxIters before convergence")
     // fixpoint is a star forest: child → component-min parent; roots and
-    // isolated nodes label themselves. groupBy-min also makes the output
-    // well-defined if the cap was hit mid-consolidation.
+    // isolated nodes label themselves. The reduceByKey(min) also keeps
+    // the output well-defined if the cap was hit mid-consolidation
+    // (duplicate parents collapse to the minimum).
+    val childLabels = spark
+      .createDataFrame(edges.reduceByKey(part, (a: Long, b: Long) => math.min(a, b)))
+      .toDF("node", "component")
+      .select(col("node").cast(outType).as("node"),
+        col("component").cast(outType).as("component"))
     val labels =
-      if (!roster)
-        edges.select(col("u").as("node"), col("v").as("c0"))
-          .groupBy("node").agg(min(col("c0")).as("component"))
-          .select(col("node"), col("component"))
+      if (!roster) childLabels
       else nodes
-        .join(edges.select(col("u").as("node"), col("v").as("label")),
+        .join(childLabels.withColumnRenamed("component", "label"),
           Seq("node"), "left")
-        .groupBy("node")
-        .agg(coalesce(min(col("label")), first(col("node"))).as("component"))
-        .select(col("node"), col("component"))
+        .select(col("node"),
+          coalesce(col("label"), col("node")).as("component"))
     (labels, iter)
   }
 }

@@ -184,7 +184,17 @@ object KMeans {
   def fitQGate(embeddings: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k > 0 && iters >= 0, "k and iters must be positive")
+    // Materialize the quantized vectors ONCE (eager, so no concurrent
+    // stage can race a cold cache): every Lloyd round plus the final
+    // counts pass re-reads this frame, and without the checkpoint each
+    // of those jobs re-runs the scan + QuantizeMicro pass (JobProbe
+    // r14: a ~0.12 s single-task scan job per round at sf0.1 — the
+    // input is one parquet file, so the re-scan is also serial). The
+    // checkpoint is the trainer's working set — the same input caching
+    // every distributed Lloyd implementation does for its iteration
+    // loop (guide §5: reuse × recompute-cost justifies it).
     val q = embeddings.select(col(idCol).as("vid"), quantCol(col(vecCol)).as("qv"))
+      .localCheckpoint(true)
     var centroids: Array[Array[Long]] = q.where(col("vid") < k)
       .orderBy("vid").collect()
       .map(_.getSeq[Long](1).toArray)

@@ -78,6 +78,11 @@ object ScaleOps {
         max(when(col("rn") === expr("cast(ceil(0.5 * n) as bigint)"), col("v"))).as("p50"),
         max(when(col("rn") === expr("cast(ceil(0.75 * n) as bigint)"), col("v"))).as("p75"),
         max(when(col("rn") === col("n"), col("v"))).as("p100"))
+      // eager before the total ORDER BY: the range sampler re-executes
+      // its child — here the in-partition sort + windows, the whole
+      // query's cost (JobProbe r14: twin ~1.2 s-taskMs jobs reading the
+      // same 21.6 MB exchange). One row per group survives.
+      .localCheckpoint(true)
       .orderBy("l_returnflag")
   }
 
@@ -167,6 +172,10 @@ object ScaleOps {
         max(when(col("p") === "p50", col("v"))).as("p50"),
         max(when(col("p") === "p75", col("v"))).as("p75"),
         max(when(col("p") === "p100", col("v"))).as("p100"))
+      // eager before the total ORDER BY: same sort-sampler dedup as the
+      // one-window path — the child here is the boundary-bucket window
+      // + three joins. One row per group survives.
+      .localCheckpoint(true)
       .orderBy("l_returnflag")
   }
 

@@ -950,7 +950,12 @@ object TextOps {
       (s, d) => {
         val bands = minhashSigs(s, d)
           .select(col("doc_id"), col("sigs"), posexplode(col("sigs")).as(Seq("band", "h")))
-          .cache() // feeds both sides of the bucket self-join
+          // eager, not .cache(): the bucket self-join's two sides are
+          // independent AQE stages, and both racing a cold lazy cache
+          // re-runs the full MinHash pipeline per side (the r13
+          // systemic finding, this site missed then). 8 rows/doc of
+          // (id, sig array, band, hash) — membership-sized.
+          .localCheckpoint(true)
         val a = bands.select(col("doc_id").as("doc_a"), col("sigs").as("sig_a"),
           col("band"), col("h"))
         val b = bands.select(col("doc_id").as("doc_b"), col("sigs").as("sig_b"),
@@ -1065,7 +1070,15 @@ object TextOps {
         val corpus = sh.where(col("doc_id") % 41 =!= 0)
           .select(col("doc_id"), explode(col("s")).as("shingle"))
         import org.apache.spark.sql.graft.ColumnBridge
-        val bloom = bench.select(xxhash64(col("shingle")).as("h"))
+        // coalesce(1) before the Bloom aggregate: the partial-aggregate
+        // buffer is the FULL filter (1M capacity ≈ 1.27 MB of bits), so
+        // a 32-partition build shuffles 32 × 1.27 MB of near-empty
+        // partial filters to the 1-task merge (JobProbe r14: 40.7 MB
+        // written / read for a 40 KB hash input). The bench side is ≪
+        // corpus by construction (the broadcast argument below), so one
+        // build task is the right shape at any scale — one 1.27 MB
+        // partial, no merge fan-in.
+        val bloom = bench.select(xxhash64(col("shingle")).as("h")).coalesce(1)
           .agg(ColumnBridge.column(
             new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
               ColumnBridge.expression(col("h")), 1000000L)
@@ -1701,7 +1714,12 @@ object TextOps {
               h16(ngramsExpr(2, distinct = false)))).as("hv"))
           .withColumn("f", col("hv") % B)
           .groupBy("doc_id", "lang", "f").agg(count(lit(1)).as("c"))
-          .localCheckpoint()
+          // EAGER (r14): the lazy form raced — ft's aggregate stage and
+          // the final join's probe stage are independent AQE stages, and
+          // both finding this cold re-ran the corpus ngram explode
+          // (JobProbe r14: twin 16-task jobs, ~2.8 s task-ms each,
+          // writing identical 342 KB partials).
+          .localCheckpoint(true)
         val ft = docF.groupBy("f").agg(sum("c").as("n_r"),
           sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("n_t"))
         val totals = ft.agg(sum("n_r").as("nr_tot"),

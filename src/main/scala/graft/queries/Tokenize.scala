@@ -214,8 +214,14 @@ object Tokenize {
     * chosen pairs happen to agree). */
   def bpeTrainLog(docs: DataFrame,
       nMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    // The round's single collect doubles as the cache materialization
+    // (t16b's job accounting, applied to the sequential trainer): the
+    // lazily-marked vocab cache is populated by the FIRST pairCounts
+    // scan — its only consumer, so no concurrent-stage race — and the
+    // previous round's cache is dropped only after the collect lands.
+    // nMerges rounds cost nMerges jobs, not 1 + 2·nMerges.
     var vocab = charVocab(wordCounts(docs)).cache()
-    vocab.count() // materialize once; every iteration reuses it
+    var toFree: Option[DataFrame] = None
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var i = 0
     var done = false
@@ -232,6 +238,8 @@ object Tokenize {
         .orderBy(col("n").desc, col("pa"), col("pb"))
         .limit(1)
         .collect()
+      toFree.foreach(_.unpersist())
+      toFree = None
       if (top.isEmpty) done = true
       else {
         val Array(a, b) = top(0).getString(0).split(" ", 2) match {
@@ -239,13 +247,12 @@ object Tokenize {
           case other       => other
         }
         merges += ((i + 1, a, b, top(0).getLong(1)))
-        val next = applyMerge(vocab, a, b).cache()
-        next.count()
-        vocab.unpersist()
-        vocab = next
+        toFree = Some(vocab)
+        vocab = applyMerge(vocab, a, b).cache()
       }
       i += 1
     }
+    toFree.foreach(_.unpersist())
     (merges.result(), vocab)
   }
 

@@ -682,6 +682,15 @@ object WeatherGate {
           .select(col("hour_start"), col("exact_users"), col("n_events"),
             (abs(col("approx_users") - col("exact_users"))
               <= col("exact_users") * lit(0.05) + lit(1.0)).as("ndv_ok"))
+          // eager before the total ORDER BY (the r13 sort-sampler
+          // finding): the range partitioner's sampling pass re-executes
+          // its child, and here the child is the FINAL HLL++ MERGE —
+          // ~16 KB of registers per hour window (rsd 0.01 → 2^14
+          // registers), the query's single heaviest stage (JobProbe
+          // r14: twin 3.0 s / 8.1 s-taskMs jobs reading the same 9.6 MB
+          // sketch exchange). The checkpointed frame is one row per
+          // hour — tiny.
+          .localCheckpoint(true)
           .orderBy("hour_start")
       },
       Some("""SELECT date_trunc('hour', ts) AS hour_start,
