@@ -53,6 +53,18 @@ object ScaleOps {
       li.groupBy("rf", "bucket").agg(count(lit(1)).as("bc")))
   }
 
+  /** [[hierPercentiles]] with the final materialization suppressed —
+    * the plan-inspection twin (the pageRankLazyPlan posture): the
+    * production form ends in Sort(ExistingRDD) since the r14 pre-sort
+    * checkpoint, so HierPercentileFuzzSpec's window/prefilter shape
+    * assertions read this form. */
+  private[queries] def hierPercentilesLazyPlan(in: DataFrame): DataFrame = {
+    val li = in.withColumn("bucket", expr("c div 16384"))
+    hierPercentilesFrom(li,
+      li.groupBy("rf", "bucket").agg(count(lit(1)).as("bc")),
+      materializeFinal = false)
+  }
+
   /** Measured one-window ↔ hierarchical crossover (rows in the scanned
     * percentile frame). BENCH_SF1 r12: at the 10× replica (~6M lineitem
     * rows) the one-window in-partition sort costs 6.59 s vs the
@@ -67,7 +79,8 @@ object ScaleOps {
     * the group key + ONE in-partition sort serves every rank. The cheap
     * plan when groups fit a sort comfortably; the hierarchy's two-pass
     * boundary read only pays off past [[HierCrossoverRows]]. */
-  private[queries] def oneWindowPercentiles(in: DataFrame): DataFrame = {
+  private[queries] def oneWindowPercentiles(in: DataFrame,
+      materializeFinal: Boolean = true): DataFrame = {
     val ranked = in
       .withColumn("rn", row_number().over(
         Window.partitionBy("rf").orderBy("v")))
@@ -82,7 +95,8 @@ object ScaleOps {
       // its child — here the in-partition sort + windows, the whole
       // query's cost (JobProbe r14: twin ~1.2 s-taskMs jobs reading the
       // same 21.6 MB exchange). One row per group survives.
-      .localCheckpoint(true)
+      // (`materializeFinal = false` is the plan-inspection twin.)
+      .transform(df => if (materializeFinal) df.localCheckpoint(true) else df)
       .orderBy("l_returnflag")
   }
 
@@ -98,7 +112,8 @@ object ScaleOps {
     * `rowsHint` overrides it when the caller knows better (a metastore
     * row count, or a test pinning the path). */
   private[queries] def exactPercentiles(in: DataFrame,
-      rowsHint: Option[Long] = None): DataFrame = {
+      rowsHint: Option[Long] = None,
+      materializeFinal: Boolean = true): DataFrame = {
     val est = rowsHint.getOrElse {
       val st = in.queryExecution.optimizedPlan.stats
       st.rowCount.map(_.toLong).getOrElse {
@@ -112,8 +127,9 @@ object ScaleOps {
         (st.sizeInBytes / 8).toLong
       }
     }
-    if (est >= HierCrossoverRows) hierPercentiles(in)
-    else oneWindowPercentiles(in)
+    if (est >= HierCrossoverRows) {
+      if (materializeFinal) hierPercentiles(in) else hierPercentilesLazyPlan(in)
+    } else oneWindowPercentiles(in, materializeFinal)
   }
 
   /** q49's machinery with the count frame supplied by the CALLER — the
@@ -124,7 +140,7 @@ object ScaleOps {
     * would). `li` must already carry the same `bucket` column the
     * states were keyed by. */
   private[queries] def hierPercentilesFrom(li: DataFrame,
-      bframe: DataFrame): DataFrame = {
+      bframe: DataFrame, materializeFinal: Boolean = true): DataFrame = {
     val wB = Window.partitionBy("rf").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val bcum = bframe
@@ -175,7 +191,8 @@ object ScaleOps {
       // eager before the total ORDER BY: same sort-sampler dedup as the
       // one-window path — the child here is the boundary-bucket window
       // + three joins. One row per group survives.
-      .localCheckpoint(true)
+      // (`materializeFinal = false` is the plan-inspection twin.)
+      .transform(df => if (materializeFinal) df.localCheckpoint(true) else df)
       .orderBy("l_returnflag")
   }
 

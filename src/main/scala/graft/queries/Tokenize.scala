@@ -188,7 +188,14 @@ object Tokenize {
       val keptSeq = kept.toSeq
       if (keptSeq.nonEmpty) {
         toFree = Some(vocab)
-        vocab = applyMergeBatch(vocab, keptSeq).cache()
+        // EAGER checkpoint, not cache (r14): the lazy-cache form kept
+        // the full fold-on-fold lineage — one aggregate() HOF layer per
+        // round — so Catalyst re-analyzed an O(rounds)-deep plan before
+        // every round's job (JobProbe: per-round driver gaps growing to
+        // ~0.1 s by round 8). Truncating per round keeps planning O(1);
+        // the checkpoint job replaces the cache-materialization scan
+        // the next round's collect paid anyway.
+        vocab = applyMergeBatch(vocab, keptSeq).localCheckpoint(true)
       }
     }
     toFree.foreach(_.unpersist())
@@ -673,9 +680,13 @@ object Tokenize {
         // kept vocabulary: ALL single chars (so every word stays
         // segmentable) + the top-150 multi-char pieces (TakeOrdered,
         // no global window)
+        // materialized once (≤ singles + 150 rows): `costed` and its
+        // broadcast total would otherwise each re-run the substring
+        // seed explode + aggregate
         val kept = seed.where(length(col("piece")) === 1).unionByName(
           seed.where(length(col("piece")) >= 2)
             .orderBy(col("n").desc, col("piece")).limit(150))
+          .localCheckpoint(true)
         val costed = kept
           .crossJoin(broadcast(kept.agg(sum("n").as("tot"))))
           .select(col("piece"),
@@ -700,10 +711,15 @@ object Tokenize {
               o -> o.pre + coalesce(element_at(pm, o.piece), $INF) + o.post
                    = element_at(dpf, -1))""")).as("o"))
           .select(col("wc"), col("o.piece").as("piece"))
-        // M-step: re-estimated counts and requantized costs
-        eocc.groupBy("piece").agg(sum("wc").as("n"))
-          .crossJoin(broadcast(eocc.groupBy("piece").agg(sum("wc").as("n"))
-            .agg(sum("n").as("tot"))))
+        // M-step: re-estimated counts and requantized costs. The counts
+        // frame is materialized ONCE (vocab-sized) — its two consumers
+        // (the output rows and the broadcast total) would otherwise each
+        // re-run the whole E-step DP + occurrence explode, the query's
+        // dominant term (r14).
+        val mstep = eocc.groupBy("piece").agg(sum("wc").as("n"))
+          .localCheckpoint(true)
+        mstep
+          .crossJoin(broadcast(mstep.agg(sum("n").as("tot"))))
           .select(col("piece"), col("n").cast("long").as("n"),
             length(conv(expr("tot div n"), 10, 2)).cast("long").as("qcost"))
           .orderBy("piece")
@@ -811,6 +827,15 @@ object Tokenize {
               x -> x.symbols))""").as("pieces"))
           .withColumn("n_pieces", size(col("pieces")).cast("long"))
           .withColumn("bucket", expr("doc_id div 10000"))
+          // pre-partition by the window key BEFORE materializing: AQE
+          // coalesces the collect_list aggregate's output to one ~30 MB
+          // partition, and a 1-partition checkpoint serializes the next
+          // exchange's whole map side (JobProbe r14: a 0.58 s single-task
+          // job re-writing the 30.8 MB pieces stream). The checkpoint
+          // preserves its partitioning, so the in-bucket window AND the
+          // bucket-base aggregate both read it pre-partitioned — the
+          // repartition replaces the window exchange instead of adding one.
+          .repartition(col("source"), col("bucket"))
           .localCheckpoint(true)
         import org.apache.spark.sql.expressions.Window
         val wIn = Window.partitionBy("source", "bucket").orderBy("doc_id")

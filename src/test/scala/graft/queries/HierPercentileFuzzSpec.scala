@@ -121,7 +121,9 @@ class HierPercentileFuzzSpec extends AnyFunSuite {
     }
     assert(hier(rows) == flat(rows))
 
-    val df = ScaleOps.hierPercentiles(
+    // the lazy twin: the production form's plan ends in
+    // Sort(ExistingRDD) since the r14 pre-sort checkpoint
+    val df = ScaleOps.hierPercentilesLazyPlan(
       rows.toDF("rf", "v")
         .withColumn("c", floor(col("v") * 100 + 0.5).cast("long")))
     val plan = df.queryExecution.optimizedPlan

@@ -141,7 +141,14 @@ class ScaleOpsSpec extends AnyFunSuite {
   }
 
   test("q49: every window in the plan is partitioned (no per-group global sort)") {
-    val windows = SparkEntry.queries("q49_percentile_hier")(spark, sf)
+    import org.apache.spark.sql.functions._
+    // the lazy twin: the gate's plan ends in Sort(ExistingRDD) since
+    // the r14 pre-sort checkpoint, so shape assertions read this form
+    val windows = ScaleOps.hierPercentilesLazyPlan(
+        Tables.lineitem(spark, sf)
+          .select(col("l_returnflag").as("rf"),
+            col("l_extendedprice").as("v"),
+            Relational.cents(col("l_extendedprice")).as("c")))
       .queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
       }
@@ -165,8 +172,11 @@ class ScaleOpsSpec extends AnyFunSuite {
       }.nonEmpty
     // the hierarchy's signature is its boundary-bucket joins; the
     // one-window plan has none — the rowsHint sweep pins the flip point
-    val below = ScaleOps.exactPercentiles(in, Some(ScaleOps.HierCrossoverRows - 1))
-    val atCut = ScaleOps.exactPercentiles(in, Some(ScaleOps.HierCrossoverRows))
+    // (lazy twins: the production forms' plans are checkpoint-truncated)
+    val below = ScaleOps.exactPercentiles(in,
+      Some(ScaleOps.HierCrossoverRows - 1), materializeFinal = false)
+    val atCut = ScaleOps.exactPercentiles(in,
+      Some(ScaleOps.HierCrossoverRows), materializeFinal = false)
     assert(!hasJoin(below), "below the crossover must be the one-window plan")
     assert(hasJoin(atCut), "at/above the crossover must be the hierarchical plan")
     // the dispatch is semantically invisible: identical rows either way
